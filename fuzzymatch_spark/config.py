@@ -1,0 +1,165 @@
+"""Match configuration dataclasses.
+
+Mirrors the reference's Codable config surface
+(`Sources/FuzzyMatch/MatchConfig.swift:525-693`,
+`Sources/FuzzyMatch/SmithWatermanConfig.swift:99-146`) so configs round-trip
+through JSON and can be broadcast to executors and persisted in a
+``run_config`` lineage table.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from typing import Literal
+
+
+@dataclass(frozen=True)
+class GapPenalty:
+    """Gap penalty model for bonus calculation.
+
+    kind='none'  : no penalty
+    kind='linear': ``per_char`` per gap character
+    kind='affine': ``open`` for the first gap char + ``extend`` per additional
+    (reference default: affine(0.03, 0.005), `MatchConfig.swift:153`)
+    """
+
+    kind: Literal["none", "linear", "affine"] = "affine"
+    open: float = 0.03
+    extend: float = 0.005
+    per_char: float = 0.0
+
+    @staticmethod
+    def none() -> "GapPenalty":
+        return GapPenalty(kind="none", open=0.0, extend=0.0)
+
+    @staticmethod
+    def linear(per_char: float) -> "GapPenalty":
+        return GapPenalty(kind="linear", per_char=per_char)
+
+    @staticmethod
+    def affine(open: float, extend: float) -> "GapPenalty":
+        return GapPenalty(kind="affine", open=open, extend=extend)
+
+
+@dataclass(frozen=True)
+class EditDistanceConfig:
+    """Damerau-Levenshtein scoring knobs.
+
+    Defaults match the reference (`Sources/FuzzyMatch/MatchConfig.swift:525-551`).
+    """
+
+    max_edit_distance: int = 2
+    long_query_max_edit_distance: int = 3
+    long_query_threshold: int = 13
+    prefix_weight: float = 1.5
+    substring_weight: float = 1.0
+    word_boundary_bonus: float = 0.1
+    consecutive_bonus: float = 0.05
+    gap_penalty: GapPenalty = field(default_factory=GapPenalty)
+    first_match_bonus: float = 0.15
+    first_match_bonus_range: int = 10
+    length_penalty: float = 0.003
+    acronym_weight: float = 1.0
+
+    @property
+    def needs_alignment(self) -> bool:
+        return (
+            self.word_boundary_bonus > 0
+            or self.consecutive_bonus > 0
+            or self.gap_penalty.kind != "none"
+            or self.first_match_bonus > 0
+        )
+
+    @staticmethod
+    def no_bonus(
+        prefix_weight: float = 1.5, substring_weight: float = 1.0, **kw
+    ) -> "EditDistanceConfig":
+        """All bonuses zero, gap penalty none — used by golden fixtures."""
+        return EditDistanceConfig(
+            prefix_weight=prefix_weight,
+            substring_weight=substring_weight,
+            word_boundary_bonus=0.0,
+            consecutive_bonus=0.0,
+            gap_penalty=GapPenalty.none(),
+            first_match_bonus=0.0,
+            **kw,
+        )
+
+
+@dataclass(frozen=True)
+class SmithWatermanConfig:
+    """Integer constants for the SW kernel
+    (`Sources/FuzzyMatch/SmithWatermanConfig.swift:99-146`)."""
+
+    score_match: int = 16
+    penalty_gap_start: int = 3
+    penalty_gap_extend: int = 1
+    bonus_consecutive: int = 4
+    bonus_boundary: int = 8
+    bonus_boundary_whitespace: int = 10
+    bonus_boundary_delimiter: int = 9
+    bonus_camel_case: int = 5
+    bonus_first_char_multiplier: int = 2
+    split_spaces: bool = True
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """Top-level config: threshold + algorithm choice
+    (`Sources/FuzzyMatch/MatchConfig.swift:598-693`, default minScore 0.3
+    at `MatchConfig.swift:671`)."""
+
+    min_score: float = 0.3
+    algorithm: Literal["editDistance", "smithWaterman"] = "editDistance"
+    edit_distance: EditDistanceConfig = field(default_factory=EditDistanceConfig)
+    smith_waterman: SmithWatermanConfig = field(default_factory=SmithWatermanConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "MatchConfig":
+        d = json.loads(s)
+        ed = d.get("edit_distance", {})
+        gp = ed.pop("gap_penalty", None)
+        if gp is not None:
+            ed["gap_penalty"] = GapPenalty(**gp)
+        sw = d.get("smith_waterman", {})
+        return MatchConfig(
+            min_score=d.get("min_score", 0.3),
+            algorithm=d.get("algorithm", "editDistance"),
+            edit_distance=EditDistanceConfig(**ed),
+            smith_waterman=SmithWatermanConfig(**sw),
+        )
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Engine-only knobs for the near-duplicate pipeline (north rule).
+
+    shingle_size / num_perm / bands x rows control MinHash LSH; a pair with
+    trigram-Jaccard >= ``jaccard_threshold`` is a duplicate edge.  pHash pairs
+    within ``phash_max_hamming`` bits are duplicate edges.  Band parameters
+    must satisfy bands * rows == num_perm.
+    """
+
+    shingle_size: int = 3
+    num_perm: int = 128
+    bands: int = 32
+    rows_per_band: int = 4
+    jaccard_threshold: float = 0.6
+    phash_max_hamming: int = 6
+    simhash_max_hamming: int = 3
+    min_score: float = 0.75  # DL-score threshold for verified caption edges
+    max_bucket_size: int = 2000  # salt/cap hot LSH buckets beyond this
+    suffix_min_run: int = 20  # min shared-substring length for suffix stage
+    seed: int = 42
+
+    def __post_init__(self) -> None:
+        assert self.bands * self.rows_per_band == self.num_perm, (
+            "bands * rows_per_band must equal num_perm"
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
