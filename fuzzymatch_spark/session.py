@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the target deployment (1000-executor cluster over ~100 TB) but
+parameterized so tests run on local[N]:
+
+* AQE on: runtime shuffle-partition coalescing + skew-join splitting — the
+  LSH band join is skew-prone (hot shingles / boilerplate captions).
+* Arrow enabled with bounded batch size: every Python-side kernel is an
+  Arrow-batched pandas UDF; batch size caps executor-side Python memory.
+* shuffle partitions default to 2*cores locally; on a real cluster this is
+  set per-job from input size (see plans/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fuzzymatch_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = cpus if "local" not in master else int(
+            master.split("[")[1].rstrip("]").replace("*", str(cpus))
+            if "[" in master
+            else cpus
+        )
+        shuffle_partitions = max(8, 2 * n)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,184 @@
+"""Planted-duplicate pipeline test (FIXTURES.md §4): candidate generation +
+verify + connected components must recover >= 0.99 of planted dup pairs and
+match the brute-force all-pairs oracle's cluster assignment at the same
+shingle/signature/band config (north rule gate)."""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzymatch_spark.config import DedupConfig
+from fuzzymatch_spark.kernels.normalize import normalize_bytes
+from fuzzymatch_spark.kernels.trigrams import jaccard, trigram_set
+from fuzzymatch_spark.operators.cluster import cluster_assignments, connected_components
+from fuzzymatch_spark.operators.dedup import (
+    candidate_edges,
+    compute_signatures,
+    exact_dup_edges,
+    minhash_band_edges,
+    verify_edges,
+)
+
+WORDS = (
+    "spark shuffle partition join window batch stream table scan merge sort "
+    "hash key order fast small dup near exact image caption pixel frame "
+    "engine vector query index bucket salt skew band row"
+).split()
+
+
+def make_corpus(seed=42, n_base=120):
+    """Base captions + planted duplicate variants with labels."""
+    rng = np.random.RandomState(seed)
+    rows = []  # (id, text)
+    dup_pairs = []  # (a_id, b_id, variant)
+    next_id = 0
+
+    def add(text):
+        nonlocal next_id
+        rid = f"doc{next_id:06d}"
+        rows.append((rid, text))
+        next_id += 1
+        return rid
+
+    for i in range(n_base):
+        nw = rng.randint(6, 14)
+        words = [WORDS[rng.randint(0, len(WORDS))] for _ in range(nw)]
+        base = " ".join(words)
+        base_id = add(base)
+        r = rng.rand()
+        if r < 0.2:  # exact dup
+            dup_pairs.append((base_id, add(base), "exact"))
+        elif r < 0.4:  # case/diacritic dup
+            variant = base.upper() if rng.rand() < 0.5 else base.replace("a", "à")
+            dup_pairs.append((base_id, add(variant), "fold"))
+        elif r < 0.6:  # single transposition typo
+            chars = list(base)
+            p = rng.randint(0, len(chars) - 1)
+            chars[p], chars[p + 1] = chars[p + 1], chars[p]
+            dup_pairs.append((base_id, add("".join(chars)), "typo"))
+        elif r < 0.8:  # d<=2 edits
+            chars = list(base)
+            for _ in range(rng.randint(1, 3)):
+                p = rng.randint(0, len(chars))
+                chars.insert(p, "x")
+            dup_pairs.append((base_id, add("".join(chars)), "edit"))
+        # else: singleton
+    return rows, dup_pairs
+
+
+CFG = DedupConfig(min_score=0.72, jaccard_threshold=0.6)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows, dup_pairs = make_corpus()
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    return df, rows, dup_pairs
+
+
+def brute_force_edges(rows, cfg):
+    """All-pairs oracle at the same config: exact-equality OR
+    jaccard >= threshold OR DL-sim >= min_score (same verify semantics)."""
+    from fuzzymatch_spark.kernels.editdist import substring_edit_distance
+
+    norm = {rid: normalize_bytes(t.encode()) for rid, t in rows}
+    tri = {rid: trigram_set(n) for rid, n in norm.items()}
+    edges = set()
+    for (a, _), (b, _) in itertools.combinations(rows, 2):
+        na, nb = norm[a], norm[b]
+        if na == nb:
+            edges.add((min(a, b), max(a, b)))
+            continue
+        j = jaccard(tri[a], tri[b])
+        score = j
+        q, c = (na, nb) if len(na) <= len(nb) else (nb, na)
+        max_ed = int(np.ceil((1 - cfg.min_score) * max(len(q), 1)))
+        d = substring_edit_distance(q, c, max_ed)
+        if d is not None:
+            score = max(score, 1.0 - d / max(len(q), 1))
+        if score >= cfg.min_score:
+            edges.add((min(a, b), max(a, b)))
+    return edges
+
+
+def test_exact_dup_edges(spark, corpus):
+    df, rows, dup_pairs = corpus
+    sig = compute_signatures(df, "doc_id", "text", CFG).cache()
+    got = {
+        tuple(sorted((r["a_id"], r["b_id"])))
+        for r in exact_dup_edges(sig).collect()
+    }
+    norm = {}
+    want = set()
+    for rid, t in rows:
+        n = normalize_bytes(t.encode())
+        norm.setdefault(n, []).append(rid)
+    for ids in norm.values():
+        m = min(ids)
+        for other in ids:
+            if other != m:
+                want.add((m, other))
+    assert got == want
+
+
+def test_planted_recall_and_oracle_parity(spark, corpus):
+    df, rows, dup_pairs = corpus
+    sig = compute_signatures(df, "doc_id", "text", CFG).cache()
+    cand = candidate_edges(sig, CFG)
+    verified = verify_edges(cand, sig, CFG).cache()
+    got_edges = {
+        tuple(sorted((r["a_id"], r["b_id"]))) for r in verified.collect()
+    }
+
+    # 1) recall on planted pairs
+    planted = {tuple(sorted((a, b))) for a, b, _ in dup_pairs}
+    hit = len(planted & got_edges)
+    recall = hit / len(planted)
+    assert recall >= 0.99, f"planted recall {recall}: missing {planted - got_edges}"
+
+    # 2) cluster-assignment parity vs brute-force all-pairs oracle
+    oracle_edges = brute_force_edges(rows, CFG)
+    assert got_edges <= oracle_edges | planted  # no spurious edges beyond oracle
+    oracle_df = spark.createDataFrame(
+        [(a, b) for a, b in sorted(oracle_edges)], "a_id string, b_id string"
+    )
+    ids = df.select(F.col("doc_id"))
+    got_clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_assignments(verified, ids, id_col="doc_id").collect()
+    }
+    want_clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_assignments(oracle_df, ids, id_col="doc_id").collect()
+    }
+    mismatches = {
+        k: (got_clusters[k], want_clusters[k])
+        for k in want_clusters
+        if got_clusters.get(k) != want_clusters[k]
+    }
+    agree = 1 - len(mismatches) / len(want_clusters)
+    assert agree >= 0.99, f"cluster agreement {agree}: {list(mismatches.items())[:5]}"
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d"), ("f", "f")],
+        "a_id string, b_id string",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d")}
+
+
+def test_connected_components_chain_and_star(spark):
+    # long chain exercises multiple large/small-star rounds
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)]
+    edges = spark.createDataFrame(chain, "a_id string, b_id string")
+    got = {r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {"n000"}
+    n = connected_components(edges).count()
+    assert n == 41
