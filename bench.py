@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "throughput": {...}, "scaling": {...}}
+
+Scaling evidence (BASELINE.md / north rule: efficiency >= 0.8 from N to 4N
+executors): the dedup core is additionally run at local[8] and local[32]
+on the same input (cores-as-executors proxy — no real cluster in this
+sandbox) and reported as throughput at both plus efficiency
+(= speedup / 4).  Disable with SPARK_GRAFT_BENCH_SCALING=0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+
+
+def _mk_spark(master: str, app: str):
+    from fuzzymatch_spark.session import get_spark
+
+    return get_spark(app_name=app, master=master)
+
+
+def _dedup_core(spark, docs, cfg):
+    """signatures -> LSH candidates (minhash+simhash) -> verify. Returns
+    (n_docs, n_edges) — the end-to-end dedup compute minus clustering."""
+    from fuzzymatch_spark.operators.dedup import (
+        candidate_edges,
+        compute_signatures,
+        verify_edges,
+    )
+
+    sig = compute_signatures(docs, "doc_id", "text", cfg)
+    sig.persist()
+    n_docs = sig.count()
+    cand = candidate_edges(sig, cfg)
+    verified = verify_edges(cand, sig, cfg)
+    n_edges = verified.count()
+    sig.unpersist()
+    return n_docs, n_edges
+
+
+def run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.config import DedupConfig, MatchConfig
+    from fuzzymatch_spark.operators.ann import cosine_topk
+    from fuzzymatch_spark.operators.cluster import cluster_assignments
+    from fuzzymatch_spark.operators.dedup import (
+        candidate_edges,
+        compute_signatures,
+        phash_band_edges,
+        verify_edges,
+    )
+    from fuzzymatch_spark.operators.topk import top_matches
+    from fuzzymatch_spark.sources.images import build_images_df
+
+    cfg = DedupConfig.web_dense()  # dense synthetic corpus profile
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 3)
+        return out
+
+    # q1: full dedup pipeline (signatures -> LSH -> verify -> clusters)
+    def q1():
+        sig = compute_signatures(docs, "doc_id", "text", cfg).persist()
+        n = sig.count()
+        verified = verify_edges(candidate_edges(sig, cfg), sig, cfg).persist()
+        verified.count()
+        clusters = cluster_assignments(
+            verified, sig.select(F.col("id")), id_col="id"
+        )
+        n_clusters = clusters.select("cluster_id").distinct().count()
+        extras["docs"] = n
+        extras["clusters"] = n_clusters
+        sig.unpersist()
+        verified.unpersist()
+        return n
+
+    n_docs = timed("q1_dedup_pipeline", q1)
+
+    # q2: flagship fuzzy top-k (ED kernel)
+    timed(
+        "q2_topk_fuzzy",
+        lambda: top_matches(
+            docs, "text", "spark shuffle partition", k=20,
+            config=MatchConfig(min_score=0.1),
+        ).collect(),
+    )
+
+    # q3: image pHash dedup (synth + decode + hash + band join)
+    def q3():
+        images = build_images_df(spark, docs, "doc_id", "text")
+        return phash_band_edges(images, cfg).count()
+
+    timed("q3_phash_images", q3)
+
+    # q4: ANN cosine top-k (brute force, JVM-side)
+    def q4():
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+        return cosine_topk(emb, "embedding", qv, k=10).collect()
+
+    timed("q4_ann_cosine", q4)
+
+    # q5: relational agg (TPC-H Q1 shape)
+    def q5():
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
+            .collect()
+        )
+
+    timed("q5_tpch_q1", q5)
+
+    extras["docs_per_sec_dedup"] = round(n_docs / max(times["q1_dedup_pipeline"], 1e-9), 1)
+    return times, extras
+
+
+def run_scaling() -> dict:
+    """Same dedup core at local[8] vs local[32] (N vs 4N proxy)."""
+    from fuzzymatch_spark.config import DedupConfig
+
+    cfg = DedupConfig.web_dense()
+    out = {}
+    for cores in (8, 32):
+        spark = _mk_spark(f"local[{cores}]", f"bench-scaling-{cores}")
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        # replicate to give each core real work (python-kernel bound)
+        from pyspark.sql import functions as F
+
+        docs8 = docs.crossJoin(spark.range(8).select(F.col("id").alias("rep")))
+        docs8 = docs8.select(
+            F.concat_ws("_", F.col("doc_id"), F.col("rep")).alias("doc_id"), "text"
+        ).repartition(cores * 4)
+        t0 = time.time()
+        n_docs, n_edges = _dedup_core(spark, docs8, cfg)
+        wall = time.time() - t0
+        out[f"local{cores}_sec"] = round(wall, 3)
+        out[f"local{cores}_docs_per_sec"] = round(n_docs / wall, 1)
+        spark.stop()
+    speedup = out["local8_sec"] / out["local32_sec"]
+    out["speedup_8_to_32"] = round(speedup, 3)
+    out["efficiency"] = round(speedup / 4.0, 3)
+    return out
+
+
+def main() -> None:
+    t_total = time.time()
+    spark = _mk_spark(f"local[{CPUS}]", "fuzzymatch-bench")
+    times, extras = run_queries(spark)
+    spark.stop()
+
+    scaling = run_scaling() if RUN_SCALING else {}
+    total = round(time.time() - t_total, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "end_to_end_bench_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "throughput": extras,
+        "scaling": scaling,
+        "total_wall_sec": total,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

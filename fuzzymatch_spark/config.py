@@ -152,6 +152,12 @@ class DedupConfig:
     phash_max_hamming: int = 6
     simhash_max_hamming: int = 3
     min_score: float = 0.75  # DL-score threshold for verified caption edges
+    # DL verification is a typo-scale check (the reference scores short
+    # identifier-like strings); for longer texts near-dup similarity is the
+    # Jaccard path.  Pairs whose shorter side exceeds this length skip the
+    # DP entirely — at 10^12 rows an O(n*m) DP on kilobyte strings is never
+    # the right verifier.
+    dl_max_len: int = 128
     max_bucket_size: int = 2000  # salt/cap hot LSH buckets beyond this
     suffix_min_run: int = 20  # min shared-substring length for suffix stage
     seed: int = 42
@@ -163,3 +169,14 @@ class DedupConfig:
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
+
+    @staticmethod
+    def web_dense() -> "DedupConfig":
+        """Profile for dense/boilerplate-heavy corpora: fewer, longer bands
+        (collision prob at J=0.5 drops from ~87% to ~6%) and a higher
+        verify threshold.  Use when background pairwise similarity is high —
+        the recall-oriented default explodes candidates on such data."""
+        return DedupConfig(
+            num_perm=128, bands=16, rows_per_band=8,
+            jaccard_threshold=0.9, min_score=0.9,
+        )

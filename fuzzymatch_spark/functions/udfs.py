@@ -172,15 +172,18 @@ def make_verify_udf(cfg: DedupConfig):
     Final edge score = max(jaccard, dl_sim); kind = 'exact' when byte-equal.
     """
     threshold = cfg.min_score
+    dl_max_len = cfg.dl_max_len
 
     @F.pandas_udf(VERIFY_SCHEMA)
     def verify(a_norm: pd.Series, b_norm: pd.Series) -> pd.DataFrame:
         n = len(a_norm)
         jac = np.zeros(n)
         exact = np.zeros(n, dtype=bool)
+        need_dl = np.zeros(n, dtype=bool)
         qs: list[bytes] = [b""] * n
         cs: list[bytes] = [b""] * n
-        qlens = np.zeros(n, dtype=np.int64)
+        qlens = np.ones(n, dtype=np.int64)
+        max_eds = np.zeros(n, dtype=np.int64)
         for k in range(n):
             ab = (a_norm.iloc[k] or "").encode("utf-8")
             bb = (b_norm.iloc[k] or "").encode("utf-8")
@@ -189,27 +192,58 @@ def make_verify_udf(cfg: DedupConfig):
             sb = trigram_set(bb)
             if sa.size == 0 and sb.size == 0:
                 jac[k] = 1.0 if exact[k] else 0.0
+                inter = 0
             else:
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 union = sa.size + sb.size - inter
                 jac[k] = inter / union if union else 0.0
             if len(ab) <= len(bb):
                 qs[k], cs[k] = ab, bb
+                n_q = sa.size
             else:
                 qs[k], cs[k] = bb, ab
+                n_q = sb.size
             qlens[k] = max(len(qs[k]), 1)
-        # band the DP at the largest useful distance for the threshold
-        max_ed = int(np.ceil((1.0 - threshold) * qlens.max())) if n else 0
-        dists = batch_substring_distance(qs, cs, max_ed)
-        dl_sim = np.maximum(0.0, 1.0 - dists / qlens)
-        dl_sim = np.where(dists > max_ed, 0.0, dl_sim)
+            max_eds[k] = int((1.0 - threshold) * qlens[k])
+            # DL can only matter when (a) jaccard alone doesn't already pass,
+            # (b) not byte-equal, and (c) the reference's q-gram count bound
+            # (`Trigrams.swift:161-177`: shared >= |Qtri| - 3*maxED) admits a
+            # distance within the banded budget.
+            need_dl[k] = (
+                not exact[k]
+                and jac[k] < threshold
+                and qlens[k] <= dl_max_len
+                and inter >= n_q - 3 * max_eds[k]
+            )
+
+        dists = np.full(n, -1, dtype=np.int32)
+        dl_sim = np.zeros(n)
+        idx = np.nonzero(need_dl)[0]
+        # chunk the batch DP (memory ~ chunk * maxlen); sort by candidate
+        # length to minimize padding waste
+        if idx.size:
+            order = idx[np.argsort([len(cs[i]) for i in idx], kind="stable")]
+            chunk = 1024
+            for s in range(0, order.size, chunk):
+                sel = order[s : s + chunk]
+                med = int(max_eds[sel].max())
+                d = batch_substring_distance(
+                    [qs[i] for i in sel], [cs[i] for i in sel], med
+                )
+                dists[sel] = d
+                ok = d <= max_eds[sel]
+                sim = np.maximum(0.0, 1.0 - d / qlens[sel])
+                dl_sim[sel] = np.where(ok, sim, 0.0)
+
         score = np.maximum(jac, dl_sim)
         score = np.where(exact, 1.0, score)
-        kinds = np.where(exact, "exact", np.where(dl_sim >= jac, "substring", "jaccard"))
+        kinds = np.where(
+            exact, "exact", np.where(dl_sim > jac, "substring", "jaccard")
+        )
         return pd.DataFrame(
             {
                 "jaccard": jac,
-                "dl_dist": dists.astype(np.int32),
+                "dl_dist": dists,
                 "dl_sim": dl_sim,
                 "score": score,
                 "kind": kinds,

@@ -1,0 +1,68 @@
+"""Perceptual hash (pHash) over decoded pixels.
+
+Classic DCT pHash: downsample to 32x32 grayscale, 2-D DCT-II, take the
+top-left 8x8 low-frequency block, threshold against the block median
+(DC excluded from the median) -> 64-bit hash.  Pure numpy; used inside the
+``phash_from_bytes`` pandas UDF (no per-row Python at the Spark boundary —
+batches are decoded and hashed in one numpy pass each).
+
+Candidate pairs are then generated with the banded Hamming equi-join in
+operators/dedup.py and verified JVM-side with ``bit_count(a ^ b)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_DCT_N = 32
+_DCT_M = None
+
+
+def _dct_matrix(n: int = _DCT_N) -> np.ndarray:
+    global _DCT_M
+    if _DCT_M is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        m[0, :] = np.sqrt(1.0 / n)
+        _DCT_M = m
+    return _DCT_M
+
+
+def _resize_to(pixels: np.ndarray, n: int = _DCT_N) -> np.ndarray:
+    """Area-average resample to n x n (deterministic, no image libs)."""
+    h, w = pixels.shape
+    ys = (np.arange(n + 1) * h // n).astype(np.int64)
+    xs = (np.arange(n + 1) * w // n).astype(np.int64)
+    # integral image for O(1) box sums
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(pixels.astype(np.float64), axis=0), axis=1)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    y1 = np.minimum(y1, h)
+    x1 = np.minimum(x1, w)
+    sums = (
+        ii[y1[:, None], x1[None, :]]
+        - ii[y0[:, None], x1[None, :]]
+        - ii[y1[:, None], x0[None, :]]
+        + ii[y0[:, None], x0[None, :]]
+    )
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return sums / areas
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of a 2-D uint8 grayscale array (signed int)."""
+    small = _resize_to(pixels)
+    m = _dct_matrix()
+    coeffs = m @ small @ m.T
+    block = coeffs[:8, :8]
+    flat = block.flatten()
+    med = np.median(flat[1:])  # exclude DC from the threshold
+    bits = (flat > med).astype(np.uint64)
+    out = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      — brute-force exact cosine top-k against a query
+  vector, entirely with built-in higher-order functions
+  (``zip_with`` + ``aggregate`` — JVM-side, no Python).  The baseline /
+  oracle path.
+* ``rhp_lsh_buckets`` / ``rhp_knn_pairs`` — random-hyperplane (SimHash for
+  vectors) LSH: 64 signed projections -> 64-bit sketch -> banded Hamming
+  join.  The 10^12-row scale path: candidates meet in band buckets; exact
+  cosine verifies survivors only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+from fuzzymatch_spark.operators.dedup import _hamming_band_edges
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: TakeOrderedAndProject over a single projection
+    pass; deterministic tie-break on id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return (
+        df.select(F.col(id_col), F.round(cos, 5).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rhp_sketch_udf(dim: int, seed: int = 42, n_planes: int = 64):
+    """Random-hyperplane 64-bit sketch as a pandas UDF (matrix multiply per
+    Arrow batch — one BLAS call per batch, no per-row Python)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_planes))
+
+    @F.pandas_udf(LongType())
+    def sketch(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int64)
+        mat = np.stack(vecs.to_numpy())
+        bits = (mat @ planes) > 0
+        weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        vals = (bits.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(vals.astype(np.int64))
+
+    return sketch
+
+
+def rhp_knn_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_hamming: int = 7,
+    min_cosine: float = 0.7,
+) -> DataFrame:
+    """LSH-bucketed near-neighbor pairs: sketch -> banded Hamming join ->
+    exact cosine verify (JVM-side) on survivors."""
+    dim = len(df.select(vec_col).first()[0])
+    sk = rhp_sketch_udf(dim, seed)
+    sketched = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sk(F.col(vec_col)).alias("rhp")
+    )
+    cand = _hamming_band_edges(
+        sketched, "id", "rhp", n_bands=8, max_hamming=max_hamming, source="rhp"
+    )
+    a = sketched.select(F.col("id").alias("a_id"), F.col("v").alias("va"))
+    b = sketched.select(F.col("id").alias("b_id"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.join(a, on="a_id").join(b, on="b_id")
+        .withColumn("cos", F.round(cos, 5))
+        .filter(F.col("cos") >= F.lit(min_cosine))
+        .select("a_id", "b_id", "cos")
+    )

@@ -200,6 +200,48 @@ def phash_band_edges(
     )
 
 
+def ngram_jaccard_pairs(
+    sig_df: DataFrame, threshold: float = 0.6, threshold_pct: int | None = None
+) -> DataFrame:
+    """EXACT n-gram Jaccard pair join via shingle inverted index.
+
+    This is the exact form of the trigram filter
+    (`Sources/FuzzyMatch/Trigrams.swift:161-177`) as a relational plan: a
+    pair with Jaccard > 0 shares >= 1 shingle, so the equi-join on exploded
+    shingles has 100% candidate recall; the groupBy count IS the exact
+    intersection size.  The threshold compare is integer-only
+    (``100*inter >= pct*(na+nb-inter)``) — bit-identical across engines.
+
+    Scale note: exact inverted-index joins explode on hot shingles; at
+    10^12 rows use ``minhash_band_edges`` (probabilistic, bounded) or add
+    prefix filtering — this operator is the correctness oracle / small-table
+    path.  Everything here is JVM-side (no Python).
+    """
+    pct = threshold_pct if threshold_pct is not None else int(round(threshold * 100))
+    grams = sig_df.select("id", F.explode("shingles").alias("g"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sig_df.select(F.col("id"), F.col("n_shingles").cast("long").alias("n"))
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a_id")
+                   .withColumnRenamed("n", "na"), on="a_id")
+        .join(sizes.withColumnRenamed("id", "b_id")
+              .withColumnRenamed("n", "nb"), on="b_id")
+        .filter(
+            F.lit(100) * F.col("inter")
+            >= F.lit(pct) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select("a_id", "b_id", F.col("inter").cast("long").alias("inter"),
+                "na", "nb")
+    )
+
+
 def verify_edges(
     edges: DataFrame, sig_df: DataFrame, cfg: DedupConfig | None = None
 ) -> DataFrame:

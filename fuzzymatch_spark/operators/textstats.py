@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines.
+
+All of these are pure column expressions (JVM-side, whole-stage codegen) —
+no Python in any hot path.  Each has a DuckDB-expressible oracle in
+``__spark_entry__.oracle_sql``.
+
+* token stats / quality ratios — length, token counts, type-token ratio
+* token-sorted exact dedup   — catches token-reordered duplicates
+  (FIXTURES.md §4 'token-reordered caption' variant)
+* md5 document fingerprint   — 60-bit fingerprint + band decomposition
+* language ID                — n-gram/stopword heuristic (pandas-free)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simple quality heuristics: length band, TTR, mean token length."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    mean_tok = (F.length(text_col) - n_tokens + 1) / n_tokens
+    ttr = F.size(F.array_distinct(toks)) / n_tokens
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        (
+            (F.length(text_col) >= 20)
+            & (F.length(text_col) <= 10000)
+            & (ttr >= 0.2)
+        ).cast("int").alias("quality_pass"),
+    )
+
+
+def token_sorted_key(text_col: str):
+    return F.array_join(F.sort_array(F.split(F.col(text_col), " ")), " ")
+
+
+def token_sorted_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup modulo token order: canonical id + group size per group
+    with >1 member (corpus-scale exact-match fast path on a canonical key)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), token_sorted_key(text_col).alias("key"))
+        .groupBy("key")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").cast("long").alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+        .select("canonical_id", "group_size")
+    )
+
+
+def md5_fingerprint64(text_col: str):
+    """60-bit fingerprint from the md5 hex prefix — identical SQL exists in
+    DuckDB (``('0x' || substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint_bands(
+    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4, width: int = 15
+) -> DataFrame:
+    """Band decomposition of the 60-bit fingerprint (the Hamming-band join
+    key schedule, cross-engine checkable)."""
+    fp = md5_fingerprint64(text_col)
+    rows = df.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("fp"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return rows.select(
+        "doc_id", F.explode(bands).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+# --- language ID: stopword-hit heuristic --------------------------------
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "to"],
+    "es": ["el", "la", "los", "que", "de"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "des", "est", "une"],
+}
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-count language ID over whitespace tokens; 'und' (undetermined)
+    when no marker hits.  Pure column expressions."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(markers))
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in _LANG_MARKERS:  # deterministic tie-break: dict order
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in _LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+    return out

@@ -1,0 +1,149 @@
+"""Staged, resumable dedup pipeline (north rule).
+
+Stage graph (SURVEY.md §3.4):
+
+    1 signatures   : images/docs -> normalize+sketch table      [1 UDF pass]
+    2 cand_edges   : exact + MinHash-LSH + SimHash (+ pHash)    [band joins]
+    3 scored_edges : verify kernel, threshold                    [1 UDF pass]
+    4 clusters     : large-star/small-star to fixpoint           [iterative]
+    5 metrics      : per-stage row counts / wall time            [lineage]
+
+Every stage writes a parquet checkpoint under ``work_dir`` with a _DONE
+completion marker; a killed job re-run skips completed stages (verified by
+tests/test_resume.py).  On a real cluster these checkpoints are Iceberg
+tables — the layout (one table per stage + completion marker + run_config
+lineage row) is identical; parquet-on-dir is the sandbox stand-in.
+
+Scale notes: stage boundaries are exactly the points where a 10^12-row run
+must be able to resume (LSH self-join and CC iterations dominate cost);
+``bytes``-typed columns never enter any checkpoint except the signature
+stage input projection (column pruning keeps them out of every shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fuzzymatch_spark.config import DedupConfig
+from fuzzymatch_spark.operators.cluster import cluster_assignments
+from fuzzymatch_spark.operators.dedup import (
+    candidate_edges,
+    compute_signatures,
+    phash_band_edges,
+    verify_edges,
+)
+from fuzzymatch_spark.operators.suffix import suffix_run_pairs
+
+
+@dataclass
+class DedupPipeline:
+    spark: SparkSession
+    work_dir: str
+    cfg: DedupConfig = field(default_factory=DedupConfig)
+    id_col: str = "image_id"
+    text_col: str = "caption"
+    phash_col: str | None = None  # set to use the pHash image stage
+    use_suffix_stage: bool = True
+    metrics: list = field(default_factory=list)
+
+    # -- checkpoint helpers -------------------------------------------------
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.work_dir, stage)
+
+    def _done(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._path(stage), "_DONE"))
+
+    def _write(self, df: DataFrame, stage: str) -> DataFrame:
+        path = self._path(stage)
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        n = out.count()
+        wall = time.time() - t0
+        with open(os.path.join(path, "_DONE"), "w") as f:
+            f.write(json.dumps({"rows": n, "wall_s": wall}))
+        self.metrics.append({"stage": stage, "rows": n, "wall_s": round(wall, 3),
+                             "recomputed": True})
+        return out
+
+    def _load_or_compute(self, stage: str, compute) -> DataFrame:
+        if self._done(stage):
+            out = self.spark.read.parquet(self._path(stage))
+            self.metrics.append({"stage": stage, "rows": None, "wall_s": 0.0,
+                                 "recomputed": False})
+            return out
+        return self._write(compute(), stage)
+
+    # -- stages --------------------------------------------------------------
+    def run(self, input_df: DataFrame) -> DataFrame:
+        """Full pipeline; returns the clusters DataFrame (id, cluster_id)."""
+        os.makedirs(self.work_dir, exist_ok=True)
+        with open(os.path.join(self.work_dir, "run_config.json"), "w") as f:
+            f.write(self.cfg.to_json())
+
+        # stage 1: signatures (project away binary payloads immediately)
+        cols = [self.id_col, self.text_col] + (
+            [self.phash_col] if self.phash_col else []
+        )
+        narrow = input_df.select(*cols)
+        sig = self._load_or_compute(
+            "signatures",
+            lambda: compute_signatures(narrow, self.id_col, self.text_col, self.cfg)
+            .join(
+                narrow.select(
+                    F.col(self.id_col).alias("id"),
+                    *([F.col(self.phash_col)] if self.phash_col else []),
+                ),
+                on="id",
+            ),
+        )
+
+        # stage 2: candidate edges (exact + minhash + simhash [+ phash, suffix])
+        def _cand():
+            edges = candidate_edges(sig, self.cfg)
+            if self.phash_col:
+                ph = phash_band_edges(sig, self.cfg, id_col="id",
+                                      phash_col=self.phash_col)
+                edges = edges.unionByName(ph)
+            if self.use_suffix_stage:
+                sx = suffix_run_pairs(sig, "id", "caption_norm",
+                                      run_len=self.cfg.suffix_min_run)
+                edges = edges.unionByName(sx)
+            return edges.groupBy("a_id", "b_id").agg(F.min("source").alias("source"))
+
+        cand = self._load_or_compute("candidate_edges", _cand)
+
+        # stage 3: verified edges
+        scored = self._load_or_compute(
+            "scored_edges", lambda: verify_edges(cand, sig, self.cfg)
+        )
+
+        # stage 4: clusters (per-iteration checkpoints inside work_dir)
+        def _clusters():
+            it_dir = os.path.join(self.work_dir, "cc_iters")
+            os.makedirs(it_dir, exist_ok=True)
+
+            def ckpt(df: DataFrame, i: int) -> DataFrame:
+                p = os.path.join(it_dir, f"iter_{i:03d}")
+                df.write.mode("overwrite").parquet(p)
+                return self.spark.read.parquet(p)
+
+            ids = sig.select(F.col("id"))
+            return cluster_assignments(scored, ids, id_col="id",
+                                       checkpoint_fn=ckpt)
+
+        clusters = self._load_or_compute("clusters", _clusters)
+
+        # stage 5: metrics table
+        mdf = self.spark.createDataFrame(
+            [(m["stage"], m["rows"], m["wall_s"], m["recomputed"])
+             for m in self.metrics],
+            "stage string, rows long, wall_s double, recomputed boolean",
+        )
+        mdf.write.mode("overwrite").parquet(self._path("metrics"))
+        return clusters

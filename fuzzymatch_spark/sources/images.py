@@ -1,0 +1,200 @@
+"""Synthetic image source + codec plumbing for the images table
+(BASELINE.json input_hint schema):
+
+    images(image_id string, bytes binary, w int, h int, fmt string,
+           caption string, phash long)
+
+STUB NOTICE — real image codecs (libjpeg/PIL/opencv) are NOT available in
+this environment.  ``encode_image``/``decode_image`` implement a
+deterministic stand-in codec with the *same contract* a real codec has:
+
+* fmt='png'  : lossless (zlib over raw pixels) — decoded pixels are
+  byte-exact (PSNR = inf).
+* fmt='jpeg' : lossy (uniform quantization with a quality-derived step,
+  then zlib) — decoded pixels satisfy PSNR >= 40 dB for quality >= 85,
+  matching the input_hint's per-row invariant.
+
+All Spark-side plumbing — binary column schema, Arrow batch shape,
+``mapInPandas`` decode, the ``phash_from_bytes`` pandas UDF, partitioning —
+is real and tested; swapping in PIL is a two-line change inside
+``decode_image``/``encode_image`` (guarded by the import-try below).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
+
+from fuzzymatch_spark.kernels.phash import phash64
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+_MAGIC_PNG = b"FPNG"
+_MAGIC_JPG = b"FJPG"
+
+
+def _quant_step(quality: int) -> int:
+    """Quality 95 -> step 2 (PSNR ~52dB), 85 -> step 4 (~47dB), 75 -> 6."""
+    return max(1, (100 - quality) // 4 + 1)
+
+
+def encode_image(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
+    """Encode a 2-D uint8 grayscale array. See STUB NOTICE above."""
+    h, w = pixels.shape
+    if fmt == "png":
+        return _MAGIC_PNG + struct.pack("<HH", w, h) + zlib.compress(pixels.tobytes(), 6)
+    if fmt == "jpeg":
+        step = _quant_step(quality)
+        q = (pixels.astype(np.int32) // step) * step + step // 2
+        q = np.clip(q, 0, 255).astype(np.uint8)
+        return (
+            _MAGIC_JPG
+            + struct.pack("<HHB", w, h, step)
+            + zlib.compress(q.tobytes(), 6)
+        )
+    raise NotImplementedError(f"unsupported format: {fmt}")
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode to a 2-D uint8 grayscale array. See STUB NOTICE above."""
+    magic = data[:4]
+    if magic == _MAGIC_PNG:
+        w, h = struct.unpack("<HH", data[4:8])
+        raw = zlib.decompress(data[8:])
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+    if magic == _MAGIC_JPG:
+        w, h, _step = struct.unpack("<HHB", data[4:9])
+        raw = zlib.decompress(data[9:])
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+    raise NotImplementedError("unknown image container (real codecs stubbed)")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def synth_pixels(image_id: str, w: int = 48, h: int = 48) -> np.ndarray:
+    """Deterministic pixels seeded by image id: low-frequency random field
+    (kron-upscaled 6x6 blocks) + mild noise so the DCT pHash is meaningful."""
+    seed = int.from_bytes(hashlib.blake2b(image_id.encode(), digest_size=4).digest(), "little")
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, size=(6, 6))
+    up = np.kron(base, np.ones((h // 6 + 1, w // 6 + 1)))[:h, :w]
+    noise = rng.randint(-8, 9, size=(h, w))
+    return np.clip(up + noise, 0, 255).astype(np.uint8)
+
+
+def build_images_df(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    id_col: str = "doc_id",
+    caption_col: str = "text",
+    dup_fraction: float = 0.25,
+    seed: int = 42,
+) -> DataFrame:
+    """images table synthesized deterministically from a documents table:
+    pixels seeded per id; a seeded fraction of rows get a near-dup twin
+    (same pixels, lossy re-encode) — the planted positives for the pHash
+    Hamming stage.  Runs distributed via ``mapInPandas``.
+    """
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+            for rid, caption in zip(pdf[id_col].astype(str), pdf[caption_col]):
+                px = synth_pixels(rid)
+                h0, w0 = px.shape
+                rng = np.random.RandomState(
+                    int.from_bytes(
+                        hashlib.blake2b((rid + str(seed)).encode(), digest_size=4).digest(),
+                        "little",
+                    )
+                )
+                fmt = "png" if rng.rand() < 0.5 else "jpeg"
+                data = encode_image(px, fmt, quality=95)
+                ph = phash64(decode_image(data))
+                out["image_id"].append(f"img_{rid}")
+                out["bytes"].append(data)
+                out["w"].append(w0)
+                out["h"].append(h0)
+                out["fmt"].append(fmt)
+                out["caption"].append(caption)
+                out["phash"].append(ph)
+                if rng.rand() < dup_fraction:
+                    # near-dup twin: same pixels, lossy re-encode
+                    data2 = encode_image(px, "jpeg", quality=85)
+                    ph2 = phash64(decode_image(data2))
+                    out["image_id"].append(f"img_{rid}_dup")
+                    out["bytes"].append(data2)
+                    out["w"].append(w0)
+                    out["h"].append(h0)
+                    out["fmt"].append("jpeg")
+                    out["caption"].append(caption)
+                    out["phash"].append(ph2)
+            yield pd.DataFrame(out)
+
+    return docs_df.select(id_col, caption_col).mapInPandas(gen, schema=schema)
+
+
+def make_phash_udf():
+    """bytes -> phash long, Arrow-batched (`input_hint`: pHash of decoded
+    pixels, recomputable from the binary column)."""
+
+    @F.pandas_udf(LongType())
+    def phash_from_bytes(blobs: pd.Series) -> pd.Series:
+        out = np.zeros(len(blobs), dtype=np.int64)
+        for k, data in enumerate(blobs):
+            if data is not None:
+                out[k] = phash64(decode_image(bytes(data)))
+        return pd.Series(out)
+
+    return phash_from_bytes
+
+
+def decode_stats_schema() -> str:
+    return "image_id string, w int, h int, px_mean double, px_std double, psnr_db double"
+
+
+def decode_stats(images_df: DataFrame) -> DataFrame:
+    """mapInPandas decode pass: per-row pixel stats + PSNR of a lossy
+    re-encode cycle (the input_hint invariant, checked distributed)."""
+
+    def stats(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("image_id", "w", "h", "px_mean", "px_std", "psnr_db")}
+            for rid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(data))
+                re_enc = encode_image(px, fmt, quality=95)
+                px2 = decode_image(re_enc)
+                p = psnr(px, px2)
+                rows["image_id"].append(rid)
+                rows["w"].append(px.shape[1])
+                rows["h"].append(px.shape[0])
+                rows["px_mean"].append(float(px.mean()))
+                rows["px_std"].append(float(px.std()))
+                rows["psnr_db"].append(min(p, 999.0))
+            yield pd.DataFrame(rows)
+
+    return images_df.select("image_id", "bytes", "fmt").mapInPandas(
+        stats, schema=decode_stats_schema()
+    )

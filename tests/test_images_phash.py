@@ -1,0 +1,89 @@
+"""Image plumbing tests: codec round-trip invariants (input_hint: lossless
+exact, lossy PSNR >= 40 dB, caption equality), pHash stability under lossy
+re-encode, and the distributed pHash Hamming-band dedup stage."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzymatch_spark.config import DedupConfig
+from fuzzymatch_spark.kernels.phash import hamming64, phash64
+from fuzzymatch_spark.operators.dedup import phash_band_edges
+from fuzzymatch_spark.sources.images import (
+    build_images_df,
+    decode_image,
+    decode_stats,
+    encode_image,
+    make_phash_udf,
+    psnr,
+    synth_pixels,
+)
+
+
+class TestCodec:
+    def test_png_lossless(self):
+        px = synth_pixels("img_000001")
+        assert np.array_equal(decode_image(encode_image(px, "png")), px)
+
+    @pytest.mark.parametrize("quality", [85, 95])
+    def test_jpeg_psnr_over_40db(self, quality):
+        px = synth_pixels("img_000002")
+        out = decode_image(encode_image(px, "jpeg", quality=quality))
+        assert psnr(px, out) >= 40.0
+
+    def test_deterministic(self):
+        assert np.array_equal(synth_pixels("a"), synth_pixels("a"))
+        assert not np.array_equal(synth_pixels("a"), synth_pixels("b"))
+
+
+class TestPhash:
+    def test_stable_under_lossy_reencode(self):
+        for i in range(20):
+            px = synth_pixels(f"img_{i:06d}")
+            h1 = phash64(decode_image(encode_image(px, "png")))
+            h2 = phash64(decode_image(encode_image(px, "jpeg", quality=85)))
+            assert hamming64(h1, h2) <= 6, i
+
+    def test_distinct_images_far_apart(self):
+        hashes = [phash64(synth_pixels(f"img_{i:06d}")) for i in range(30)]
+        close = sum(
+            1
+            for i in range(len(hashes))
+            for j in range(i + 1, len(hashes))
+            if hamming64(hashes[i], hashes[j]) <= 6
+        )
+        assert close == 0
+
+
+class TestSparkImages:
+    @pytest.fixture(scope="class")
+    def images(self, spark, documents):
+        return build_images_df(
+            spark, documents.limit(120), id_col="doc_id", caption_col="text"
+        ).cache()
+
+    def test_schema_and_rows(self, images):
+        assert set(images.columns) == {
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+        }
+        assert images.count() >= 120
+
+    def test_phash_udf_matches_stored(self, images):
+        recomputed = images.withColumn("ph2", make_phash_udf()(F.col("bytes")))
+        assert recomputed.filter(F.col("ph2") != F.col("phash")).count() == 0
+
+    def test_decode_stats_psnr(self, images):
+        stats = decode_stats(images)
+        assert stats.filter(F.col("psnr_db") < 40.0).count() == 0
+
+    def test_phash_band_join_finds_planted_twins(self, images):
+        cfg = DedupConfig()
+        edges = phash_band_edges(images, cfg).collect()
+        got = {tuple(sorted((r["a_id"], r["b_id"]))) for r in edges}
+        planted = {
+            tuple(sorted((r["image_id"].rsplit("_dup", 1)[0], r["image_id"])))
+            for r in images.filter(F.col("image_id").endswith("_dup")).collect()
+        }
+        assert planted, "fixture should plant twins"
+        recall = len(planted & got) / len(planted)
+        assert recall >= 0.99, f"phash recall {recall}"

@@ -1,0 +1,95 @@
+"""Unit tests for the training-data pipeline operators: text analysis and
+similarity search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzymatch_spark.operators.ann import cosine_topk, rhp_knn_pairs
+from fuzzymatch_spark.operators.textstats import (
+    lang_id,
+    quality_score,
+    token_sorted_dedup_groups,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def mini_docs(spark):
+    rows = [
+        (1, "the cat and the dog is here to stay"),
+        (2, "el gato que vive en la casa de los perros"),
+        (3, "der hund und die katze das ist gut"),
+        (4, "le chat et les chiens est une belle histoire des amis"),
+        (5, "spark shuffle partition join"),
+        (6, "join partition shuffle spark"),   # reorder of 5
+        (7, "spark shuffle partition join"),   # exact dup of 5
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_lang_id(spark, mini_docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(mini_docs, "doc_id", "text").collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "de"
+    assert got[4] == "fr"
+    assert got[5] == "und"
+
+
+def test_token_stats(spark, mini_docs):
+    r = {x["doc_id"]: x for x in token_stats(mini_docs, "doc_id", "text").collect()}
+    assert r[5]["n_tokens"] == 4
+    assert r[5]["n_distinct_tokens"] == 4
+    assert r[1]["n_tokens"] == 9
+    assert r[1]["n_distinct_tokens"] == 8  # 'the' twice
+    assert abs(r[1]["type_token_ratio"] - round(8 / 9, 6)) < 1e-9
+
+
+def test_quality(spark, mini_docs):
+    r = {x["doc_id"]: x for x in quality_score(mini_docs, "doc_id", "text").collect()}
+    assert r[1]["quality_pass"] == 1
+    assert 0 < r[1]["ttr"] <= 1
+
+
+def test_token_sorted_dedup(spark, mini_docs):
+    groups = token_sorted_dedup_groups(mini_docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 5
+    assert groups[0]["group_size"] == 3  # 5, 6 (reorder), 7 (exact)
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    rows = embeddings.limit(200).collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qv = mat[0]
+    cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(np.round(cos, 5), [-i for i in ids]), reverse=True)[:5]
+    want = [(-i, c) for c, i in order]
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, mat)],
+        "vec_id long, embedding array<double>",
+    )
+    got = [(r["vec_id"], r["cos"]) for r in
+           cosine_topk(df, "embedding", [float(x) for x in qv], k=5).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gi, gc), (wi, wc) in zip(got, want):
+        assert abs(gc - wc) < 1e-4
+
+
+def test_rhp_knn_finds_planted_neighbors(spark):
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(40, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        # planted near neighbor: tiny perturbation → cosine ~0.999
+        rows.append((i * 2 + 1, [float(x) for x in v + rng.normal(scale=0.01, size=32)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["a_id"], r["b_id"]) for r in
+             rhp_knn_pairs(df, "embedding", min_cosine=0.95).collect()}
+    planted = {(i * 2, i * 2 + 1) for i in range(40)}
+    recall = len(planted & pairs) / len(planted)
+    assert recall >= 0.9, recall
