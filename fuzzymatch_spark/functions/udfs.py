@@ -51,20 +51,40 @@ def _token_hash64(token: bytes, seed: int) -> int:
     return int.from_bytes(h.digest(), "little")
 
 
-def _simhash(norm: bytes, seed: int) -> int:
-    """64-bit SimHash over whitespace tokens weighted by count."""
-    tokens: dict[bytes, int] = {}
-    for t in norm.split():
-        tokens[t] = tokens.get(t, 0) + 1
-    if not tokens:
-        return 0
-    v = np.zeros(64, dtype=np.int64)
-    for t, cnt in tokens.items():
-        h = _token_hash64(t, seed)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        v += np.where(bits.astype(bool), cnt, -cnt)
-    out = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-    return out - (1 << 64) if out >= (1 << 63) else out
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
+class _SimHasher:
+    """SimHash with a token->±1-bit-vector memo: token frequency is Zipfian,
+    so hashing each distinct token once per executor amortizes the blake2b
+    and bit-unpack cost across the whole partition."""
+
+    def __init__(self, seed: int, max_cache: int = 1 << 18):
+        self.seed = seed
+        self.max_cache = max_cache
+        self.cache: dict[bytes, np.ndarray] = {}
+
+    def _vec(self, token: bytes) -> np.ndarray:
+        v = self.cache.get(token)
+        if v is None:
+            h = _token_hash64(token, self.seed)
+            bits = ((h >> _BIT_IDX) & np.uint64(1)).astype(bool)
+            v = np.where(bits, np.int64(1), np.int64(-1))
+            if len(self.cache) < self.max_cache:
+                self.cache[token] = v
+        return v
+
+    def __call__(self, norm: bytes) -> int:
+        tokens: dict[bytes, int] = {}
+        for t in norm.split():
+            tokens[t] = tokens.get(t, 0) + 1
+        if not tokens:
+            return 0
+        v = np.zeros(64, dtype=np.int64)
+        for t, cnt in tokens.items():
+            v += self._vec(t) * cnt
+        out = int(((v > 0).astype(np.uint64) << _BIT_IDX).sum())
+        return out - (1 << 64) if out >= (1 << 63) else out
 
 
 SIGNATURE_SCHEMA = StructType(
@@ -82,7 +102,7 @@ SIGNATURE_SCHEMA = StructType(
 def make_signature_udf(cfg: DedupConfig):
     """Fused normalize+signature pandas UDF: text -> SIGNATURE_SCHEMA struct."""
     a_params, b_params = minhash_params(cfg.num_perm, cfg.seed)
-    seed = cfg.seed
+    simhasher = _SimHasher(cfg.seed)
 
     @F.pandas_udf(SIGNATURE_SCHEMA)
     def signature(texts: pd.Series) -> pd.DataFrame:
@@ -107,7 +127,7 @@ def make_signature_udf(cfg: DedupConfig):
                 sigs[k] = hv.min(axis=1)
             else:
                 sigs[k] = np.full(cfg.num_perm, _MINHASH_P, dtype=np.int64)
-            simhashes[k] = _simhash(norm, seed)
+            simhashes[k] = simhasher(norm)
         return pd.DataFrame(
             {
                 "caption_norm": norms,
@@ -151,6 +171,56 @@ def make_score_udf(query: PreparedQuery):
     return score
 
 
+DL_SCHEMA = StructType(
+    [
+        StructField("dl_dist", IntegerType()),
+        StructField("dl_sim", DoubleType()),
+    ]
+)
+
+
+def make_dl_udf(threshold: float):
+    """Banded free-start DL similarity for pre-filtered pairs (tier-2 verify).
+
+    ``dl_sim = 1 - d / len(shorter)`` per the reference's normalizedScore
+    shape (`Sources/FuzzyMatch/EditDistance.swift:304-313`, weight 1.0);
+    the batch DP is chunked and length-sorted to bound padding waste.
+    """
+
+    @F.pandas_udf(DL_SCHEMA)
+    def dl_verify(a_norm: pd.Series, b_norm: pd.Series) -> pd.DataFrame:
+        n = len(a_norm)
+        qs: list[bytes] = [b""] * n
+        cs: list[bytes] = [b""] * n
+        qlens = np.ones(n, dtype=np.int64)
+        for k in range(n):
+            ab = (a_norm.iloc[k] or "").encode("utf-8")
+            bb = (b_norm.iloc[k] or "").encode("utf-8")
+            if len(ab) <= len(bb):
+                qs[k], cs[k] = ab, bb
+            else:
+                qs[k], cs[k] = bb, ab
+            qlens[k] = max(len(qs[k]), 1)
+        max_eds = ((1.0 - threshold) * qlens).astype(np.int64)
+        dists = np.full(n, -1, dtype=np.int32)
+        dl_sim = np.zeros(n)
+        order = np.argsort([len(c) for c in cs], kind="stable")
+        chunk = 1024
+        for s in range(0, n, chunk):
+            sel = order[s : s + chunk]
+            med = int(max_eds[sel].max()) if sel.size else 0
+            d = batch_substring_distance(
+                [qs[i] for i in sel], [cs[i] for i in sel], med
+            )
+            dists[sel] = d
+            ok = d <= max_eds[sel]
+            sim = np.maximum(0.0, 1.0 - d / qlens[sel])
+            dl_sim[sel] = np.where(ok, sim, 0.0)
+        return pd.DataFrame({"dl_dist": dists, "dl_sim": dl_sim})
+
+    return dl_verify
+
+
 VERIFY_SCHEMA = StructType(
     [
         StructField("jaccard", DoubleType()),
@@ -173,6 +243,17 @@ def make_verify_udf(cfg: DedupConfig):
     """
     threshold = cfg.min_score
     dl_max_len = cfg.dl_max_len
+    # per-executor memo: each document participates in many candidate pairs,
+    # so its trigram set is computed once, not once per pair
+    _tri_cache: dict[str, np.ndarray] = {}
+
+    def _tri(s: str) -> np.ndarray:
+        v = _tri_cache.get(s)
+        if v is None:
+            v = trigram_set(s.encode("utf-8"))
+            if len(_tri_cache) < (1 << 17):
+                _tri_cache[s] = v
+        return v
 
     @F.pandas_udf(VERIFY_SCHEMA)
     def verify(a_norm: pd.Series, b_norm: pd.Series) -> pd.DataFrame:
@@ -184,12 +265,16 @@ def make_verify_udf(cfg: DedupConfig):
         cs: list[bytes] = [b""] * n
         qlens = np.ones(n, dtype=np.int64)
         max_eds = np.zeros(n, dtype=np.int64)
+        a_vals = a_norm.to_numpy()
+        b_vals = b_norm.to_numpy()
         for k in range(n):
-            ab = (a_norm.iloc[k] or "").encode("utf-8")
-            bb = (b_norm.iloc[k] or "").encode("utf-8")
+            a_s = a_vals[k] or ""
+            b_s = b_vals[k] or ""
+            ab = a_s.encode("utf-8")
+            bb = b_s.encode("utf-8")
             exact[k] = ab == bb
-            sa = trigram_set(ab)
-            sb = trigram_set(bb)
+            sa = _tri(a_s)
+            sb = _tri(b_s)
             if sa.size == 0 and sb.size == 0:
                 jac[k] = 1.0 if exact[k] else 0.0
                 inter = 0

@@ -31,14 +31,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from fuzzymatch_spark.config import DedupConfig
-from fuzzymatch_spark.functions.udfs import make_signature_udf, make_verify_udf
+from fuzzymatch_spark.functions.udfs import (
+    make_dl_udf,
+    make_signature_udf,
+    make_verify_udf,
+)
 
 
 def compute_signatures(
-    df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: DedupConfig | None = None,
+    min_partitions: int | None = None,
 ) -> DataFrame:
-    """One fused UDF pass: id, text -> id + signature columns."""
+    """One fused UDF pass: id, text -> id + signature columns.
+
+    ``min_partitions`` guards against under-partitioned inputs (e.g. a
+    single-row-group parquet file): the UDF stage is CPU-bound, so it must
+    see at least one partition per core.  Defaults to the session's
+    default parallelism when the input has fewer partitions than that.
+    """
     cfg = cfg or DedupConfig()
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
     sig = make_signature_udf(cfg)
     out = df.select(
         F.col(id_col).alias("id"),
@@ -125,34 +143,63 @@ def _hamming_band_edges(
     source: str,
     max_bucket_size: int = 100_000,
 ) -> DataFrame:
-    """Generic Hamming-band equi-join: split a 64-bit hash into ``n_bands``
-    equal bit-slices; any pair within Hamming distance ``n_bands - 1`` shares
-    at least one identical slice (pigeonhole), so the equi-join on
-    (band, slice) has guaranteed recall for ``max_hamming <= n_bands - 1``.
-    Verified with JVM-side ``bit_count(a ^ b)`` — no Python in this path.
-    """
-    assert 64 % n_bands == 0
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col(hash_col), i * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
-            )
-            for i in range(n_bands)
-        ]
-    )
-    bands = df.select(
-        F.col(id_col).alias("id"), F.col(hash_col), F.explode(band_structs).alias("bk")
-    ).select("id", hash_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    """Hamming similarity equi-join with guaranteed recall
+    (Manku/Jain/Sarma-style permute-and-split, WWW'07 simhash dedup).
 
-    sizes = bands.groupBy("band", "key").agg(F.count("*").alias("bucket_n"))
-    bands = bands.join(
-        sizes.filter(F.col("bucket_n") <= max_bucket_size).select("band", "key"),
-        on=["band", "key"],
+    Split the 64-bit hash into ``m = n_bands`` blocks.  A pair within
+    Hamming distance ``k = max_hamming`` differs in at most k blocks, so it
+    agrees on at least ``c = m - k`` blocks — hence it shares at least one
+    of the C(m, c) concatenated c-block keys (pigeonhole).  Joining on
+    (combo_id, concatenated-key) therefore has 100% recall, while the keys
+    are ``c * 64/m`` bits wide — wide enough that bucket sizes stay ~uniform
+    even at 10^12 rows (naive 1-block bands of 64/m bits explode: bucket
+    size scales as |D| / 2^(64/m)).
+
+    Verification is JVM-side ``bit_count(a ^ b) <= k`` — no Python.
+    """
+    import itertools
+
+    assert 64 % n_bands == 0
+    m = n_bands
+    k = min(max_hamming, m - 1)
+    c = m - k  # blocks per key
+    width = 64 // m
+    mask = (1 << width) - 1
+
+    def block(i: int):
+        return F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(
+            F.lit(mask)
+        )
+
+    combos = list(itertools.combinations(range(m), c))
+    key_structs = []
+    for ci, combo in enumerate(combos):
+        key = F.lit(0).cast("long")
+        for j, blk in enumerate(combo):
+            key = key.bitwiseOR(F.shiftleft(block(blk), j * width))
+        key_structs.append(
+            F.struct(F.lit(ci).alias("band"), key.alias("key"))
+        )
+
+    bands = df.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col),
+        F.explode(F.array(*key_structs)).alias("bk"),
+    ).select(
+        "id", hash_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+    # hot-bucket cap via a window over the SAME (band, key) partitioning the
+    # self-join uses — the exchange is reused, so the cap costs no extra
+    # shuffle.  Singleton buckets can't produce pairs and are dropped here,
+    # which shrinks the join input dramatically on sparse data.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "key")
+    bands = (
+        bands.withColumn("bucket_n", F.count("*").over(w))
+        .filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket_size))
+        .drop("bucket_n")
     )
 
     a = bands.alias("a")
@@ -164,7 +211,7 @@ def _hamming_band_edges(
             F.bit_count(
                 F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
             )
-            <= F.lit(max_hamming)
+            <= F.lit(k)
         )
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
@@ -173,15 +220,10 @@ def _hamming_band_edges(
 
 
 def simhash_band_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """4 x 16-bit bands: guaranteed recall for Hamming <= 3 (pigeonhole)."""
-    n_bands = max(4, cfg.simhash_max_hamming + 1)
-    # round up to a divisor of 64
-    for nb in (4, 8, 16, 32):
-        if nb >= n_bands and 64 % nb == 0:
-            n_bands = nb
-            break
+    """8 blocks, c = 8-k block combos per key: guaranteed recall for
+    Hamming <= cfg.simhash_max_hamming with ~40-bit join keys."""
     return _hamming_band_edges(
-        sig_df, "id", "simhash", n_bands, cfg.simhash_max_hamming, "simhash",
+        sig_df, "id", "simhash", 8, cfg.simhash_max_hamming, "simhash",
         cfg.max_bucket_size,
     )
 
@@ -190,12 +232,10 @@ def phash_band_edges(
     images_df: DataFrame, cfg: DedupConfig, id_col: str = "image_id",
     phash_col: str = "phash",
 ) -> DataFrame:
-    """8 x 8-bit bands: guaranteed recall for Hamming <= 7 >= cfg default 6."""
-    n_bands = 8
-    while n_bands - 1 < cfg.phash_max_hamming:
-        n_bands *= 2
+    """8 blocks, c = 8-k block combos per key: guaranteed recall for
+    Hamming <= cfg.phash_max_hamming (default 6 -> C(8,2)=28 16-bit keys)."""
     return _hamming_band_edges(
-        images_df, id_col, phash_col, n_bands, cfg.phash_max_hamming, "phash",
+        images_df, id_col, phash_col, 8, cfg.phash_max_hamming, "phash",
         cfg.max_bucket_size,
     )
 
@@ -245,30 +285,122 @@ def ngram_jaccard_pairs(
 def verify_edges(
     edges: DataFrame, sig_df: DataFrame, cfg: DedupConfig | None = None
 ) -> DataFrame:
-    """Join normalized text back by id and run the verify kernel; keep edges
-    with score >= cfg.min_score."""
+    """Verify candidate pairs; keep edges with score >= cfg.min_score.
+
+    Two-tier verification, cheap->expensive like the reference's cascade
+    (`Sources/FuzzyMatch/Prefilters.swift:20-27`):
+
+    1. JVM tier (all pairs): exact trigram Jaccard via
+       ``size(array_intersect(shingles_a, shingles_b))`` on the stored
+       distinct-shingle arrays, plus exact-text detection via
+       ``xxhash64(caption_norm)`` equality — whole-stage codegen, no Python,
+       no string payloads in the wide join.
+    2. Python tier (narrow subset): the banded DL kernel runs ONLY where it
+       can change the verdict — not byte-equal, Jaccard below threshold,
+       shorter side <= dl_max_len, and the reference's q-gram count bound
+       (`Trigrams.swift:161-177`) admits a distance within budget.  Strings
+       are joined in for just this subset.
+
+    At 10^12 rows tier 2 typically touches <1% of candidates, so the verify
+    stage is effectively a JVM-only hash join + array intersect.
+    """
     cfg = cfg or DedupConfig()
-    verify = make_verify_udf(cfg)
+    thr = float(cfg.min_score)
+
+    s = sig_df.select(
+        "id",
+        "caption_norm",
+        "shingles",
+        F.col("n_shingles").cast("long").alias("nsh"),
+        F.xxhash64("caption_norm").alias("nh"),
+        F.length("caption_norm").cast("long").alias("nlen"),
+    )
+    a = s.select(
+        F.col("id").alias("a_id"),
+        F.col("shingles").alias("a_sh"),
+        F.col("nsh").alias("a_nsh"),
+        F.col("nh").alias("a_nh"),
+        F.col("nlen").alias("a_len"),
+    )
+    b = s.select(
+        F.col("id").alias("b_id"),
+        F.col("shingles").alias("b_sh"),
+        F.col("nsh").alias("b_nsh"),
+        F.col("nh").alias("b_nh"),
+        F.col("nlen").alias("b_len"),
+    )
+    j = edges.join(a, on="a_id").join(b, on="b_id")
+
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("long")
+    union = F.col("a_nsh") + F.col("b_nsh") - F.col("inter")
+    is_exact = (F.col("a_nh") == F.col("b_nh")) & (F.col("a_len") == F.col("b_len"))
+    qlen = F.greatest(F.least("a_len", "b_len"), F.lit(1))
+    n_q = F.when(F.col("a_len") <= F.col("b_len"), F.col("a_nsh")).otherwise(
+        F.col("b_nsh")
+    )
+    max_ed = F.floor((1.0 - thr) * qlen).cast("long")
+
+    tier1 = (
+        j.withColumn("inter", inter)
+        .withColumn("is_exact", is_exact)
+        .withColumn(
+            "jaccard",
+            F.when(F.col("is_exact"), F.lit(1.0)).otherwise(
+                F.when(union > 0, F.col("inter") / union).otherwise(F.lit(0.0))
+            ),
+        )
+        .withColumn("qlen", qlen)
+        .withColumn("max_ed", max_ed)
+        .withColumn(
+            "need_dl",
+            (~F.col("is_exact"))
+            & (F.col("jaccard") < thr)
+            & (F.col("qlen") <= F.lit(cfg.dl_max_len))
+            & (F.col("inter") >= n_q - 3 * max_ed),
+        )
+        .drop("a_sh", "b_sh", "a_nsh", "b_nsh", "a_nh", "b_nh")
+    )
+
+    easy = (
+        tier1.filter(~F.col("need_dl"))
+        .withColumn("dl_dist", F.lit(-1))
+        .withColumn("dl_sim", F.lit(0.0))
+    )
+
     norms = sig_df.select("id", "caption_norm")
-    joined = (
-        edges.join(norms.withColumnRenamed("id", "a_id")
-                   .withColumnRenamed("caption_norm", "a_norm"), on="a_id")
+    dl_in = (
+        tier1.filter(F.col("need_dl"))
+        .join(norms.withColumnRenamed("id", "a_id")
+              .withColumnRenamed("caption_norm", "a_norm"), on="a_id")
         .join(norms.withColumnRenamed("id", "b_id")
               .withColumnRenamed("caption_norm", "b_norm"), on="b_id")
     )
-    scored = joined.withColumn("_v", verify(F.col("a_norm"), F.col("b_norm")))
+    dl = make_dl_udf(thr)
+    hard = (
+        dl_in.withColumn("_d", dl(F.col("a_norm"), F.col("b_norm")))
+        .withColumn("dl_dist", F.col("_d.dl_dist"))
+        .withColumn("dl_sim", F.col("_d.dl_sim"))
+        .drop("_d", "a_norm", "b_norm")
+    )
+
+    cols = ["a_id", "b_id", "source", "is_exact", "jaccard", "dl_dist", "dl_sim"]
+    scored = easy.select(*cols).unionByName(hard.select(*cols))
     return (
-        scored.select(
-            "a_id",
-            "b_id",
-            "source",
-            F.col("_v.jaccard").alias("jaccard"),
-            F.col("_v.dl_dist").alias("dl_dist"),
-            F.col("_v.dl_sim").alias("dl_sim"),
-            F.col("_v.score").alias("score"),
-            F.col("_v.kind").alias("kind"),
+        scored.withColumn(
+            "score",
+            F.when(F.col("is_exact"), F.lit(1.0)).otherwise(
+                F.greatest("jaccard", "dl_sim")
+            ),
         )
-        .filter(F.col("score") >= F.lit(cfg.min_score))
+        .withColumn(
+            "kind",
+            F.when(F.col("is_exact"), F.lit("exact"))
+            .when(F.col("dl_sim") > F.col("jaccard"), F.lit("substring"))
+            .otherwise(F.lit("jaccard")),
+        )
+        .filter(F.col("score") >= F.lit(thr))
+        .select("a_id", "b_id", "source", "jaccard", "dl_dist", "dl_sim",
+                "score", "kind")
     )
 
 

@@ -65,6 +65,11 @@ def score_candidates(
     config = config or MatchConfig()
     q = prepare_query(query_text, config)
     filtered = prefilter_columns(df, text_col, q, mask_col=mask_col)
+    # the score UDF is CPU-bound: never let an under-partitioned input
+    # (single-row-group parquet) serialize it onto one core
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if filtered.rdd.getNumPartitions() < par:
+        filtered = filtered.repartition(par)
     scored = filtered.withColumn("_m", make_score_udf(q)(F.col(text_col)))
     return (
         scored.filter(F.col("_m.score").isNotNull())

@@ -115,6 +115,9 @@ def build_images_df(
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long"
     )
+    par = spark.sparkContext.defaultParallelism
+    if docs_df.rdd.getNumPartitions() < par:
+        docs_df = docs_df.repartition(par)
 
     def gen(batches):
         for pdf in batches:

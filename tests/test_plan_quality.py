@@ -1,0 +1,106 @@
+"""Physical-plan quality gates (the 100 TB story, SURVEY.md §4):
+
+* column pruning reaches the parquet scan (never read what you don't use —
+  in particular never read a binary payload column for a text query)
+* cheap column prefilters sit BELOW the Python stage in top_matches
+* similarity band joins and their verification are pure JVM (no Python
+  eval node anywhere in the plan)
+* the fingerprint/band/bit_count pipeline stays inside WholeStageCodegen
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzymatch_spark.config import DedupConfig, MatchConfig
+from fuzzymatch_spark.operators.dedup import (
+    _hamming_band_edges,
+    ngram_jaccard_pairs,
+    compute_signatures,
+)
+from fuzzymatch_spark.operators.textstats import fingerprint_bands, token_stats
+from fuzzymatch_spark.operators.topk import score_candidates
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def wide_docs(spark, documents):
+    # add a fat binary column the queries must NOT read
+    return documents.withColumn("payload", F.encode(F.col("text"), "utf-8"))
+
+
+def test_column_pruning_excludes_payload(spark, wide_docs, tmp_path):
+    path = str(tmp_path / "wide.parquet")
+    wide_docs.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    q = token_stats(df, "doc_id", "text")
+    plan = formatted(q)
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m, plan
+    assert "payload" not in m.group(1), m.group(1)
+    assert "text" in m.group(1)
+
+
+def test_prefilters_below_python_stage(spark, documents):
+    q = score_candidates(documents, "text", "straem", MatchConfig())
+    plan = plan_of(q)
+    # octet_length filter must appear in the plan, and the scan->filter
+    # section must come before (i.e., deeper than) the Arrow Python eval
+    assert "octet_length" in plan
+    py = plan.index("ArrowEvalPython") if "ArrowEvalPython" in plan else plan.index("EvalPython")
+    flt = plan.index("octet_length")
+    assert flt > py, "length prefilter should be below (after, in tree print) the Python stage"
+
+
+def test_band_join_is_jvm_only(spark, documents):
+    fp = fingerprint_bands(documents, "doc_id", "text")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = (
+        a.join(b, on=["band", "key"]).filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    plan = plan_of(pairs)
+    assert "Python" not in plan, "band join must not invoke Python"
+    assert "Join" in plan
+
+
+def test_hamming_band_verify_uses_bit_count(spark, documents):
+    df = documents.select(
+        F.col("doc_id").alias("id"),
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    edges = _hamming_band_edges(df, "id", "h", 4, 3, "test")
+    plan = plan_of(edges)
+    assert "bit_count" in plan
+    assert "Python" not in plan
+
+
+def test_jaccard_join_post_signature_is_jvm(spark, documents):
+    sig = compute_signatures(documents.limit(50), "doc_id", "text", DedupConfig())
+    pairs = ngram_jaccard_pairs(sig, threshold_pct=98)
+    plan = plan_of(pairs)
+    # only the fused signature UDF touches Python (Arrow-batched); there is
+    # never a row-at-a-time Python eval node
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    # the jaccard threshold is integer arithmetic, present in the plan
+    assert "100" in plan
+
+
+def test_exchange_reuse_or_aqe_present(spark, documents):
+    sig = compute_signatures(documents.limit(50), "doc_id", "text", DedupConfig())
+    pairs = ngram_jaccard_pairs(sig, threshold_pct=98)
+    plan = plan_of(pairs)
+    assert "AdaptiveSparkPlan" in plan
