@@ -72,6 +72,16 @@ class EditDistanceConfig:
         )
 
     @staticmethod
+    def fzf_aligned() -> "EditDistanceConfig":
+        """The reference's fzfAligned preset (`MatchConfig.swift:474-478`):
+        fzf's integer ratios mapped to the 0-1 scale."""
+        return EditDistanceConfig(
+            word_boundary_bonus=0.12,
+            consecutive_bonus=0.06,
+            gap_penalty=GapPenalty.affine(0.04, 0.012),
+        )
+
+    @staticmethod
     def no_bonus(
         prefix_weight: float = 1.5, substring_weight: float = 1.0, **kw
     ) -> "EditDistanceConfig":
@@ -172,11 +182,13 @@ class DedupConfig:
 
     @staticmethod
     def web_dense() -> "DedupConfig":
-        """Profile for dense/boilerplate-heavy corpora: fewer, longer bands
-        (collision prob at J=0.5 drops from ~87% to ~6%) and a higher
-        verify threshold.  Use when background pairwise similarity is high —
-        the recall-oriented default explodes candidates on such data."""
+        """Profile for dense/boilerplate-heavy corpora: long rows per band
+        push the LSH S-curve midpoint to (1/b)^(1/r) = (1/8)^(1/16) ~ 0.88,
+        so background pairs (J ~ 0.5-0.7) rarely collide while J >= 0.95
+        near-dups collide with >= 99% probability.  Use when background
+        pairwise similarity is high — the recall-oriented default explodes
+        candidates on such data."""
         return DedupConfig(
-            num_perm=128, bands=16, rows_per_band=8,
+            num_perm=128, bands=8, rows_per_band=16,
             jaccard_threshold=0.9, min_score=0.9,
         )

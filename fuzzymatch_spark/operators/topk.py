@@ -70,7 +70,10 @@ def score_candidates(
     par = df.sparkSession.sparkContext.defaultParallelism
     if filtered.rdd.getNumPartitions() < par:
         filtered = filtered.repartition(par)
-    scored = filtered.withColumn("_m", make_score_udf(q)(F.col(text_col)))
+    # asNondeterministic blocks Catalyst from pushing the isNotNull filter
+    # (and a duplicate UDF evaluation) below the repartition exchange
+    score_udf = make_score_udf(q).asNondeterministic()
+    scored = filtered.withColumn("_m", score_udf(F.col(text_col)))
     return (
         scored.filter(F.col("_m.score").isNotNull())
         .withColumn("score", F.col("_m.score"))
