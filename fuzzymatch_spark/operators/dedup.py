@@ -93,13 +93,82 @@ def exact_dup_edges(sig_df: DataFrame) -> DataFrame:
     )
 
 
+def _salted_self_join_pairs(
+    bands: DataFrame,
+    key_cols: list[str],
+    shard_target: int,
+    max_shards: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Self-join within buckets with TRIANGLE-BLOCK SALTING for hot keys
+    (the north rule's 'salting to defuse hot-shingle skew').
+
+    Each bucket of size n is sharded into g = clamp(ceil(n/shard_target),
+    1, max_shards) groups by a deterministic hash of the member id.  The
+    unordered pair (x, y) with shards (sx <= sy) is enumerated exactly once
+    at block (i=sx, j=sy): the A side of the join explodes each member to
+    blocks (sx, j) for j >= sx, the B side to (i, sy) for i <= sy.  Every
+    join task therefore sees at most ~2*shard_target members per block key —
+    a mega-bucket becomes g*(g+1)/2 bounded tasks instead of one quadratic
+    straggler.  Buckets beyond shard_target*max_shards are dropped
+    (accounted by the caller via bucket stats, never silent).
+
+    ``bands`` must have columns ``id`` + key_cols.  Returns (a_id, b_id).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    sized = (
+        bands.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") > 1)
+        .filter(F.col("bucket_n") <= shard_target * max_shards)
+        .withColumn(
+            "g",
+            F.least(
+                F.ceil(F.col("bucket_n") / F.lit(shard_target)),
+                F.lit(max_shards),
+            ).cast("int"),
+        )
+        .withColumn(
+            "shard",
+            F.pmod(F.xxhash64("id", F.lit(seed)), F.col("g")).cast("int"),
+        )
+    )
+    # each member covers every block (i <= j) that touches its shard:
+    # row role (shard, j >= shard) plus column role (i <= shard, shard);
+    # array_union removes the duplicate (shard, shard) block, so an
+    # unordered pair with shards (sx <= sy) meets exactly in block (sx, sy)
+    blocks = F.array_union(
+        F.transform(
+            F.sequence(F.col("shard"), F.col("g") - 1),
+            lambda j: F.struct(F.col("shard").alias("i"), j.alias("j")),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.col("shard")),
+            lambda i: F.struct(i.alias("i"), F.col("shard").alias("j")),
+        ),
+    )
+    exploded = sized.select(
+        *key_cols, "id", F.explode(blocks).alias("blk")
+    ).select(*key_cols, "id", F.col("blk.i").alias("i"), F.col("blk.j").alias("j"))
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, on=key_cols + ["i", "j"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 def minhash_band_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Banded-LSH self-join on MinHash signatures.
 
     One ``explode`` produces (band, key) rows; the self-join is an equi-join
-    on the 64-bit band key.  Buckets larger than ``cfg.max_bucket_size`` are
-    dropped (boilerplate mega-buckets; the exact-dup stage already links
-    identical text, and the suffix stage catches shared boilerplate runs).
+    on the 64-bit band key with triangle-block salting for hot buckets
+    (boilerplate captions create mega-buckets; see
+    ``_salted_self_join_pairs``).
     """
     r = cfg.rows_per_band
     band_structs = F.array(
@@ -115,23 +184,10 @@ def minhash_band_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.col("id"), F.explode(band_structs).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    # hot-bucket cap: count per bucket with an aggregate (map-side partial),
-    # drop oversized buckets
-    sizes = bands.groupBy("band", "key").agg(F.count("*").alias("bucket_n"))
-    bands = bands.join(
-        sizes.filter(F.col("bucket_n") <= cfg.max_bucket_size).select("band", "key"),
-        on=["band", "key"],
+    pairs = _salted_self_join_pairs(
+        bands, ["band", "key"], shard_target=cfg.max_bucket_size, seed=cfg.seed
     )
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, on=["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-        .withColumn("source", F.lit("minhash"))
-    )
+    return pairs.withColumn("source", F.lit("minhash"))
 
 
 def _hamming_band_edges(

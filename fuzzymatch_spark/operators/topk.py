@@ -22,6 +22,7 @@ TakeOrderedAndProject (no full sort, no single-node collect).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from fuzzymatch_spark.config import MatchConfig
@@ -98,6 +99,86 @@ def top_matches(
     """
     scored = score_candidates(df, text_col, query_text, config, mask_col=mask_col)
     return scored.orderBy(F.desc("score"), F.asc(text_col)).limit(k)
+
+
+def top_matches_bulk(
+    df: DataFrame,
+    text_col: str,
+    queries: list[str],
+    k: int = 10,
+    config: MatchConfig | None = None,
+) -> DataFrame:
+    """Score a whole query workload in ONE corpus pass.
+
+    The reference's benchmark loop (197 queries x 272K candidates,
+    `Benchmarks/.../CorpusBenchmark.swift:94-116`) re-scans the corpus per
+    query; here the prepared queries ride inside the UDF closure (broadcast
+    by Spark's task serialization), each Arrow batch is scored against all
+    of them with the per-query prefilter cascade applied row-locally, and a
+    window top-k per query finishes the job.  One scan, one shuffle.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    config = config or MatchConfig()
+    prepared = [prepare_query(qt, config) for qt in queries]
+
+    out_t = ArrayType(
+        StructType(
+            [
+                StructField("qi", IntegerType()),
+                StructField("score", DoubleType()),
+                StructField("kind", StringType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_t)
+    def bulk_score(texts: pd.Series) -> pd.Series:
+        from fuzzymatch_spark.kernels.scoring import score_pair
+
+        rows = []
+        for text in texts:
+            raw = (text or "").encode("utf-8")
+            hits = []
+            for qi, q in enumerate(prepared):
+                r = score_pair(raw, q)
+                if r is not None:
+                    hits.append({"qi": qi, "score": r[0], "kind": r[1]})
+            rows.append(hits)
+        return pd.Series(rows)
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+
+    qdf = df.sparkSession.createDataFrame(
+        list(enumerate(queries)), "qi int, query string"
+    )
+    exploded = (
+        df.withColumn("_hits", bulk_score.asNondeterministic()(F.col(text_col)))
+        .select(text_col, F.explode("_hits").alias("h"))
+        .select(
+            F.col("h.qi").alias("qi"),
+            F.col(text_col),
+            F.col("h.score").alias("score"),
+            F.col("h.kind").alias("kind"),
+        )
+    )
+    w = Window.partitionBy("qi").orderBy(F.desc("score"), F.asc(text_col))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(qdf), on="qi")
+        .select("query", text_col, "score", "kind", "rank")
+    )
 
 
 def top_matches_multi(
