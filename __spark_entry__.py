@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fuzzymatch_spark.config import DedupConfig, MatchConfig
 from fuzzymatch_spark.functions.udfs import minhash_params
-from fuzzymatch_spark.operators.ann import cosine_topk, rhp_knn_pairs
+from fuzzymatch_spark.operators.ann import (
+    cosine_dup_pairs,
+    cosine_topk,
+    rhp_knn_pairs,
+)
 from fuzzymatch_spark.operators.cluster import cluster_assignments
 from fuzzymatch_spark.operators.dedup import (
     candidate_edges,
@@ -209,6 +213,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_rhp_knn_pairs"] = ann_lsh
+
+    def cos_dups(spark, sf):
+        return cosine_dup_pairs(_emb(spark, sf), "embedding", min_cosine=0.9)
+
+    q["cosine_dup_pairs"] = cos_dups
+
+    def video_frame_phash(spark, sf):  # stub codec: rows-only
+        from fuzzymatch_spark.operators.multimodal import encode_video, frame_sample
+        from fuzzymatch_spark.sources.images import synth_pixels
+
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                out = {"video_id": [], "bytes": []}
+                for rid in pdf["doc_id"].astype(str):
+                    frames = [synth_pixels(f"{rid}f{i}", 24, 24) for i in range(8)]
+                    out["video_id"].append(f"vid_{rid}")
+                    out["bytes"].append(encode_video(frames))
+                yield pd.DataFrame(out)
+
+        docs = _docs(spark, sf).limit(100).repartition(8)
+        videos = docs.select("doc_id").mapInPandas(
+            gen, schema="video_id string, bytes binary"
+        )
+        return frame_sample(videos, every_k=4).orderBy("video_id", "frame_idx")
+
+    q["video_frame_phash"] = video_frame_phash
 
     # ---- multimodal (stub codec; Spark plumbing real: rows-only) ----
     def image_phash_pairs(spark, sf):
@@ -529,6 +561,23 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value,
                    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
             FROM events GROUP BY user_id
+        """,
+        "cosine_dup_pairs": """
+            WITH nums AS (SELECT unnest(range(1, 65)) AS i),
+            terms AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     CAST(a.embedding[n.i] AS DOUBLE) AS x,
+                     CAST(b.embedding[n.i] AS DOUBLE) AS y
+              FROM embeddings a, embeddings b, nums n
+              WHERE a.vec_id < b.vec_id AND n.i <= len(a.embedding)
+            ),
+            dots AS (
+              SELECT a_id, b_id, sum(x * y) AS dot,
+                     sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
+              FROM terms GROUP BY a_id, b_id
+            )
+            SELECT a_id, b_id, round(dot / (na * nb), 4) AS cos
+            FROM dots WHERE round(dot / (na * nb), 4) >= 0.9
         """,
         "events_topk_per_user": """
             SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn

@@ -21,8 +21,10 @@ from fuzzymatch_spark.operators.dedup import _hamming_band_edges
 
 
 def _dot(a, b):
+    # cast elements to double BEFORE multiplying so results are bit-stable
+    # regardless of the stored element type (float32 embeddings)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -30,7 +32,11 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
     )
 
 
@@ -49,6 +55,32 @@ def cosine_topk(
         df.select(F.col(id_col), F.round(cos, 5).alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (brute force, JVM-side).
+
+    The small-table / oracle path: all-pairs self-join + `zip_with` dot
+    product in whole-stage codegen.  At scale use ``rhp_knn_pairs`` (LSH
+    bucketed candidates, same verify expression).  Cosine is rounded to 4
+    decimals before thresholding so the predicate is reproducible across
+    engines.
+    """
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", F.round(cos, 4))
+        .filter(F.col("cos") >= F.lit(min_cosine))
+        .select("a_id", "b_id", "cos")
     )
 
 

@@ -1,0 +1,103 @@
+"""Multimodal column operators for training-data pipelines.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata; all
+transforms run as Arrow-batched ``mapInPandas`` passes (the Spark-side
+plumbing — schema, partitioning, batch shape — is real and tested).  The
+codec itself is the deterministic stand-in from sources/images.py because
+real decoders (libjpeg/ffmpeg) are absent in this sandbox; the video
+"container" is a frame-concatenated stand-in with the same contract
+(STUB — swap `decode_video`/`decode_image` for PyAV/PIL in production).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from fuzzymatch_spark.kernels.phash import _resize_to, phash64
+from fuzzymatch_spark.sources.images import decode_image, encode_image
+
+
+def resize_images(
+    images_df: DataFrame, out_w: int = 32, out_h: int = 32
+) -> DataFrame:
+    """Decode -> area-average resize -> re-encode (lossless container).
+
+    Returns (image_id, bytes, w, h, fmt) at the new geometry — the standard
+    pre-training normalization pass.
+    """
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def go(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt")}
+            for rid, data in zip(pdf["image_id"], pdf["bytes"]):
+                px = decode_image(bytes(data))
+                small = np.clip(_resize_to(px, out_h), 0, 255).astype(np.uint8)
+                # _resize_to is square; slice to requested aspect
+                small = small[:out_h, :out_w]
+                out["image_id"].append(rid)
+                out["bytes"].append(encode_image(small, "png"))
+                out["w"].append(out_w)
+                out["h"].append(out_h)
+                out["fmt"].append("png")
+            yield pd.DataFrame(out)
+
+    return images_df.select("image_id", "bytes").mapInPandas(go, schema=schema)
+
+
+# --- video stand-in container: FVID | n_frames u16 | per-frame FPNG blobs ---
+
+_MAGIC_VID = b"FVID"
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    parts = [_MAGIC_VID, struct.pack("<H", len(frames))]
+    for f in frames:
+        blob = encode_image(f, "png")
+        parts.append(struct.pack("<I", len(blob)))
+        parts.append(blob)
+    return b"".join(parts)
+
+
+def decode_video(data: bytes) -> list[np.ndarray]:
+    if data[:4] != _MAGIC_VID:
+        raise NotImplementedError("unknown video container (real codecs stubbed)")
+    (n,) = struct.unpack("<H", data[4:6])
+    off = 6
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", data[off : off + 4])
+        off += 4
+        frames.append(decode_image(data[off : off + ln]))
+        off += ln
+    return frames
+
+
+def frame_sample(
+    videos_df: DataFrame, every_k: int = 4, id_col: str = "video_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Sample every k-th frame; emit one row per sampled frame with its
+    pHash — the video near-dup signature pass (frame pHash sets then feed
+    the same Hamming-band dedup as still images)."""
+    schema = f"{id_col} string, frame_idx int, w int, h int, frame_phash long"
+
+    def go(batches):
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "frame_idx", "w", "h", "frame_phash")}
+            for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                frames = decode_video(bytes(data))
+                for idx in range(0, len(frames), every_k):
+                    f = frames[idx]
+                    out[id_col].append(rid)
+                    out["frame_idx"].append(idx)
+                    out["w"].append(f.shape[1])
+                    out["h"].append(f.shape[0])
+                    out["frame_phash"].append(phash64(f))
+            yield pd.DataFrame(out)
+
+    return videos_df.select(id_col, bytes_col).mapInPandas(go, schema=schema)

@@ -50,6 +50,7 @@ class DedupPipeline:
     phash_col: str | None = None  # set to use the pHash image stage
     use_suffix_stage: bool = True
     metrics: list = field(default_factory=list)
+    partition_metrics: list = field(default_factory=list)
 
     # -- checkpoint helpers -------------------------------------------------
     def _path(self, stage: str) -> str:
@@ -63,12 +64,28 @@ class DedupPipeline:
         t0 = time.time()
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        n = out.count()
+        # per-partition lineage (FIXTURES.md metrics schema): rows per
+        # partition exposes skew that a total count hides
+        pp = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .collect()
+        )
+        n = sum(r["count"] for r in pp)
         wall = time.time() - t0
         with open(os.path.join(path, "_DONE"), "w") as f:
             f.write(json.dumps({"rows": n, "wall_s": wall}))
         self.metrics.append({"stage": stage, "rows": n, "wall_s": round(wall, 3),
                              "recomputed": True})
+        self.partition_metrics.extend(
+            {
+                "stage": stage,
+                "partition_id": int(r["partition_id"]),
+                "rows": int(r["count"]),
+                "wall_ms": round(wall * 1000, 1),
+            }
+            for r in pp
+        )
         return out
 
     def _load_or_compute(self, stage: str, compute) -> DataFrame:
@@ -139,11 +156,20 @@ class DedupPipeline:
 
         clusters = self._load_or_compute("clusters", _clusters)
 
-        # stage 5: metrics table
+        # stage 5: metrics + per-partition lineage tables
         mdf = self.spark.createDataFrame(
             [(m["stage"], m["rows"], m["wall_s"], m["recomputed"])
              for m in self.metrics],
             "stage string, rows long, wall_s double, recomputed boolean",
         )
         mdf.write.mode("overwrite").parquet(self._path("metrics"))
+        if self.partition_metrics:
+            pdf = self.spark.createDataFrame(
+                [
+                    (m["stage"], m["partition_id"], m["rows"], m["wall_ms"])
+                    for m in self.partition_metrics
+                ],
+                "stage string, partition_id int, rows long, wall_ms double",
+            )
+            pdf.write.mode("overwrite").parquet(self._path("metrics_partitions"))
         return clusters
