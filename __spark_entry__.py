@@ -147,7 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_pairs"] = jaccard_pairs
 
     def dedup_clusters(spark, sf):
-        sig = _sig(spark, sf)
+        sig = _sig(spark, sf).persist()
         edges = ngram_jaccard_pairs(sig, threshold_pct=JACCARD_PCT)
         ids = sig.select(F.col("id").alias("doc_id"))
         return cluster_assignments(edges, ids, id_col="doc_id").select(
@@ -172,7 +172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_pairs"] = simhash_pairs
 
     def verified_dedup_edges(spark, sf):  # DL kernel verify: rows-only
-        sig = _sig(spark, sf)
+        # signature table feeds 3 candidate sources + both verify sides:
+        # persist so the fused UDF pass runs once
+        sig = _sig(spark, sf).persist()
         cand = candidate_edges(sig, DENSE)
         return verify_edges(cand, sig, DENSE).select(
             "a_id", "b_id", "source", F.round("score", 4).alias("score"), "kind"

@@ -81,6 +81,9 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
         times[name] = round(time.time() - t0, 3)
         return out
 
+    # warmup: spin python workers / codegen so q1 measures steady state
+    compute_signatures(docs.limit(200), "doc_id", "text", cfg).count()
+
     # q1: full dedup pipeline (signatures -> LSH -> verify -> clusters)
     def q1():
         sig = compute_signatures(docs, "doc_id", "text", cfg).persist()
