@@ -75,10 +75,19 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        times[name] = round(time.time() - t0, 3)
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+
+    def timed(name, fn, reps: int | None = None):
+        """best-of-N: this host has bursty hypervisor steal; min over
+        repeats estimates unloaded throughput."""
+        best = None
+        out = None
+        for _ in range(reps or repeats):
+            t0 = time.time()
+            out = fn()
+            w = time.time() - t0
+            best = w if best is None else min(best, w)
+        times[name] = round(best, 3)
         return out
 
     # warmup: spin python workers / codegen so q1 measures steady state
@@ -206,11 +215,15 @@ def hw_ceiling(n: int = 30_000) -> dict:
     out = {}
     for procs in (8, 32):
         chunks = [(k * n // 64, (k + 1) * n // 64) for k in range(64)]
+        best = None
         with mp.Pool(procs) as pool:
             pool.map(_ceiling_work, chunks[:2])  # warmup
-            t0 = time.time()
-            pool.map(_ceiling_work, chunks)
-            out[f"mp{procs}_sec"] = round(time.time() - t0, 3)
+            for _ in range(3):  # best-of-3 vs hypervisor steal
+                t0 = time.time()
+                pool.map(_ceiling_work, chunks)
+                w = time.time() - t0
+                best = w if best is None else min(best, w)
+        out[f"mp{procs}_sec"] = round(best, 3)
     out["ceiling_speedup"] = round(out["mp8_sec"] / out["mp32_sec"], 3)
     return out
 
@@ -224,14 +237,18 @@ def run_scaling(rep: int = 48) -> dict:
     an ideal zero-overhead engine could achieve on this VM.  Steady-state:
     a warmup run precedes the timed run at each level."""
     out = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     for cores in (8, 32):
         spark = _mk_spark(f"local[{cores}]", f"bench-scaling-{cores}")
         _image_dedup_job(spark, 1, cores)  # warmup (JIT, python workers)
-        t0 = time.time()
-        n_images, n_edges = _image_dedup_job(spark, rep, cores)
-        wall = time.time() - t0
-        out[f"local{cores}_sec"] = round(wall, 3)
-        out[f"local{cores}_images_per_sec"] = round(n_images / wall, 1)
+        best = None
+        for _ in range(reps):  # best-of-N vs hypervisor steal
+            t0 = time.time()
+            n_images, n_edges = _image_dedup_job(spark, rep, cores)
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        out[f"local{cores}_sec"] = round(best, 3)
+        out[f"local{cores}_images_per_sec"] = round(n_images / best, 1)
         out["images"] = n_images
         out["phash_edges"] = n_edges
         spark.stop()

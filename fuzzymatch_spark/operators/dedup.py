@@ -416,6 +416,13 @@ def verify_edges(
         )
         .drop("a_sh", "b_sh", "a_nsh", "b_nsh", "a_nh", "b_nh")
     )
+    # tier1 feeds two consumers (the jaccard-only branch and the DL branch);
+    # without materialization each branch would recompute the entire
+    # candidate-generation DAG.  It is narrow (ids + scalars) — in the
+    # staged pipeline this is a checkpoint table; here MEMORY_AND_DISK.
+    from pyspark import StorageLevel
+
+    tier1 = tier1.persist(StorageLevel.MEMORY_AND_DISK)
 
     easy = (
         tier1.filter(~F.col("need_dl"))
