@@ -323,6 +323,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_user_agg"] = events_user_agg
 
+    def broadcast_dim_join(spark, sf):
+        sup = spark.read.parquet(f"{sf}/supplier.parquet")
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        reg = spark.read.parquet(f"{sf}/region.parquet")
+        return (
+            sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name")
+            .agg(
+                F.count("*").cast("long").alias("n_suppliers"),
+                F.round(
+                    F.sum(F.col("s_acctbal").cast("decimal(38,6)")).cast("double"), 4
+                ).alias("sum_acctbal"),
+            )
+        )
+
+    q["broadcast_dim_join"] = broadcast_dim_join
+
+    def part_topk_by_brand(spark, sf):
+        from pyspark.sql import Window
+
+        part = spark.read.parquet(f"{sf}/part.parquet")
+        w = Window.partitionBy("p_brand").orderBy(
+            F.desc("p_retailprice"), F.asc("p_partkey")
+        )
+        return (
+            part.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("p_brand", "p_partkey", "p_retailprice",
+                    F.col("rn").cast("long").alias("rn"))
+        )
+
+    q["part_topk_by_brand"] = part_topk_by_brand
+
+    def events_session_gaps(spark, sf):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ep = F.col("ts").cast("timestamp").cast("long")
+        gap = ep - F.lag(ep).over(w)
+        return (
+            ev.withColumn("gap_s", gap)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum((F.col("gap_s") > 3600).cast("int")).cast("long")
+                .alias("n_session_breaks"),
+            )
+        )
+
+    q["events_session_gaps"] = events_session_gaps
+
     def events_topk_per_user(spark, sf):
         from pyspark.sql import Window
 
@@ -555,6 +608,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 20
+        """,
+        "broadcast_dim_join": """
+            SELECT r_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   round(CAST(sum(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE), 4)
+                     AS sum_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "part_topk_by_brand": """
+            SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS BIGINT) AS rn
+            FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC,
+                                                 p_partkey ASC) AS rn
+              FROM part
+            ) WHERE rn <= 2
+        """,
+        "events_session_gaps": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_session_breaks
+            FROM g GROUP BY user_id
         """,
         "events_user_agg": """
             SELECT user_id,

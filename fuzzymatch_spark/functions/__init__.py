@@ -1,7 +1,7 @@
 from fuzzymatch_spark.functions.udfs import (
-    make_signature_udf,
+    make_dl_udf,
     make_score_udf,
-    make_verify_udf,
+    make_signature_udf,
 )
 
-__all__ = ["make_signature_udf", "make_score_udf", "make_verify_udf"]
+__all__ = ["make_dl_udf", "make_score_udf", "make_signature_udf"]

@@ -219,120 +219,3 @@ def make_dl_udf(threshold: float):
         return pd.DataFrame({"dl_dist": dists, "dl_sim": dl_sim})
 
     return dl_verify
-
-
-VERIFY_SCHEMA = StructType(
-    [
-        StructField("jaccard", DoubleType()),
-        StructField("dl_dist", IntegerType()),
-        StructField("dl_sim", DoubleType()),
-        StructField("score", DoubleType()),
-        StructField("kind", StringType()),
-    ]
-)
-
-
-def make_verify_udf(cfg: DedupConfig):
-    """Pair verification kernel: exact trigram Jaccard + batch DL similarity.
-
-    DL similarity follows the reference's normalizedScore shape
-    (`Sources/FuzzyMatch/EditDistance.swift:304-313`, weight 1.0): the
-    shorter string is the query, matched free-start within the longer
-    (`EditDistance.swift:199-270`); ``dl_sim = 1 - d / len(shorter)``.
-    Final edge score = max(jaccard, dl_sim); kind = 'exact' when byte-equal.
-    """
-    threshold = cfg.min_score
-    dl_max_len = cfg.dl_max_len
-    # per-executor memo: each document participates in many candidate pairs,
-    # so its trigram set is computed once, not once per pair
-    _tri_cache: dict[str, np.ndarray] = {}
-
-    def _tri(s: str) -> np.ndarray:
-        v = _tri_cache.get(s)
-        if v is None:
-            v = trigram_set(s.encode("utf-8"))
-            if len(_tri_cache) < (1 << 17):
-                _tri_cache[s] = v
-        return v
-
-    @F.pandas_udf(VERIFY_SCHEMA)
-    def verify(a_norm: pd.Series, b_norm: pd.Series) -> pd.DataFrame:
-        n = len(a_norm)
-        jac = np.zeros(n)
-        exact = np.zeros(n, dtype=bool)
-        need_dl = np.zeros(n, dtype=bool)
-        qs: list[bytes] = [b""] * n
-        cs: list[bytes] = [b""] * n
-        qlens = np.ones(n, dtype=np.int64)
-        max_eds = np.zeros(n, dtype=np.int64)
-        a_vals = a_norm.to_numpy()
-        b_vals = b_norm.to_numpy()
-        for k in range(n):
-            a_s = a_vals[k] or ""
-            b_s = b_vals[k] or ""
-            ab = a_s.encode("utf-8")
-            bb = b_s.encode("utf-8")
-            exact[k] = ab == bb
-            sa = _tri(a_s)
-            sb = _tri(b_s)
-            if sa.size == 0 and sb.size == 0:
-                jac[k] = 1.0 if exact[k] else 0.0
-                inter = 0
-            else:
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                union = sa.size + sb.size - inter
-                jac[k] = inter / union if union else 0.0
-            if len(ab) <= len(bb):
-                qs[k], cs[k] = ab, bb
-                n_q = sa.size
-            else:
-                qs[k], cs[k] = bb, ab
-                n_q = sb.size
-            qlens[k] = max(len(qs[k]), 1)
-            max_eds[k] = int((1.0 - threshold) * qlens[k])
-            # DL can only matter when (a) jaccard alone doesn't already pass,
-            # (b) not byte-equal, and (c) the reference's q-gram count bound
-            # (`Trigrams.swift:161-177`: shared >= |Qtri| - 3*maxED) admits a
-            # distance within the banded budget.
-            need_dl[k] = (
-                not exact[k]
-                and jac[k] < threshold
-                and qlens[k] <= dl_max_len
-                and inter >= n_q - 3 * max_eds[k]
-            )
-
-        dists = np.full(n, -1, dtype=np.int32)
-        dl_sim = np.zeros(n)
-        idx = np.nonzero(need_dl)[0]
-        # chunk the batch DP (memory ~ chunk * maxlen); sort by candidate
-        # length to minimize padding waste
-        if idx.size:
-            order = idx[np.argsort([len(cs[i]) for i in idx], kind="stable")]
-            chunk = 1024
-            for s in range(0, order.size, chunk):
-                sel = order[s : s + chunk]
-                med = int(max_eds[sel].max())
-                d = batch_substring_distance(
-                    [qs[i] for i in sel], [cs[i] for i in sel], med
-                )
-                dists[sel] = d
-                ok = d <= max_eds[sel]
-                sim = np.maximum(0.0, 1.0 - d / qlens[sel])
-                dl_sim[sel] = np.where(ok, sim, 0.0)
-
-        score = np.maximum(jac, dl_sim)
-        score = np.where(exact, 1.0, score)
-        kinds = np.where(
-            exact, "exact", np.where(dl_sim > jac, "substring", "jaccard")
-        )
-        return pd.DataFrame(
-            {
-                "jaccard": jac,
-                "dl_dist": dists,
-                "dl_sim": dl_sim,
-                "score": score,
-                "kind": kinds,
-            }
-        )
-
-    return verify

@@ -31,11 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from fuzzymatch_spark.config import DedupConfig
-from fuzzymatch_spark.functions.udfs import (
-    make_dl_udf,
-    make_signature_udf,
-    make_verify_udf,
-)
+from fuzzymatch_spark.functions.udfs import make_dl_udf, make_signature_udf
 
 
 def compute_signatures(
@@ -79,10 +75,20 @@ def exact_dup_edges(sig_df: DataFrame) -> DataFrame:
     """Star edges (min_id -> other) within identical-normalized-text groups.
 
     groupBy avoids pair explosion entirely: a group of n exact duplicates
-    emits n-1 star edges, not n*(n-1)/2 pairs.
+    emits n-1 star edges, not n*(n-1)/2 pairs.  The group key is
+    ``(xxhash64(caption_norm), length(caption_norm))`` so the shuffle moves
+    12 bytes per row instead of the full text (SURVEY.md §2.5) — at 10^12
+    rows the text column never enters this exchange.  A 64-bit hash + exact
+    length makes false merges vanishingly unlikely; downstream verification
+    scores edges anyway, so a collision cannot produce a wrong final score.
     """
+    keyed = sig_df.select(
+        F.xxhash64("caption_norm").alias("nh"),
+        F.length("caption_norm").alias("nlen"),
+        "id",
+    )
     grouped = (
-        sig_df.groupBy("caption_norm")
+        keyed.groupBy("nh", "nlen")
         .agg(F.min("id").alias("a_id"), F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
     )

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the near-duplicate pipeline (north rule:
+`spark-submit --py-files dist/fuzzymatch_spark.zip jobs/dedup_job.py ...`).
+
+On a cluster the session comes from spark-submit (master/executors from the
+submit conf); the job only supplies SQL-level settings.  Resume is automatic:
+re-submitting with the same --work-dir skips completed stages.
+
+Example:
+    scripts/package.sh
+    spark-submit --master 'local[8]' \
+        --py-files dist/fuzzymatch_spark.zip \
+        jobs/dedup_job.py \
+        --input /root/testdata/sf0.01/documents.parquet \
+        --id-col doc_id --text-col text \
+        --work-dir /tmp/dedup_run1 --profile web_dense
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="input parquet path")
+    ap.add_argument("--id-col", default="image_id")
+    ap.add_argument("--text-col", default="caption")
+    ap.add_argument("--phash-col", default=None)
+    ap.add_argument("--work-dir", required=True)
+    ap.add_argument("--profile", default="default",
+                    choices=["default", "web_dense"])
+    ap.add_argument("--config-json", default=None,
+                    help="full DedupConfig as JSON (overrides --profile)")
+    args = ap.parse_args()
+
+    # imports deferred until after spark-submit ships the --py-files zip
+    from fuzzymatch_spark.config import DedupConfig
+    from fuzzymatch_spark.plans.pipeline import DedupPipeline
+
+    spark = (
+        SparkSession.builder.appName("fuzzymatch-dedup")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    if args.config_json:
+        cfg_kwargs = json.loads(args.config_json)
+        cfg = DedupConfig(**cfg_kwargs)
+    elif args.profile == "web_dense":
+        cfg = DedupConfig.web_dense()
+    else:
+        cfg = DedupConfig()
+
+    df = spark.read.parquet(args.input)
+    pipe = DedupPipeline(
+        spark,
+        args.work_dir,
+        cfg,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        phash_col=args.phash_col,
+    )
+    clusters = pipe.run(df)
+    n_rows = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    print(json.dumps({
+        "rows": n_rows,
+        "clusters": n_clusters,
+        "stages": pipe.metrics,
+        "work_dir": args.work_dir,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
