@@ -270,7 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         dec = lambda c: F.col(c).cast("decimal(38,6)")
         return (
-            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
                 F.round(F.sum(dec("l_quantity")).cast("double"), 4).alias("sum_qty"),

@@ -149,7 +149,7 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     # q5: relational agg (TPC-H Q1 shape)
     def q5():
         return (
-            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
             .collect()

@@ -150,19 +150,72 @@ SCORE_SCHEMA = StructType(
 )
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+# batch prefilter lookup: like the reference's charBitmaskLookup
+# (`Prefilters.swift:380-388`) including the bit-63 non-ASCII sentinel so
+# multi-byte rows can be detected and routed to the exact per-row path
+from fuzzymatch_spark.kernels.normalize import _BITMASK_LOOKUP as _BASE_LOOKUP
+
+_SENTINEL_LOOKUP = _BASE_LOOKUP.copy()
+_SENTINEL_LOOKUP[0x80:] = np.uint64(1) << np.uint64(63)
+
+
+def _batch_prefilter(raws: list[bytes], query: PreparedQuery) -> np.ndarray:
+    """Vectorized length + char-bitmask prefilters over a whole Arrow batch.
+
+    The reference's branch-free per-byte table-OR loop
+    (`Sources/FuzzyMatch/Prefilters.swift:394-422`) applied batch-wide:
+    one lookup over the concatenated bytes, one ``bitwise_or.reduceat``
+    per-row fold, one table-based popcount.  Non-ASCII rows (rare for web
+    captions) fall back to the exact per-row path inside score_pair.
+    Returns a bool keep-mask; rejected rows are provably non-matches.
+    """
+    n = len(raws)
+    lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=n)
+    keep = lens >= query.min_candidate_length
+    if query.lowered == b"":
+        return np.ones(n, dtype=bool)
+    blob = b"".join(raws)
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    if arr.size == 0:
+        return keep
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    contrib = _SENTINEL_LOOKUP[arr]
+    # reduceat needs strictly valid offsets; empty rows handled via keep
+    nonempty = lens > 0
+    if nonempty.any():
+        red_off = offsets[nonempty]
+        masks = np.zeros(n, dtype=np.uint64)
+        masks[nonempty] = np.bitwise_or.reduceat(contrib, red_off)
+        ascii_rows = (masks >> np.uint64(63)) == 0  # sentinel bit clear
+        qmask = np.uint64(query.bitmask)
+        missing = qmask & ~masks
+        pc = _POP8[missing.view(np.uint8).reshape(n, 8)].sum(axis=1)
+        reject = ascii_rows & nonempty & (pc > query.bitmask_tolerance)
+        keep &= ~reject
+    return keep
+
+
 def make_score_udf(query: PreparedQuery):
     """Reference-parity scorer: candidate text -> (score, kind) or nulls.
 
-    The cheap column prefilters (length, bit_count) should already have cut
-    the candidate set; this UDF applies the full phase pipeline per row.
+    Cheap prefilters run twice by design: once as JVM column predicates
+    (when a signature column exists) and once vectorized over the Arrow
+    batch here — so the per-row python phase pipeline only ever sees
+    plausible candidates, mirroring the reference's cascade economics.
     """
 
     @F.pandas_udf(SCORE_SCHEMA)
     def score(texts: pd.Series) -> pd.DataFrame:
-        scores = np.full(len(texts), np.nan)
-        kinds: list = [None] * len(texts)
-        for k, text in enumerate(texts):
-            r = score_pair((text or "").encode("utf-8"), query)
+        n = len(texts)
+        scores = np.full(n, np.nan)
+        kinds: list = [None] * n
+        raws = [(t or "").encode("utf-8") for t in texts]
+        keep = _batch_prefilter(raws, query)
+        for k in np.nonzero(keep)[0]:
+            r = score_pair(raws[k], query)
             if r is not None:
                 scores[k] = r[0]
                 kinds[k] = r[1]

@@ -21,6 +21,8 @@ CORPUS = [
     "the quick brown fox",
     "getUserByIdAsync",
     "configUser",
+    "Ärger Straße über",   # non-ASCII: exercises the sentinel fallback path
+    "усерфайл userfile",
 ]
 
 
