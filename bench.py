@@ -204,28 +204,26 @@ def _ceiling_work(args) -> int:
     return hi - lo
 
 
-def hw_ceiling(n: int = 30_000) -> dict:
-    """Hardware parallel-scaling ceiling: the same per-image kernel run via
-    plain multiprocessing at 8 vs 32 workers.  On virtualized CPUs the
-    all-core clock is lower than the few-core clock, so even zero-overhead
-    parallelism cannot reach speedup 4 from 8 -> 32 workers; engine
-    efficiency is therefore ALSO reported relative to this ceiling."""
+def hw_ceiling_at(procs: int, n: int = 60_000, reps: int = 3) -> float:
+    """Hardware parallel-scaling ceiling at one worker count: the same
+    per-image kernel via plain multiprocessing (zero coordination).  On
+    virtualized CPUs the all-core clock is lower than the few-core clock
+    and steal is bursty, so even zero-overhead parallelism cannot reach
+    speedup 4 from 8 -> 32 workers; the engine's efficiency is reported
+    relative to this ceiling, measured ADJACENT to each Spark run so both
+    sample the same steal window."""
     import multiprocessing as mp
 
-    out = {}
-    for procs in (8, 32):
-        chunks = [(k * n // 64, (k + 1) * n // 64) for k in range(64)]
-        best = None
-        with mp.Pool(procs) as pool:
-            pool.map(_ceiling_work, chunks[:2])  # warmup
-            for _ in range(3):  # best-of-3 vs hypervisor steal
-                t0 = time.time()
-                pool.map(_ceiling_work, chunks)
-                w = time.time() - t0
-                best = w if best is None else min(best, w)
-        out[f"mp{procs}_sec"] = round(best, 3)
-    out["ceiling_speedup"] = round(out["mp8_sec"] / out["mp32_sec"], 3)
-    return out
+    chunks = [(k * n // 64, (k + 1) * n // 64) for k in range(64)]
+    best = None
+    with mp.Pool(procs) as pool:
+        pool.map(_ceiling_work, chunks[:2])  # warmup
+        for _ in range(reps):
+            t0 = time.time()
+            pool.map(_ceiling_work, chunks)
+            w = time.time() - t0
+            best = w if best is None else min(best, w)
+    return round(best, 3)
 
 
 def run_scaling(rep: int = 48) -> dict:
@@ -237,7 +235,7 @@ def run_scaling(rep: int = 48) -> dict:
     an ideal zero-overhead engine could achieve on this VM.  Steady-state:
     a warmup run precedes the timed run at each level."""
     out = {}
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     for cores in (8, 32):
         spark = _mk_spark(f"local[{cores}]", f"bench-scaling-{cores}")
         _image_dedup_job(spark, 1, cores)  # warmup (JIT, python workers)
@@ -252,13 +250,14 @@ def run_scaling(rep: int = 48) -> dict:
         out["images"] = n_images
         out["phash_edges"] = n_edges
         spark.stop()
+        # ceiling measured adjacent to this Spark run (same steal window)
+        out[f"mp{cores}_sec"] = hw_ceiling_at(cores)
     speedup = out["local8_sec"] / out["local32_sec"]
     out["speedup_8_to_32"] = round(speedup, 3)
     out["efficiency_vs_ideal4x"] = round(speedup / 4.0, 3)
-    ceil = hw_ceiling()
-    out.update(ceil)
+    out["ceiling_speedup"] = round(out["mp8_sec"] / out["mp32_sec"], 3)
     out["efficiency_vs_hw_ceiling"] = round(
-        speedup / max(ceil["ceiling_speedup"], 1e-9), 3
+        speedup / max(out["ceiling_speedup"], 1e-9), 3
     )
     out["efficiency"] = out["efficiency_vs_hw_ceiling"]
     return out
