@@ -226,7 +226,7 @@ def hw_ceiling_at(procs: int, n: int = 60_000, reps: int = 3) -> float:
     return round(best, 3)
 
 
-def run_scaling(rep: int = 48) -> dict:
+def run_scaling(rep: int = 64) -> dict:
     """North-rule scaling evidence: the SAME image-dedup job on the SAME
     input at local[8] vs local[32] (sandbox proxy for N vs 4N executors).
 
@@ -235,7 +235,7 @@ def run_scaling(rep: int = 48) -> dict:
     an ideal zero-overhead engine could achieve on this VM.  Steady-state:
     a warmup run precedes the timed run at each level."""
     out = {}
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     for cores in (8, 32):
         spark = _mk_spark(f"local[{cores}]", f"bench-scaling-{cores}")
         _image_dedup_job(spark, 1, cores)  # warmup (JIT, python workers)
