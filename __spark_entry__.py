@@ -210,7 +210,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = ann_topk
 
     def ann_lsh(spark, sf):  # seeded hyperplanes: rows-only
-        return rhp_knn_pairs(_emb(spark, sf), "embedding", min_cosine=0.5).orderBy(
+        # The driver's embeddings are independent random vectors (background
+        # cosine ~ N(0, 1/64)), so no pair clears any useful threshold and
+        # the LSH join would be trivially empty.  Plant near-neighbors
+        # deterministically: perturbed copies of the first 50 vectors
+        # (JVM-side transform, cos ~ 0.99, Hamming ~ 2 << max_hamming) so
+        # the row count exercises the band join + cosine verify end-to-end.
+        emb = _emb(spark, sf).select("vec_id", "embedding")
+        planted = emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + 0.01 * (F.pmod(i, F.lit(7)).cast("double") - 3.0),
+            ).alias("embedding"),
+        )
+        both = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).unionByName(planted)
+        return rhp_knn_pairs(both, "embedding", min_cosine=0.7).orderBy(
             "a_id", "b_id"
         )
 

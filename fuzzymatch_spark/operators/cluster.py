@@ -80,14 +80,20 @@ def connected_components(
         def checkpoint_fn(df: DataFrame, _i: int) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    # Convergence is checked every 2nd iteration: each fingerprint is a
+    # full job + driver round-trip on top of the checkpoint materialization,
+    # and large-star/small-star converges in O(log n) rounds — one possible
+    # extra (cheap, already-converged) round costs less than a fingerprint
+    # job per round.  At most ceil(max_iter/2) driver actions for the check.
     prev_fp = None
     for i in range(max_iter):
         edges = _small_star(_large_star(edges))
         edges = checkpoint_fn(edges, i)
-        fp = _fingerprint(edges)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+        if i % 2 == 1 or i == max_iter - 1:
+            fp = _fingerprint(edges)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
 
     # converged: every edge is (node, component_min); nodes that ARE the
     # minimum appear only on the b side

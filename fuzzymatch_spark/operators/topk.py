@@ -189,26 +189,22 @@ def top_matches_multi(
     k: int = 10,
     config: MatchConfig | None = None,
 ) -> DataFrame:
-    """Many queries at once: broadcast the (small) query table, prefilter with
-    column predicates on the joined pair, score, then per-query window top-k.
+    """Many queries at once, in ONE corpus pass.
 
-    This is the distributed form of the reference's query workload loop
-    (`Benchmarks/.../CorpusBenchmark.swift:94-116`): corpus stays partitioned,
-    queries broadcast — no corpus shuffle at any scale.
+    The query table is small by construction (a human-curated workload); it
+    is collected once onto the driver and shipped to executors inside the
+    UDF closure (task-broadcast), exactly like ``top_matches_bulk`` — the
+    corpus is scanned once, scored against every query per Arrow batch, and
+    finished with a per-query window top-k.  This is the distributed form of
+    the reference's query workload loop
+    (`Benchmarks/.../CorpusBenchmark.swift:94-116`): corpus stays
+    partitioned, queries ride with the tasks — no corpus shuffle, no
+    per-query scan, at any scale.
     """
-    from pyspark.sql import Window
-
     config = config or MatchConfig()
     queries = [r[query_col] for r in queries_df.select(query_col).collect()]
-    results = []
-    for qt in queries:
-        r = top_matches(df, text_col, qt, k=k, config=config).withColumn(
-            "query", F.lit(qt)
+    if not queries:
+        return df.sparkSession.createDataFrame(
+            [], f"query string, {text_col} string, score double, kind string, rank int"
         )
-        results.append(r)
-    if not results:
-        return df.sparkSession.createDataFrame([], "query string")
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+    return top_matches_bulk(df, text_col, queries, k=k, config=config)

@@ -174,6 +174,29 @@ def test_connected_components_basic(spark):
     assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d")}
 
 
+def test_cc_convergence_checks_are_amortized(spark, monkeypatch):
+    """The convergence fingerprint (a full job + driver round-trip) fires on
+    every 2nd iteration only — half the driver actions of per-iteration
+    checking on the same chain graph, with identical labels."""
+    import fuzzymatch_spark.operators.cluster as cl
+
+    calls = {"n": 0}
+    orig = cl._fingerprint
+
+    def counting(df):
+        calls["n"] += 1
+        return orig(df)
+
+    monkeypatch.setattr(cl, "_fingerprint", counting)
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)]
+    edges = spark.createDataFrame(chain, "a_id string, b_id string")
+    got = {r["cluster_id"] for r in cl.connected_components(edges).collect()}
+    assert got == {"n000"}
+    # a 41-node chain converges in ~4-6 star rounds; per-iteration checking
+    # would cost that many fingerprints — every-2nd costs at most half + 1
+    assert calls["n"] <= 4, calls["n"]
+
+
 def test_connected_components_chain_and_star(spark):
     # long chain exercises multiple large/small-star rounds
     chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)]

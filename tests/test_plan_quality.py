@@ -99,6 +99,22 @@ def test_jaccard_join_post_signature_is_jvm(spark, documents):
     assert "100" in plan
 
 
+def test_multi_query_workload_is_one_pass(spark, documents):
+    """A 10-query workload must be ONE corpus scan + ONE Arrow Python stage
+    (the reference's 197-query benchmark loop distributed, not repeated)."""
+    from fuzzymatch_spark.operators.topk import top_matches_multi
+
+    qdf = spark.createDataFrame(
+        [("straem",), ("batch",), ("shufle",), ("parquet",), ("window",),
+         ("joinn",), ("tabel",), ("scann",), ("merge",), ("sort",)],
+        "query string",
+    )
+    out = top_matches_multi(documents, "text", qdf, k=5)
+    plan = plan_of(out)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_exchange_reuse_or_aqe_present(spark, documents):
     sig = compute_signatures(documents.limit(50), "doc_id", "text", DedupConfig())
     pairs = ngram_jaccard_pairs(sig, threshold_pct=98)
