@@ -171,6 +171,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_pairs"] = simhash_pairs
 
+    def verified_jaccard_edges(spark, sf):
+        # ORACLE-CHECKED deterministic tier of verify_edges: exact inverted-
+        # index candidates (ngram_jaccard_pairs, pct 60) -> two-tier verify
+        # -> keep only tier-1-decided edges (kind != 'substring' excludes the
+        # DL-kernel rows, whose arithmetic is pinned by golden fixtures
+        # instead).  Exact/jaccard kinds are integer-derived and reproduce
+        # bit-identically in DuckDB.
+        sig = _sig(spark, sf).persist()
+        cand = ngram_jaccard_pairs(sig, threshold_pct=60).select(
+            "a_id", "b_id", F.lit("jaccard").alias("source")
+        )
+        out = verify_edges(cand, sig, DENSE)
+        return out.filter(F.col("kind") != "substring").select(
+            "a_id", "b_id", "kind", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    q["verified_jaccard_edges"] = verified_jaccard_edges
+
     def verified_dedup_edges(spark, sf):  # DL kernel verify: rows-only
         # signature table feeds 3 candidate sources + both verify sides:
         # persist so the fused UDF pass runs once
@@ -494,6 +512,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_id, b_id, CAST(c AS BIGINT) AS inter,
                    CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
             FROM edges
+        """,
+        "verified_jaccard_edges": f"""
+            WITH {_GRAMS},
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT i.a_id, i.b_id, i.c, sa.n AS na, sb.n AS nb
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.a_id
+              JOIN sizes sb ON sb.doc_id = i.b_id
+              WHERE 100 * i.c >= 60 * (sa.n + sb.n - i.c)
+            ),
+            txt AS (SELECT doc_id, lower(text) AS t FROM documents)
+            SELECT e.a_id, e.b_id,
+                   CASE WHEN ta.t = tb.t THEN 'exact' ELSE 'jaccard' END AS kind,
+                   round(CASE WHEN ta.t = tb.t THEN 1.0
+                         ELSE e.c * 1.0 / (e.na + e.nb - e.c) END, 6) AS jaccard
+            FROM cand e
+            JOIN txt ta ON ta.doc_id = e.a_id
+            JOIN txt tb ON tb.doc_id = e.b_id
+            WHERE ta.t = tb.t
+               OR e.c * 1.0 / (e.na + e.nb - e.c) >= 0.9
         """,
         "dedup_clusters": "WITH RECURSIVE " + f"""
             {_JACCARD_EDGES_BODY},

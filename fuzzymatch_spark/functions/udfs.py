@@ -150,52 +150,13 @@ SCORE_SCHEMA = StructType(
 )
 
 
-_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
-
-# batch prefilter lookup: like the reference's charBitmaskLookup
-# (`Prefilters.swift:380-388`) including the bit-63 non-ASCII sentinel so
-# multi-byte rows can be detected and routed to the exact per-row path
-from fuzzymatch_spark.kernels.normalize import _BITMASK_LOOKUP as _BASE_LOOKUP
-
-_SENTINEL_LOOKUP = _BASE_LOOKUP.copy()
-_SENTINEL_LOOKUP[0x80:] = np.uint64(1) << np.uint64(63)
-
-
-def _batch_prefilter(raws: list[bytes], query: PreparedQuery) -> np.ndarray:
-    """Vectorized length + char-bitmask prefilters over a whole Arrow batch.
-
-    The reference's branch-free per-byte table-OR loop
-    (`Sources/FuzzyMatch/Prefilters.swift:394-422`) applied batch-wide:
-    one lookup over the concatenated bytes, one ``bitwise_or.reduceat``
-    per-row fold, one table-based popcount.  Non-ASCII rows (rare for web
-    captions) fall back to the exact per-row path inside score_pair.
-    Returns a bool keep-mask; rejected rows are provably non-matches.
-    """
-    n = len(raws)
-    lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=n)
-    keep = lens >= query.min_candidate_length
-    if query.lowered == b"":
-        return np.ones(n, dtype=bool)
-    blob = b"".join(raws)
-    arr = np.frombuffer(blob, dtype=np.uint8)
-    if arr.size == 0:
-        return keep
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(lens[:-1], out=offsets[1:])
-    contrib = _SENTINEL_LOOKUP[arr]
-    # reduceat needs strictly valid offsets; empty rows handled via keep
-    nonempty = lens > 0
-    if nonempty.any():
-        red_off = offsets[nonempty]
-        masks = np.zeros(n, dtype=np.uint64)
-        masks[nonempty] = np.bitwise_or.reduceat(contrib, red_off)
-        ascii_rows = (masks >> np.uint64(63)) == 0  # sentinel bit clear
-        qmask = np.uint64(query.bitmask)
-        missing = qmask & ~masks
-        pc = _POP8[missing.view(np.uint8).reshape(n, 8)].sum(axis=1)
-        reject = ascii_rows & nonempty & (pc > query.bitmask_tolerance)
-        keep &= ~reject
-    return keep
+# Batch prefilter + vectorized phase pipeline live in kernels/batch_scoring
+# (kept importable from here for callers that used the private name).
+from fuzzymatch_spark.kernels.batch_scoring import (  # noqa: E402
+    BatchCandidates,
+    batch_prefilter as _batch_prefilter,
+    batch_score_pairs,
+)
 
 
 def make_score_udf(query: PreparedQuery):
@@ -203,22 +164,17 @@ def make_score_udf(query: PreparedQuery):
 
     Cheap prefilters run twice by design: once as JVM column predicates
     (when a signature column exists) and once vectorized over the Arrow
-    batch here — so the per-row python phase pipeline only ever sees
-    plausible candidates, mirroring the reference's cascade economics.
+    batch here — so the batch phase pipeline only ever sees plausible
+    candidates, mirroring the reference's cascade economics.  The whole
+    cascade (filters, exact, both DL DPs, subsequence reachability) is
+    numpy-vectorized across the Arrow batch (kernels/batch_scoring.py);
+    per-row Python runs only for the final arithmetic of actual matches.
     """
 
     @F.pandas_udf(SCORE_SCHEMA)
     def score(texts: pd.Series) -> pd.DataFrame:
-        n = len(texts)
-        scores = np.full(n, np.nan)
-        kinds: list = [None] * n
         raws = [(t or "").encode("utf-8") for t in texts]
-        keep = _batch_prefilter(raws, query)
-        for k in np.nonzero(keep)[0]:
-            r = score_pair(raws[k], query)
-            if r is not None:
-                scores[k] = r[0]
-                kinds[k] = r[1]
+        scores, kinds = batch_score_pairs(BatchCandidates(raws), query)
         return pd.DataFrame({"score": scores, "kind": kinds})
 
     return score

@@ -197,25 +197,47 @@ def _score_edit_distance(raw: bytes, query: PreparedQuery):
         if not passes_trigram_filter(norm, query.trigrams, emed):
             return None
 
-    state = _State()
-    state.boundary = boundary_array(raw, norm)
-    state.effective_max_ed = emed
-    state.needs_alignment = ed.needs_alignment
-
     # Phase 2: exact
     if norm == qbytes:
         return (1.0, "exact")
 
+    return run_phases(raw, norm, query)
+
+
+_UNSET = object()  # sentinel: "distance not precomputed — run the DP here"
+
+
+def run_phases(
+    raw: bytes,
+    norm: bytes,
+    query: PreparedQuery,
+    prefix_distance=_UNSET,
+    substring_distance=_UNSET,
+) -> tuple[float, str] | None:
+    """Phases 3-6 (prefix/substring/subsequence/acronym) + minScore gate.
+
+    The single arithmetic code path shared by the scalar ``score_pair`` and
+    the batch scorer (kernels/batch_scoring.py): the batch path precomputes
+    the two DL distances across the whole Arrow batch and injects them here,
+    so scalar and batch scoring cannot diverge.
+    """
+    ed = query.config.edit_distance
+    qbytes = query.lowered
+    state = _State()
+    state.boundary = boundary_array(raw, norm)
+    state.effective_max_ed = query.effective_max_ed
+    state.needs_alignment = ed.needs_alignment
+
     # Phase 3: prefix
-    prefix_distance = _score_prefix(qbytes, norm, query, ed, state)
+    pd = _score_prefix(qbytes, norm, query, ed, state, distance=prefix_distance)
     # Phase 4: substring
-    _score_substring(qbytes, norm, query, ed, state, prefix_distance)
+    _score_substring(qbytes, norm, query, ed, state, pd, distance=substring_distance)
     # Phase 5: subsequence
     _score_subsequence(qbytes, norm, query, ed, state)
     # Phase 6: acronym
     _score_acronym(qbytes, norm, query, ed.acronym_weight, state)
 
-    if state.best_score >= min_score:
+    if state.best_score >= query.config.min_score:
         return (state.best_score, state.best_kind)
     return None
 
@@ -225,9 +247,10 @@ _ASCII_LOWER_LOCAL = bytes(
 )
 
 
-def _score_prefix(qbytes, norm, query, ed, state) -> int | None:
+def _score_prefix(qbytes, norm, query, ed, state, distance=_UNSET) -> int | None:
     qlen, clen = len(qbytes), len(norm)
-    distance = prefix_edit_distance(qbytes, norm, state.effective_max_ed)
+    if distance is _UNSET:
+        distance = prefix_edit_distance(qbytes, norm, state.effective_max_ed)
     if distance is None:
         return None
     if qlen <= 3 and distance > 0 and clen != qlen:
@@ -255,11 +278,14 @@ def _score_prefix(qbytes, norm, query, ed, state) -> int | None:
     return distance
 
 
-def _score_substring(qbytes, norm, query, ed, state, prefix_distance) -> None:
+def _score_substring(
+    qbytes, norm, query, ed, state, prefix_distance, distance=_UNSET
+) -> None:
     qlen, clen = len(qbytes), len(norm)
     if state.best_score >= 0.7 or prefix_distance == 0:
         return
-    distance = substring_edit_distance(qbytes, norm, state.effective_max_ed)
+    if distance is _UNSET:
+        distance = substring_edit_distance(qbytes, norm, state.effective_max_ed)
     if distance is None:
         return
     if qlen <= 3 and distance > 0 and clen != qlen:

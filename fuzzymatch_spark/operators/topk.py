@@ -142,17 +142,24 @@ def top_matches_bulk(
 
     @F.pandas_udf(out_t)
     def bulk_score(texts: pd.Series) -> pd.Series:
-        from fuzzymatch_spark.kernels.scoring import score_pair
+        import numpy as np
 
-        rows = []
-        for text in texts:
-            raw = (text or "").encode("utf-8")
-            hits = []
-            for qi, q in enumerate(prepared):
-                r = score_pair(raw, q)
-                if r is not None:
-                    hits.append({"qi": qi, "score": r[0], "kind": r[1]})
-            rows.append(hits)
+        from fuzzymatch_spark.kernels.batch_scoring import (
+            BatchCandidates,
+            batch_score_pairs,
+        )
+
+        # padded matrices / trigram codes are query-independent: build once
+        # per Arrow batch, score the whole workload against them
+        raws = [(t or "").encode("utf-8") for t in texts]
+        cands = BatchCandidates(raws)
+        rows: list[list] = [[] for _ in raws]
+        for qi, q in enumerate(prepared):
+            scores, kinds = batch_score_pairs(cands, q)
+            for k in np.nonzero(~np.isnan(scores))[0]:
+                rows[k].append(
+                    {"qi": qi, "score": float(scores[k]), "kind": kinds[k]}
+                )
         return pd.Series(rows)
 
     par = df.sparkSession.sparkContext.defaultParallelism
