@@ -200,6 +200,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["verified_dedup_edges"] = verified_dedup_edges
 
+    def fuzzy_token_join_q(spark, sf):
+        from fuzzymatch_spark.operators.fuzzyjoin import fuzzy_token_join
+
+        return fuzzy_token_join(_docs(spark, sf).select(
+            F.explode(F.split("text", " ")).alias("token")
+        ), "token", max_ed=2)
+
+    q["fuzzy_token_join"] = fuzzy_token_join_q
+
     # ---- fingerprints / band decomposition (oracle-checked) ----
     def doc_fingerprint(spark, sf):
         return _docs(spark, sf).select(
@@ -564,6 +573,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
                    'suffix' AS source
             FROM subs a JOIN subs b ON a.s = b.s AND a.doc_id < b.doc_id
+        """,
+        "fuzzy_token_join": """
+            WITH toks AS (
+              SELECT DISTINCT t.token
+              FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(token)
+              WHERE len(t.token) > 0
+            )
+            SELECT a.token AS a_token, b.token AS b_token,
+                   CAST(levenshtein(a.token, b.token) AS BIGINT) AS dist
+            FROM toks a JOIN toks b ON a.token < b.token
+            WHERE levenshtein(a.token, b.token) <= 2
         """,
         "doc_fingerprint": """
             SELECT doc_id,

@@ -120,6 +120,68 @@ def normalized_score(
     return max(0.0, 1.0 - (1.0 - base) / weight)
 
 
+def batch_levenshtein(
+    queries: list[bytes], candidates: list[bytes], max_ed: int
+) -> np.ndarray:
+    """Batch-vectorized PLAIN Levenshtein (no transpositions, whole-string)
+    for N pairs at once; entries > max_ed come back as ``max_ed + 1``.
+
+    This is the cross-engine-checkable form (DuckDB ``levenshtein`` is
+    unambiguous; ``damerau_levenshtein`` there is full DL while the
+    reference's kernels are OSA — those stay golden-fixture-pinned).
+    Same one-python-loop structure as ``batch_substring_distance``: the
+    in-row deletion chain resolves via the prefix-min identity.
+    """
+    n = len(queries)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    ql = np.array([len(q) for q in queries], dtype=np.int64)
+    cl = np.array([len(c) for c in candidates], dtype=np.int64)
+    maxq = int(ql.max()) if n else 0
+    maxc = int(cl.max()) if n else 0
+    big = np.int64(1 << 30)
+
+    Q = np.zeros((n, max(maxq, 1)), dtype=np.int16)
+    C = np.full((n, max(maxc, 1)), -1, dtype=np.int16)
+    for k, qb in enumerate(queries):
+        if qb:
+            Q[k, : len(qb)] = np.frombuffer(qb, dtype=np.uint8)
+    for k, cb in enumerate(candidates):
+        if cb:
+            C[k, : len(cb)] = np.frombuffer(cb, dtype=np.uint8)
+
+    idx = np.arange(maxq + 1, dtype=np.int64)
+    prev = np.broadcast_to(idx, (n, maxq + 1)).copy()
+    row = prev.copy()
+    # distance for empty candidate is ql (all deletions)
+    out = np.where(cl == 0, ql, big)
+    jmask = idx[None, 1:] <= ql[:, None]
+
+    for i in range(maxc):
+        active = i < cl
+        if not active.any():
+            break
+        prev, row = row, prev
+        cand = C[:, i : i + 1]
+        sub_cost = (Q != cand).astype(np.int64)
+        tmp = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + sub_cost)
+        full = np.empty((n, maxq + 1), dtype=np.int64)
+        full[:, 0] = i + 1
+        full[:, 1:] = np.where(jmask, tmp, big)
+        acc = full - idx[None, :]
+        np.minimum.accumulate(acc, axis=1, out=acc)
+        new_row = acc + idx[None, :]
+        np.copyto(row, new_row, where=active[:, None])
+        np.copyto(row, prev, where=~active[:, None])
+        # rows whose candidate ends at this position: final cell is D[c][q]
+        done = active & (i == cl - 1)
+        if done.any():
+            end = np.take_along_axis(row, ql[:, None], axis=1)[:, 0]
+            out = np.where(done, end, out)
+
+    return np.minimum(out, max_ed + 1).astype(np.int32)
+
+
 def batch_substring_distance(
     queries: list[bytes], candidates: list[bytes], max_edit_distance: int
 ) -> np.ndarray:

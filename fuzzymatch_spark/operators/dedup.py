@@ -168,14 +168,10 @@ def _salted_self_join_pairs(
     )
 
 
-def minhash_band_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Banded-LSH self-join on MinHash signatures.
-
-    One ``explode`` produces (band, key) rows; the self-join is an equi-join
-    on the 64-bit band key with triangle-block salting for hot buckets
-    (boilerplate captions create mega-buckets; see
-    ``_salted_self_join_pairs``).
-    """
+def minhash_bands(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(id, band, key) rows — one 64-bit LSH key per band per row.  The
+    shared band decomposition for the batch self-join and the incremental
+    (streaming) new-vs-existing join."""
     r = cfg.rows_per_band
     band_structs = F.array(
         *[
@@ -186,9 +182,20 @@ def minhash_band_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
             for i in range(cfg.bands)
         ]
     )
-    bands = sig_df.select(
+    return sig_df.select(
         F.col("id"), F.explode(band_structs).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_band_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Banded-LSH self-join on MinHash signatures.
+
+    One ``explode`` produces (band, key) rows; the self-join is an equi-join
+    on the 64-bit band key with triangle-block salting for hot buckets
+    (boilerplate captions create mega-buckets; see
+    ``_salted_self_join_pairs``).
+    """
+    bands = minhash_bands(sig_df, cfg)
 
     pairs = _salted_self_join_pairs(
         bands, ["band", "key"], shard_target=cfg.max_bucket_size, seed=cfg.seed

@@ -122,3 +122,30 @@ def test_batch_empty_and_degenerate():
     s, k = batch_score_pairs(cands1, prepare_query("", cfg))
     # empty query matches everything exactly (reference semantics)
     assert k == ["exact", "exact"] and (s == 1.0).all()
+
+
+def test_batch_levenshtein_matches_reference_impl():
+    """Plain-Levenshtein batch kernel vs a trivial O(nm) scalar DP."""
+    from fuzzymatch_spark.kernels.editdist import batch_levenshtein
+
+    def slow_lev(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                               prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.RandomState(5)
+    words = [b"", b"a", b"spark", b"sprk", b"shuffle", b"shuffel",
+             b"partition", b"partitoin", b"stream", b"straem", b"batch"]
+    pairs = [(words[rng.randint(len(words))], words[rng.randint(len(words))])
+             for _ in range(300)]
+    for max_ed in (0, 1, 2, 5):
+        got = batch_levenshtein([p[0] for p in pairs],
+                                [p[1] for p in pairs], max_ed)
+        for k, (a, b) in enumerate(pairs):
+            want = min(slow_lev(a, b), max_ed + 1)
+            assert got[k] == want, (a, b, max_ed, got[k], want)

@@ -40,3 +40,58 @@ def test_incremental_exactly_once(spark, tmp_path):
     # re-run with nothing new: no-op
     incremental_signatures(spark, inp, SCHEMA, out, ckpt, "doc_id", "text")
     assert spark.read.parquet(out).count() == 4
+
+
+def test_incremental_dedup_cross_batch(spark, tmp_path):
+    """Incremental LSH dedup: a near-dup landing in a LATER micro-batch is
+    paired against the accumulated corpus without rescanning history, and
+    the final edge set equals the batch pipeline's on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.config import DedupConfig
+    from fuzzymatch_spark.operators.dedup import (
+        compute_signatures,
+        exact_dup_edges,
+        minhash_band_edges,
+        verify_edges,
+    )
+    from fuzzymatch_spark.streaming.ingest import incremental_dedup
+
+    cfg = DedupConfig(min_score=0.72)
+    inp = str(tmp_path / "landing")
+    work = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ckpt2")
+
+    batch1 = [(1, "spark shuffle partition join window"),
+              (2, "hash key order fast small"),
+              (3, "image caption pixel frame engine")]
+    # 4 = typo near-dup of 1 (cross-batch); 6 = exact dup of 2 (cross-batch)
+    batch2 = [(4, "spark shuffle partition join windoww"),
+              (5, "totally different vector query index"),
+              (6, "hash key order fast small")]
+
+    _write_batch(spark, inp, batch1)
+    incremental_dedup(spark, inp, SCHEMA, work, ckpt, "doc_id", "text", cfg=cfg)
+    _write_batch(spark, inp, batch2)
+    incremental_dedup(spark, inp, SCHEMA, work, ckpt, "doc_id", "text", cfg=cfg)
+
+    edges = spark.read.parquet(f"{work}/edges")
+    got = {(r["a_id"], r["b_id"]) for r in edges.collect()}
+    assert (1, 4) in got, got  # cross-batch near-dup
+    assert (2, 6) in got, got  # cross-batch exact dup
+
+    # parity with the batch pipeline (same candidate sources: exact+minhash)
+    full = spark.createDataFrame(batch1 + batch2, SCHEMA)
+    sig = compute_signatures(full, "doc_id", "text", cfg)
+    cand = (
+        exact_dup_edges(sig).select("a_id", "b_id", "source")
+        .unionByName(minhash_band_edges(sig, cfg).select("a_id", "b_id", "source"))
+        .groupBy("a_id", "b_id").agg(F.min("source").alias("source"))
+    )
+    want = {(r["a_id"], r["b_id"])
+            for r in verify_edges(cand, sig, cfg).collect()}
+    assert got == want, (got, want)
+
+    # exactly-once: nothing new -> edge table unchanged
+    incremental_dedup(spark, inp, SCHEMA, work, ckpt, "doc_id", "text", cfg=cfg)
+    assert spark.read.parquet(f"{work}/edges").count() == edges.count()
