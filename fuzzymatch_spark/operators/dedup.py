@@ -120,50 +120,73 @@ def _salted_self_join_pairs(
     (accounted by the caller via bucket stats, never silent).
 
     ``bands`` must have columns ``id`` + key_cols.  Returns (a_id, b_id).
-    """
-    from pyspark.sql import Window
 
-    w = Window.partitionBy(*key_cols)
-    sized = (
-        bands.withColumn("bucket_n", F.count("*").over(w))
-        .filter(F.col("bucket_n") > 1)
-        .filter(F.col("bucket_n") <= shard_target * max_shards)
+    Implementation: ONE exchange (groupBy on the bucket key, collect_list)
+    — same plan family as ``_hamming_band_edges`` (no window sort, no join
+    probe; measured faster at both 8 and 32 cores with identical output).
+    Sharding happens IN-ROW on the collected bucket: members split into g
+    hash-shards, the bucket row explodes into its g*(g+1)/2 triangle
+    blocks, and each block expands only its own A x B members — a
+    mega-bucket becomes bounded block expansions instead of one quadratic
+    straggler.  Aggregation state is bounded by shard_target * max_shards
+    members per group (larger buckets are dropped by the size filter;
+    ObjectHashAggregate falls back to sort-based spilling before that).
+    """
+    grouped = (
+        bands.groupBy(*key_cols)
+        .agg(F.collect_list("id").alias("ms"))
+        .filter(
+            (F.size("ms") > 1) & (F.size("ms") <= shard_target * max_shards)
+        )
         .withColumn(
             "g",
             F.least(
-                F.ceil(F.col("bucket_n") / F.lit(shard_target)),
-                F.lit(max_shards),
+                F.ceil(F.size("ms") / F.lit(shard_target)), F.lit(max_shards)
             ).cast("int"),
         )
         .withColumn(
-            "shard",
-            F.pmod(F.xxhash64("id", F.lit(seed)), F.col("g")).cast("int"),
+            "shards",
+            F.transform(
+                "ms",
+                lambda m: F.pmod(
+                    F.xxhash64(m, F.lit(seed)), F.col("g")
+                ).cast("int"),
+            ),
+        )
+        .withColumn(
+            "blk",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("g") - 1),
+                        lambda i: F.transform(
+                            F.sequence(i, F.col("g") - 1),
+                            lambda j: F.struct(i.alias("i"), j.alias("j")),
+                        ),
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "A",
+            F.filter("ms", lambda m, ix: F.get("shards", ix) == F.col("blk.i")),
+        )
+        .withColumn(
+            "B",
+            F.filter("ms", lambda m, ix: F.get("shards", ix) == F.col("blk.j")),
         )
     )
-    # each member covers every block (i <= j) that touches its shard:
-    # row role (shard, j >= shard) plus column role (i <= shard, shard);
-    # array_union removes the duplicate (shard, shard) block, so an
-    # unordered pair with shards (sx <= sy) meets exactly in block (sx, sy)
-    blocks = F.array_union(
-        F.transform(
-            F.sequence(F.col("shard"), F.col("g") - 1),
-            lambda j: F.struct(F.col("shard").alias("i"), j.alias("j")),
-        ),
-        F.transform(
-            F.sequence(F.lit(0), F.col("shard")),
-            lambda i: F.struct(i.alias("i"), F.col("shard").alias("j")),
-        ),
-    )
-    exploded = sized.select(
-        *key_cols, "id", F.explode(blocks).alias("blk")
-    ).select(*key_cols, "id", F.col("blk.i").alias("i"), F.col("blk.j").alias("j"))
-
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # diagonal blocks have A == B (both orders generated, normalized below);
+    # cross blocks generate each pair once — dropDuplicates also dedupes
+    # across bands, which the caller needed anyway
     return (
-        a.join(b, on=key_cols + ["i", "j"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        grouped.select(F.explode("A").alias("a"), "B")
+        .select("a", F.explode("B").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a_id"),
+            F.greatest("a", "b").alias("b_id"),
+        )
         .dropDuplicates(["a_id", "b_id"])
     )
 
