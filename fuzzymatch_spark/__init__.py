@@ -25,6 +25,7 @@ __all__ = [
     "GapPenalty",
     "MatchConfig",
     "SmithWatermanConfig",
+    "api",
 ]
 
 __version__ = "0.1.0"
