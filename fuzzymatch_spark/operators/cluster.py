@@ -76,24 +76,51 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # Iterative star rounds shrink the edge set geometrically; their
+    # shuffles are latency-bound, not volume-bound — exactly the case AQE's
+    # SIZE-FIRST partition coalescing is built for.  The session default is
+    # parallelism-first (right for the one-shot band joins); scope
+    # size-first + a size-derived shuffle fanout to this operator and
+    # restore afterwards.  The one up-front count is a single cheap job
+    # (callers hand in persisted or checkpointed edges) that saves a
+    # 64-way map fanout on every one of the O(log n) rounds.
+    spark = edges_df.sparkSession
+    _pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    _sp_key = "spark.sql.shuffle.partitions"
+    _pf_prev = spark.conf.get(_pf_key, "true")
+    _sp_prev = spark.conf.get(_sp_key)
+    n_edges = edges.count()
+    fanout = max(8, min(int(_sp_prev), int(n_edges / 100_000) + 1))
+    spark.conf.set(_pf_key, "false")
+    spark.conf.set(_sp_key, str(fanout))
     if checkpoint_fn is None:
+        # LAZY local checkpoint: lineage is cut, but materialization happens
+        # at the next action — which is the every-2nd-iteration fingerprint.
+        # Net: ONE job per two star rounds instead of three (two eager
+        # checkpoints + a fingerprint).  Pipelines that need durable
+        # per-iteration resume points pass an eager parquet checkpoint_fn
+        # instead (plans/pipeline.py).
         def checkpoint_fn(df: DataFrame, _i: int) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=False)
 
     # Convergence is checked every 2nd iteration: each fingerprint is a
     # full job + driver round-trip on top of the checkpoint materialization,
     # and large-star/small-star converges in O(log n) rounds — one possible
     # extra (cheap, already-converged) round costs less than a fingerprint
     # job per round.  At most ceil(max_iter/2) driver actions for the check.
-    prev_fp = None
-    for i in range(max_iter):
-        edges = _small_star(_large_star(edges))
-        edges = checkpoint_fn(edges, i)
-        if i % 2 == 1 or i == max_iter - 1:
-            fp = _fingerprint(edges)
-            if fp == prev_fp:
-                break
-            prev_fp = fp
+    try:
+        prev_fp = None
+        for i in range(max_iter):
+            edges = _small_star(_large_star(edges))
+            edges = checkpoint_fn(edges, i)
+            if i % 2 == 1 or i == max_iter - 1:
+                fp = _fingerprint(edges)
+                if fp == prev_fp:
+                    break
+                prev_fp = fp
+    finally:
+        spark.conf.set(_pf_key, _pf_prev)
+        spark.conf.set(_sp_key, _sp_prev)
 
     # converged: every edge is (node, component_min); nodes that ARE the
     # minimum appear only on the b side
