@@ -298,6 +298,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_phash_pairs"] = image_phash_pairs
 
+    def audio_fingerprint_pairs(spark, sf):  # stub codec: rows-only
+        # full audio near-dup pipeline: synth+encode -> decode ->
+        # RHP band-energy fingerprint -> Hamming band join -> signal-level
+        # verify (relative RMS) — the audio analog of the caption pipeline
+        from fuzzymatch_spark.operators.dedup import _hamming_band_edges
+        from fuzzymatch_spark.operators.multimodal import audio_verify_pairs
+        from fuzzymatch_spark.sources.audio import build_audio_df
+
+        clips = build_audio_df(spark, _docs(spark, sf).limit(150), "doc_id")
+        cand = _hamming_band_edges(
+            clips.select("clip_id", "fingerprint"), "clip_id", "fingerprint",
+            n_bands=8, max_hamming=2, source="audio",
+        )
+        return audio_verify_pairs(cand, clips).select(
+            "a_id", "b_id", "rel_rms"
+        ).orderBy("a_id", "b_id")
+
+    q["audio_fingerprint_pairs"] = audio_fingerprint_pairs
+
     def image_decode_stats(spark, sf):
         from fuzzymatch_spark.sources.images import build_images_df, decode_stats
 
