@@ -208,7 +208,7 @@ def _ceiling_work(args) -> int:
     return hi - lo
 
 
-def hw_ceiling_at(procs: int, n: int = 120_000, reps: int = 1) -> float:
+def hw_ceiling_at(procs: int, n: int = 60_000, reps: int = 1) -> float:
     """Hardware parallel-scaling ceiling at one worker count: the same
     per-image kernel via plain multiprocessing (zero coordination).  On
     virtualized CPUs the all-core clock is lower than the few-core clock
@@ -287,6 +287,21 @@ def run_scaling(rep: int = 64) -> dict:
     a warmup run precedes the timed run at each level."""
     out = {}
     base_reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    mp8_samples: list[float] = []
+    mp32_samples: list[float] = []
+
+    def sample_ceilings() -> None:
+        # Hypervisor steal is bursty on multi-minute scales, so the two mp
+        # ratio terms must be drawn from the SAME set of windows: BOTH
+        # ceiling levels are sampled at every interleaving point across the
+        # whole section (~15 min), each under its own pinning.  Min over
+        # draws estimates the unloaded wall for all four ratio terms, and a
+        # single dirty window can no longer poison one term alone.
+        _pin_cpus(8)
+        mp8_samples.append(hw_ceiling_at(8))
+        _pin_cpus(32)
+        mp32_samples.append(hw_ceiling_at(32))
+
     for cores in (8, 32):
         # budget-matched sampling: a 32-core repeat costs ~2.5x less wall
         # than an 8-core one, so the 32 level affords extra draws — min
@@ -294,14 +309,9 @@ def run_scaling(rep: int = 64) -> dict:
         # during a 32-core draw (unlike an 8-core one) UNDERSTATES scaling,
         # so the cheap level is where extra draws buy the most accuracy.
         reps = base_reps if cores == 8 else base_reps + 2
+        sample_ceilings()
         # the N-core level owns exactly N host vCPUs (see _pin_cpus)
         _pin_cpus(cores)
-        # Hypervisor steal is bursty and a short mp run can dodge a burst
-        # the long Spark run had to eat; ceiling samples are therefore
-        # INTERLEAVED with the Spark repeats (one before, one after each),
-        # and both sides take the min over their samples — the cleanest
-        # unloaded estimate available to each population.
-        mp_samples = [hw_ceiling_at(cores)]
         spark_samples = []
         spark = _mk_spark(f"local[{cores}]", f"bench-scaling-{cores}")
         _image_dedup_job(spark, 1, cores)  # warmup (JIT, python workers)
@@ -309,7 +319,8 @@ def run_scaling(rep: int = 64) -> dict:
             t0 = time.time()
             n_images, n_edges = _image_dedup_job(spark, rep, cores)
             spark_samples.append(round(time.time() - t0, 3))
-            mp_samples.append(hw_ceiling_at(cores))
+            sample_ceilings()
+            _pin_cpus(cores)
         spark.stop()
         best = min(spark_samples)
         out[f"local{cores}_sec"] = best
@@ -317,8 +328,10 @@ def run_scaling(rep: int = 64) -> dict:
         out[f"local{cores}_samples"] = spark_samples
         out["images"] = n_images
         out["phash_edges"] = n_edges
-        out[f"mp{cores}_sec"] = min(mp_samples)
-        out[f"mp{cores}_samples"] = mp_samples
+    out["mp8_sec"] = min(mp8_samples)
+    out["mp8_samples"] = mp8_samples
+    out["mp32_sec"] = min(mp32_samples)
+    out["mp32_samples"] = mp32_samples
     _pin_cpus(None)
     speedup = out["local8_sec"] / out["local32_sec"]
     out["speedup_8_to_32"] = round(speedup, 3)
