@@ -81,20 +81,30 @@ def exact_dup_edges(sig_df: DataFrame) -> DataFrame:
     rows the text column never enters this exchange.  A 64-bit hash + exact
     length makes false merges vanishingly unlikely; downstream verification
     scores edges anyway, so a collision cannot produce a wrong final score.
+
+    Memory is bounded per ROW, not per group: the group minimum is computed
+    with a plain ``min`` aggregate (constant state) and star edges come from
+    joining members back to their group min — a 10^8-member boilerplate
+    group becomes 10^8 bounded join rows across tasks, never one
+    10^8-element ``collect_list`` aggregation row.  Both join sides are
+    hash-partitioned on the same (nh, nlen) key, so the join reuses the
+    aggregation's exchange.
     """
     keyed = sig_df.select(
         F.xxhash64("caption_norm").alias("nh"),
         F.length("caption_norm").alias("nlen"),
         "id",
     )
-    grouped = (
+    mins = (
         keyed.groupBy("nh", "nlen")
-        .agg(F.min("id").alias("a_id"), F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.min("id").alias("a_id"), F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
     )
     return (
-        grouped.select("a_id", F.explode("ids").alias("b_id"))
-        .filter(F.col("a_id") != F.col("b_id"))
+        keyed.join(mins, on=["nh", "nlen"])
+        .filter(F.col("id") != F.col("a_id"))
+        .select("a_id", F.col("id").alias("b_id"))
         .withColumn("source", F.lit("exact"))
     )
 

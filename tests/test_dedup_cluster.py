@@ -123,6 +123,23 @@ def test_exact_dup_edges(spark, corpus):
     assert got == want
 
 
+def test_exact_dup_mega_group_bounded(spark):
+    """A 100k-member boilerplate group must complete as bounded join rows,
+    not one giant aggregation row: the plan carries no collect_list and the
+    star edges all point at the group minimum."""
+    n = 100_000
+    df = spark.range(n).select(
+        F.concat(F.lit("m"), F.lpad(F.col("id").cast("string"), 7, "0")).alias("id"),
+        F.lit("boilerplate caption").alias("caption_norm"),
+    )
+    edges = exact_dup_edges(df)
+    plan = edges._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "collect_list" not in plan
+    assert edges.count() == n - 1
+    lo, hi = edges.select(F.min("a_id"), F.max("a_id")).first()
+    assert lo == hi == "m0000000"
+
+
 def test_planted_recall_and_oracle_parity(spark, corpus):
     df, rows, dup_pairs = corpus
     sig = compute_signatures(df, "doc_id", "text", CFG).cache()
