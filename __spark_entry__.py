@@ -101,6 +101,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flagship_topk_fuzzy"] = flagship_topk
 
+    def topk_levenshtein_plan(spark, sf):
+        # ORACLE-CHECKED flagship plan: same prefilter -> Arrow kernel ->
+        # threshold -> top-k cascade as top_matches, restricted to plain-
+        # Levenshtein scoring so DuckDB reproduces it bit-identically
+        # (VERDICT r2 #6; the full reference scoring cascade stays
+        # golden-fixture-pinned in tests/test_kernels_golden.py).
+        from fuzzymatch_spark.operators.topk import top_matches_levenshtein
+
+        # min_score 0.3 yields a multi-row result with a wide score tie at
+        # sf0.01 — the hash check then pins the tie-break ordering too
+        return top_matches_levenshtein(
+            _vocab(spark, sf), "token", "straem", k=10, min_score=0.3
+        )
+
+    q["topk_levenshtein_plan"] = topk_levenshtein_plan
+
     def sw_topk(spark, sf):
         cfg = MatchConfig(algorithm="smithWaterman", min_score=0.1)
         out = top_matches(_docs(spark, sf), "text", "stream batch", k=20, config=cfg)
@@ -137,7 +153,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup (oracle-checked where exact) ----
     def token_reorder_dedup(spark, sf):
-        return token_sorted_dedup_groups(_docs(spark, sf), "doc_id", "text")
+        # The driver corpus has no token-reordered duplicates (0 == 0 rows
+        # proves only that the plan compiles), so plant them INSIDE the
+        # query: reversed-token copies of the first 20 docs, ids offset by
+        # 10M.  The oracle replicates the planting — the canonical-key
+        # groupBy is then value-checked on 20 real groups.
+        docs = _docs(spark, sf).select("doc_id", "text")
+        planted = docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+        )
+        return token_sorted_dedup_groups(
+            docs.unionByName(planted), "doc_id", "text"
+        )
 
     q["token_reorder_dedup"] = token_reorder_dedup
 
@@ -262,7 +290,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_rhp_knn_pairs"] = ann_lsh
 
     def cos_dups(spark, sf):
-        return cosine_dup_pairs(_emb(spark, sf), "embedding", min_cosine=0.9)
+        # Plant near-duplicate vectors (the driver embeddings are independent
+        # random unit vectors — no real pair clears 0.9): +0.02 per element
+        # on the first 50 vectors gives cos ~0.987 vs the original, well
+        # above threshold and reproduced verbatim in the oracle SQL.
+        emb = _emb(spark, sf).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        planted = emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+        )
+        return cosine_dup_pairs(
+            emb.unionByName(planted), "embedding", min_cosine=0.9
+        )
 
     q["cosine_dup_pairs"] = cos_dups
 
@@ -528,11 +569,19 @@ def oracle_sql() -> dict[str, str]:
             FROM grams GROUP BY doc_id
         """,
         "token_reorder_dedup": """
+            WITH allrows AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id,
+                     array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                       AS text
+              FROM documents WHERE doc_id < 20
+            )
             SELECT min(doc_id) AS canonical_id,
                    CAST(count(*) AS BIGINT) AS group_size
             FROM (SELECT doc_id,
                          array_to_string(list_sort(string_split(text, ' ')), ' ') AS key
-                  FROM documents)
+                  FROM allrows)
             GROUP BY key HAVING count(*) > 1
         """,
         "ngram_jaccard_pairs": f"""
@@ -604,6 +653,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.token, b.token) AS BIGINT) AS dist
             FROM toks a JOIN toks b ON a.token < b.token
             WHERE levenshtein(a.token, b.token) <= 2
+        """,
+        "topk_levenshtein_plan": """
+            WITH toks AS (
+              SELECT DISTINCT t.token
+              FROM documents d,
+                   unnest(string_split(d.text, ' ')) AS t(token)
+              WHERE len(t.token) > 0
+            ),
+            scored AS (
+              SELECT token,
+                     CAST(levenshtein(token, 'straem') AS BIGINT) AS dist,
+                     round(1.0 - CAST(levenshtein(token, 'straem') AS DOUBLE)
+                           / greatest(len(token), 6), 6) AS score
+              FROM toks
+            )
+            SELECT token, dist, score FROM scored
+            WHERE score >= 0.3
+            ORDER BY score DESC, token ASC
+            LIMIT 10
         """,
         "doc_fingerprint": """
             SELECT doc_id,
@@ -752,12 +820,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "cosine_dup_pairs": """
-            WITH nums AS (SELECT unnest(range(1, 65)) AS i),
+            WITH allv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.02)
+                       AS embedding
+              FROM embeddings WHERE vec_id < 50
+            ),
+            nums AS (SELECT unnest(range(1, 65)) AS i),
             terms AS (
               SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                     CAST(a.embedding[n.i] AS DOUBLE) AS x,
-                     CAST(b.embedding[n.i] AS DOUBLE) AS y
-              FROM embeddings a, embeddings b, nums n
+                     a.embedding[n.i] AS x,
+                     b.embedding[n.i] AS y
+              FROM allv a, allv b, nums n
               WHERE a.vec_id < b.vec_id AND n.i <= len(a.embedding)
             ),
             dots AS (

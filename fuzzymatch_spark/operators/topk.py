@@ -101,6 +101,76 @@ def top_matches(
     return scored.orderBy(F.desc("score"), F.asc(text_col)).limit(k)
 
 
+def top_matches_levenshtein(
+    df: DataFrame,
+    text_col: str,
+    query_text: str,
+    k: int = 10,
+    min_score: float = 0.5,
+) -> DataFrame:
+    """Restricted, cross-engine-checkable configuration of the flagship
+    top-k plan: the SAME structural cascade as ``top_matches`` (JVM length
+    prefilter -> repartition guard -> Arrow-batched distance kernel ->
+    threshold filter -> global top-k with deterministic tie-break), but with
+    plain-Levenshtein scoring ``score = 1 - lev/max(|q|,|c|)`` — the form
+    DuckDB reproduces bit-identically, so the driver hash-checks the whole
+    plan end-to-end (the full reference cascade stays golden-fixture-pinned;
+    reference semantics: `FuzzyMatcher+Convenience.swift:65-95`).
+
+    The length prefilter is DERIVED, not semantic: score >= s forces
+    ``|c| >= ceil(s * |q|)`` (a shorter candidate needs >= |q|-|c| edits), so
+    pruning below that bound cannot change the result set and the oracle SQL
+    needs no prefilter clause.
+    """
+    import math
+    from types import SimpleNamespace
+
+    from pyspark.sql.types import IntegerType
+
+    q_bytes = query_text.encode("utf-8")
+    qlen = len(q_bytes)
+    shim = SimpleNamespace(
+        min_candidate_length=math.ceil(min_score * qlen), bitmask=0,
+        bitmask_tolerance=0,
+    )
+    filtered = prefilter_columns(df, text_col, shim, mask_col=None)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if filtered.rdd.getNumPartitions() < par:
+        filtered = filtered.repartition(par)
+
+    s = float(min_score)
+
+    @F.pandas_udf(IntegerType())
+    def lev(c: pd.Series) -> pd.Series:
+        from fuzzymatch_spark.kernels.editdist import batch_levenshtein
+
+        raws = [(t or "").encode("utf-8") for t in c]
+        if not raws:
+            return pd.Series([], dtype="int32")
+        # batch budget: every row's own admissible distance
+        # (1-s)*max(|q|,|c_r|) is <= this cap, so capped rows are true
+        # rejects for their own bound too
+        cap = int((1.0 - s) * max(qlen, max(len(r) for r in raws)))
+        return pd.Series(batch_levenshtein([q_bytes] * len(raws), raws, cap))
+
+    scored = filtered.withColumn(
+        "dist", lev.asNondeterministic()(F.col(text_col))
+    )
+    score = F.round(
+        F.lit(1.0)
+        - F.col("dist").cast("double")
+        / F.greatest(F.octet_length(text_col), F.lit(qlen)).cast("double"),
+        6,
+    )
+    return (
+        scored.withColumn("score", score)
+        .filter(F.col("score") >= F.lit(s))
+        .select(text_col, F.col("dist").cast("long").alias("dist"), "score")
+        .orderBy(F.desc("score"), F.asc(text_col))
+        .limit(k)
+    )
+
+
 def top_matches_bulk(
     df: DataFrame,
     text_col: str,
@@ -203,6 +273,12 @@ def top_matches_fields(
     One scan, one Arrow Python stage per field, no shuffle before the
     global top-k — the row payload never moves, only scores are computed.
     """
+    if not field_cols:
+        raise ValueError("top_matches_fields requires >= 1 field column")
+    if len(field_cols) == 1:
+        # F.greatest needs >= 2 columns; a one-field pool IS top_matches
+        out = top_matches(df, field_cols[0], query_text, k=k, config=config)
+        return out.withColumn("field", F.lit(field_cols[0]))
     config = config or MatchConfig()
     q = prepare_query(query_text, config)
     score_udf = make_score_udf(q).asNondeterministic()
@@ -241,6 +317,8 @@ def top_matches_fields_bulk(
     """Whole query workload x multiple candidate fields in ONE corpus pass:
     per Arrow batch, one BatchCandidates per field reused across every
     query; row score = best field score (earlier fields win ties)."""
+    if not field_cols:
+        raise ValueError("top_matches_fields_bulk requires >= 1 field column")
     from pyspark.sql import Window
     from pyspark.sql.types import (
         ArrayType,

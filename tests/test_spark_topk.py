@@ -93,3 +93,45 @@ def test_flagship_on_documents(spark, documents):
     scores = [r["score"] for r in out]
     assert scores == sorted(scores, reverse=True)
     assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_top_matches_levenshtein_restricted_plan(spark, corpus_df):
+    """The oracle-checkable restricted config: score = 1 - lev/max(len),
+    brute-force parity + derived prefilter soundness."""
+    from fuzzymatch_spark.kernels.editdist import batch_levenshtein
+    from fuzzymatch_spark.operators.topk import top_matches_levenshtein
+
+    query, s = "getUser", 0.3
+    got = [
+        (r["text"], r["dist"], r["score"])
+        for r in top_matches_levenshtein(
+            corpus_df, "text", query, k=5, min_score=s
+        ).collect()
+    ]
+    qb = query.encode()
+    dists = batch_levenshtein(
+        [qb] * len(CORPUS), [c.encode() for c in CORPUS], 100
+    )
+    want = []
+    for c, d in zip(CORPUS, dists):
+        score = round(1.0 - d / max(len(qb), len(c.encode())), 6)
+        if score >= s:
+            want.append((c, int(d), score))
+    want.sort(key=lambda t: (-t[2], t[0]))
+    assert got == want[:5]
+    assert len(got) > 0
+
+
+def test_top_matches_fields_single_field(spark, corpus_df):
+    """A one-field pool must degrade to top_matches instead of crashing in
+    F.greatest (needs >= 2 cols)."""
+    from fuzzymatch_spark.operators.topk import top_matches, top_matches_fields
+
+    cfg = MatchConfig(min_score=0.3)
+    one = top_matches_fields(corpus_df, ["text"], "getUser", k=3, config=cfg)
+    rows = one.collect()
+    assert all(r["field"] == "text" for r in rows)
+    base = top_matches(corpus_df, "text", "getUser", k=3, config=cfg).collect()
+    assert [(r["text"], r["score"]) for r in rows] == [
+        (r["text"], r["score"]) for r in base
+    ]
