@@ -81,51 +81,43 @@ def audio_verify_pairs(
     cand: DataFrame,
     clips_df: DataFrame,
     id_col: str = "clip_id",
-    bytes_col: str = "bytes",
+    env_col: str = "envelope",
     max_rel_rms: float = 0.1,
 ) -> DataFrame:
-    """Verify audio candidate pairs by decoding both signals and comparing
-    relative RMS error — the audio analog of the caption pipeline's
-    two-tier verify (fingerprint bands generate candidates, the exact
-    signal check decides).  Near-dup twins (re-encode / mild noise) land at
-    ~0.5% error; unrelated clips at ~100%+.
+    """Verify audio candidate pairs on the compact RMS-envelope digest —
+    the audio analog of the caption pipeline's two-tier verify (fingerprint
+    bands generate candidates, the signal-level check decides).  Near-dup
+    twins (re-encode / mild noise) land at ~1e-3 relative envelope error;
+    unrelated clips at O(1).
 
-    Payload discipline: the bytes column is joined in ONLY for the
-    candidate pairs (a tiny fraction of the corpus), decoded in an
-    Arrow-batched UDF, never shuffled wide.
+    Payload discipline: the digest (64 float32) is computed inside
+    ``build_audio_df`` where the bytes live; this join ships ONLY ids +
+    digests and the comparison is whole-stage-codegen JVM arithmetic — no
+    audio bytes in any shuffle, no Python stage (the round-2 version joined
+    full ``bytes`` through two shuffles and decoded per pair).
     """
     from pyspark.sql import functions as F2
-    from pyspark.sql.types import DoubleType
 
-    from fuzzymatch_spark.sources.audio import decode_audio
+    envs = clips_df.select(id_col, env_col)
+    a = envs.select(F2.col(id_col).alias("a_id"), F2.col(env_col).alias("a_env"))
+    b = envs.select(F2.col(id_col).alias("b_id"), F2.col(env_col).alias("b_env"))
 
-    @F2.pandas_udf(DoubleType())
-    def rel_rms(a_bytes: pd.Series, b_bytes: pd.Series) -> pd.Series:
-        out = np.zeros(len(a_bytes))
-        for k in range(len(a_bytes)):
-            xa, _ = decode_audio(bytes(a_bytes.iloc[k]))
-            xb, _ = decode_audio(bytes(b_bytes.iloc[k]))
-            n = min(len(xa), len(xb))
-            if n == 0:
-                out[k] = float("inf")
-                continue
-            da = xa[:n].astype(np.float64)
-            db = xb[:n].astype(np.float64)
-            denom = np.sqrt(np.mean(da**2)) + 1e-9
-            out[k] = float(np.sqrt(np.mean((da - db) ** 2)) / denom)
-        return pd.Series(out)
+    def _sumsq(col):
+        return F2.aggregate(
+            col, F2.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
 
-    blobs = clips_df.select(id_col, bytes_col)
-    a = blobs.withColumnRenamed(id_col, "a_id").withColumnRenamed(
-        bytes_col, "a_bytes"
+    diff = F2.zip_with(
+        "a_env", "b_env", lambda x, y: x.cast("double") - y.cast("double")
     )
-    b = blobs.withColumnRenamed(id_col, "b_id").withColumnRenamed(
-        bytes_col, "b_bytes"
-    )
+    n = F2.greatest(F2.size("a_env"), F2.lit(1))
+    rel = F2.sqrt(
+        F2.aggregate(diff, F2.lit(0.0), lambda acc, v: acc + v * v) / n
+    ) / (F2.sqrt(_sumsq(F2.col("a_env")) / n) + F2.lit(1e-9))
     return (
         cand.join(a, on="a_id")
         .join(b, on="b_id")
-        .withColumn("rel_rms", rel_rms("a_bytes", "b_bytes"))
+        .withColumn("rel_rms", rel)
         .filter(F2.col("rel_rms") <= F2.lit(max_rel_rms))
         .select("a_id", "b_id", F2.round("rel_rms", 6).alias("rel_rms"))
     )

@@ -11,14 +11,22 @@ real decoder is a two-line change inside decode_audio.  Everything
 Spark-side — binary column schema, mapInPandas batch shape, the
 fingerprint UDF, Hamming-band dedup — is real and tested.
 
-The per-clip fingerprint is a Chromaprint-shaped 64-bit signature:
+The per-clip fingerprint is a 64-bit random-hyperplane sketch of a
+continuous 128-dim band-energy TRAJECTORY descriptor:
   frame the PCM (2048-sample windows, hop 1024) -> magnitude spectrum
-  (numpy rFFT) -> 16 log-spaced band energies -> sign of the
-  time-then-band energy delta per (frame, band) -> a 15-bit frame code ->
-  SimHash over frame codes -> 64-bit clip signature.
-Near-identical audio (re-encode, mild noise, small gain) lands within a
-small Hamming distance, so clips dedup with the SAME Manku
-combination-key band join as images (operators/dedup._hamming_band_edges).
+  (numpy rFFT) -> 16 log-spaced band energies -> log1p, averaged around 8
+  time anchors (8 x 16 = 128 dims) -> z-score (centering spreads vector
+  directions; raw log-energies are all-positive and would all sketch
+  alike) -> sign of 64 fixed random projections -> 64-bit clip signature.
+Near-identical audio (re-encode, mild noise, small gain) flips only a few
+projection signs (measured Hamming <= 2 vs >= 3 for unrelated clips), so
+clips dedup with the SAME Manku combination-key band join as images
+(operators/dedup._hamming_band_edges).
+
+Alongside the fingerprint, ``build_audio_df`` emits a compact ``envelope``
+digest (per-segment RMS, 64 float32) computed where the bytes live — the
+verify tier compares envelopes JVM-side, so audio payloads never ride a
+shuffle (same discipline as the image stage's build_phash_df).
 """
 
 from __future__ import annotations
@@ -102,11 +110,11 @@ def _band_energies(pcm: np.ndarray, sample_rate: int) -> np.ndarray:
 
 
 def clip_features(pcm: np.ndarray, sample_rate: int) -> np.ndarray:
-    """Continuous 47-dim clip descriptor: mean + std of log band energies
-    over time (16 + 16) and the mean time-delta sign per band transition
-    (15).  Continuous features make the sketch noise-robust: a mild
-    perturbation moves the vector slightly instead of rerolling discrete
-    codes (the failure mode of hashing exact per-frame bit patterns)."""
+    """Continuous 128-dim clip descriptor: the log band-energy trajectory
+    at 8 time anchors x 16 bands, z-scored and L2-normalized.  Continuous
+    features make the sketch noise-robust: a mild perturbation moves the
+    vector slightly instead of rerolling discrete codes (the failure mode
+    of hashing exact per-frame bit patterns)."""
     e = _band_energies(pcm, sample_rate)
     loge = np.log1p(e)
     # band-energy TRAJECTORY at 8 time anchors (8 x 16 = 128 dims): two
@@ -127,6 +135,26 @@ def clip_features(pcm: np.ndarray, sample_rate: int) -> np.ndarray:
     feat = (traj - traj.mean()) / s if s > 0 else traj - traj.mean()
     nrm = np.linalg.norm(feat)
     return feat / nrm if nrm > 0 else feat
+
+
+_ENV_SEGS = 64
+
+
+def rms_envelope(pcm: np.ndarray, n_segs: int = _ENV_SEGS) -> np.ndarray:
+    """Compact signal digest: RMS over ``n_segs`` equal slices of the clip
+    (float32).  This is the VERIFY column — near-identical signals (noise,
+    re-encode, small gain) keep relative envelope error ~1e-3 while
+    unrelated clips differ at O(1), and comparing 64 floats JVM-side means
+    the verify join never touches audio bytes."""
+    x = pcm.astype(np.float64)
+    n = len(x)
+    if n == 0:
+        return np.zeros(n_segs, dtype=np.float32)
+    edges = (np.arange(n_segs + 1) * n) // n_segs
+    csum = np.concatenate(([0.0], np.cumsum(x * x)))
+    seg_sq = csum[edges[1:]] - csum[edges[:-1]]
+    cnt = np.maximum(np.diff(edges), 1)
+    return np.sqrt(seg_sq / cnt).astype(np.float32)
 
 
 _AUDIO_PLANES = np.random.RandomState(4242).normal(size=(128, 64))
@@ -150,16 +178,17 @@ def build_audio_df(
     seed: int = 42,
 ):
     """audio table synthesized deterministically from a documents table:
-    (clip_id, bytes, sample_rate, n_samples, fingerprint); a seeded
-    fraction of rows get a near-dup twin (same signal + mild noise +
+    (clip_id, bytes, sample_rate, n_samples, fingerprint, envelope); a
+    seeded fraction of rows get a near-dup twin (same signal + mild noise +
     re-encode) — the planted positives for the fingerprint Hamming stage.
-    The fingerprint is computed where the bytes live; payloads never cross
-    into any shuffle (same discipline as the image stage)."""
+    Fingerprint AND the envelope verify digest are computed where the bytes
+    live; payloads never cross into any shuffle (same discipline as the
+    image stage)."""
     import pandas as pd
 
     schema = (
         "clip_id string, bytes binary, sample_rate int, n_samples int, "
-        "fingerprint long"
+        "fingerprint long, envelope array<float>"
     )
     par = spark.sparkContext.defaultParallelism
     if docs_df.rdd.getNumPartitions() < par:
@@ -169,7 +198,7 @@ def build_audio_df(
         for pdf in batches:
             out = {k: [] for k in
                    ("clip_id", "bytes", "sample_rate", "n_samples",
-                    "fingerprint")}
+                    "fingerprint", "envelope")}
 
             def emit(cid, pcm, sr):
                 data = encode_audio(pcm, sr)
@@ -179,6 +208,7 @@ def build_audio_df(
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(len(dec))
                 out["fingerprint"].append(audio_fingerprint64(dec, sr))
+                out["envelope"].append(rms_envelope(dec))
 
             for rid in pdf[id_col].astype(str):
                 pcm = synth_samples(rid)

@@ -81,3 +81,29 @@ def test_audio_dedup_pipeline(spark, documents):
     assert norm == {tuple(sorted(t)) for t in want}, (
         f"missing={want - got}, spurious={norm - {tuple(sorted(t)) for t in want}}"
     )
+
+
+def test_audio_verify_payload_free(spark, documents):
+    """The verify join must never ship audio bytes nor run per-pair Python:
+    digests are computed in the builder, compared JVM-side."""
+    from fuzzymatch_spark.operators.dedup import _hamming_band_edges
+    from fuzzymatch_spark.operators.multimodal import audio_verify_pairs
+
+    clips = build_audio_df(spark, documents.limit(40), "doc_id")
+    cand = _hamming_band_edges(
+        clips.select("clip_id", "fingerprint"), "clip_id", "fingerprint",
+        n_bands=8, max_hamming=2, source="audio",
+    )
+    verified = audio_verify_pairs(cand, clips)
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    plan = verified._jdf.queryExecution().executedPlan().toString()
+    # the mapInPandas builder necessarily lists its full output schema
+    # (Python functions emit every column; pruning happens in the Project
+    # right above) — bytes must appear NOWHERE else: no join, no exchange,
+    # no projection ships the payload
+    bad = [
+        ln for ln in plan.splitlines()
+        if "bytes#" in ln and "MapInPandas" not in ln
+    ]
+    assert not bad, f"audio payload column rode the verify plan: {bad}"
+    assert "ArrowEvalPython" not in plan, "verify ran a per-pair Python stage"
