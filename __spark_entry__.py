@@ -283,7 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         both = emb.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         ).unionByName(planted)
-        return rhp_knn_pairs(both, "embedding", min_cosine=0.7).orderBy(
+        return rhp_knn_pairs(both, "embedding", min_cosine=0.7, dim=64).orderBy(
             "a_id", "b_id"
         )
 

@@ -110,10 +110,15 @@ def rhp_knn_pairs(
     seed: int = 42,
     max_hamming: int = 7,
     min_cosine: float = 0.7,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed near-neighbor pairs: sketch -> banded Hamming join ->
-    exact cosine verify (JVM-side) on survivors."""
-    dim = len(df.select(vec_col).first()[0])
+    exact cosine verify (JVM-side) on survivors.
+
+    Pass ``dim`` (embedding dimensionality) when known — inferring it costs
+    a driver action (``first()``) that re-executes the input DAG."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     sk = rhp_sketch_udf(dim, seed)
     sketched = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sk(F.col(vec_col)).alias("rhp")

@@ -70,6 +70,14 @@ def connected_components(
 
     ``checkpoint_fn(df, iteration) -> df`` optionally replaces
     localCheckpoint (e.g. writing a parquet stage checkpoint for resume).
+
+    Thread-safety note: the iteration rounds run under operator-scoped
+    session conf (size-first AQE coalescing + a size-derived shuffle
+    fanout, restored in ``finally``).  Session conf is process-global in
+    Spark, so OTHER queries submitted concurrently on the same
+    SparkSession during the O(log n) rounds would also see the reduced
+    fanout — run this operator serially with respect to other work on the
+    session (the staged pipeline does; see plans/pipeline.py).
     """
     edges = (
         edges_df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
@@ -89,8 +97,17 @@ def connected_components(
     _sp_key = "spark.sql.shuffle.partitions"
     _pf_prev = spark.conf.get(_pf_key, "true")
     _sp_prev = spark.conf.get(_sp_key)
-    n_edges = edges.count()
-    fanout = max(8, min(int(_sp_prev), int(n_edges / 100_000) + 1))
+    # size the per-round fanout from the edge count — but only when the
+    # input is materialized (persisted/checkpointed/cached): counting an
+    # unmaterialized frame would re-execute the caller's entire upstream
+    # DAG just to tune a knob.  Unmaterialized inputs keep the session
+    # fanout (correct, merely less latency-tuned).
+    sl = edges_df.storageLevel
+    if sl.useMemory or sl.useDisk:
+        n_edges = edges.count()
+        fanout = max(8, min(int(_sp_prev), int(n_edges / 100_000) + 1))
+    else:
+        fanout = int(_sp_prev)
     spark.conf.set(_pf_key, "false")
     spark.conf.set(_sp_key, str(fanout))
     if checkpoint_fn is None:

@@ -9,21 +9,69 @@ signature stage an incremental front door:
       -> readStream (file source tracks processed files in the stream
          checkpoint — exactly-once per file)
       -> foreachBatch: the SAME fused signature pass used by the batch
-         pipeline, appended to the signatures table
+         pipeline, written to a batch-scoped partition
 
 Downstream stages (candidate edges, verify, clustering) then run as batch
 jobs over the growing signatures table; LSH band keys are per-row, so new
 rows only generate candidate pairs against existing band buckets — the
 standard incremental-LSH pattern.
+
+Idempotency model: ``foreachBatch`` is AT-LEAST-once (a crash between the
+sink and the stream-checkpoint commit replays the batch under the SAME
+batch_id), so every write is scoped to its batch — ``<table>/batch=<id>``
+written with mode("overwrite") — and a per-batch commit marker under
+``_commits/<id>`` is created LAST through the Hadoop FS API (works on
+HDFS/S3, not just the local FS).  A replay overwrites its own partition
+with identical content and re-creates the marker; readers that must not
+observe an in-flight batch use ``read_committed``.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from fuzzymatch_spark.config import DedupConfig
 from fuzzymatch_spark.operators.dedup import compute_signatures
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _write_commit_marker(spark: SparkSession, commits_dir: str, batch_id: int) -> None:
+    fs, d, jvm = _hadoop_fs(spark, commits_dir)
+    fs.mkdirs(d)
+    p = jvm.org.apache.hadoop.fs.Path(d, str(batch_id))
+    fs.create(p, True).close()
+
+
+def committed_batches(spark: SparkSession, commits_dir: str) -> list[int]:
+    """Batch ids with a commit marker, ascending (Hadoop FS — portable)."""
+    fs, d, _ = _hadoop_fs(spark, commits_dir)
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.isdigit():
+            out.append(int(name))
+    return sorted(out)
+
+
+def read_committed(spark: SparkSession, work_dir: str, table: str) -> DataFrame | None:
+    """Read ONLY the committed batch partitions of a ``work_dir`` table
+    (``signatures`` / ``bands`` / ``edges``); None when nothing committed."""
+    commits = committed_batches(spark, os.path.join(work_dir, "_commits"))
+    paths = [os.path.join(work_dir, table, f"batch={b}") for b in commits]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
 
 
 def incremental_signatures(
@@ -37,12 +85,14 @@ def incremental_signatures(
     cfg: DedupConfig | None = None,
     available_now: bool = True,
 ):
-    """Start (and by default drain) a file-source stream that appends
+    """Start (and by default drain) a file-source stream that writes
     signature rows for every new input file.
 
     ``available_now=True`` processes everything currently in ``input_dir``
     and stops — the batch-with-resume mode; ``False`` returns the running
-    query for continuous ingest.
+    query for continuous ingest.  Each micro-batch overwrites its own
+    ``batch=<id>`` partition, so an at-least-once replay cannot duplicate
+    rows; ``spark.read.parquet(output_dir)`` sees the whole table.
     """
     cfg = cfg or DedupConfig()
     stream = (
@@ -53,7 +103,7 @@ def incremental_signatures(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sig = compute_signatures(batch_df, id_col, text_col, cfg)
-        sig.write.mode("append").parquet(output_dir)
+        sig.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(sink)
@@ -66,19 +116,15 @@ def incremental_signatures(
     return writer.start()
 
 
-def incremental_dedup(
+def make_dedup_sink(
     spark: SparkSession,
-    input_dir: str,
-    schema: StructType | str,
     work_dir: str,
-    checkpoint_dir: str,
     id_col: str,
     text_col: str,
     cfg: DedupConfig | None = None,
-    available_now: bool = True,
 ):
-    """Incremental near-duplicate detection: the standard incremental-LSH
-    pattern over a file-source stream.
+    """The incremental-dedup ``foreachBatch`` sink, exposed as a factory so
+    at-least-once replay (same batch_id, same rows) is directly testable.
 
     Per micro-batch of NEW rows:
 
@@ -86,23 +132,18 @@ def incremental_dedup(
       2. candidate edges touching >= 1 new row:
            new x new       — the batch band self-join on just the new rows
            new x existing  — new rows' (band, key) equi-joined against the
-                             ACCUMULATED bands table (band keys of old rows
-                             are stored, never recomputed)
+                             COMMITTED bands partitions (band keys of old
+                             rows are stored, never recomputed)
            exact           — hash-join on (xxhash64(norm), len) new vs all
-      3. two-tier verify (same verify_edges), APPEND to the edges table
-      4. append new signatures + new band keys to their tables
+      3. two-tier verify (same verify_edges)
+      4. write edges/signatures/bands to ``<table>/batch=<id>`` partitions
+         (mode overwrite — a replay rewrites identical content), then
+         create the ``_commits/<id>`` marker LAST.
 
-    Each batch touches O(|new| * bands) band rows plus matching buckets —
-    history is never rescanned.  Clustering stays a batch job over the
-    accumulated edges table (connected components is global by nature; the
-    north-rule pipeline runs it from the edges checkpoint).
-
-    Exactly-once per input file via the stream checkpoint, like
-    ``incremental_signatures``.  Tables under ``work_dir``:
-    ``signatures/``, ``bands/``, ``edges/``.
+    History is strictly the committed batches BELOW the current id, so a
+    replay after a post-marker crash sees exactly the pre-batch corpus and
+    reproduces the same partition content.
     """
-    import os
-
     from pyspark.sql import functions as F
 
     from fuzzymatch_spark.operators.dedup import (
@@ -116,22 +157,23 @@ def incremental_dedup(
     sig_dir = os.path.join(work_dir, "signatures")
     bands_dir = os.path.join(work_dir, "bands")
     edges_dir = os.path.join(work_dir, "edges")
-
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 32)
-        .parquet(input_dir)
-    )
+    commits_dir = os.path.join(work_dir, "_commits")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         new_sig = compute_signatures(batch_df, id_col, text_col, cfg).persist()
         new_bands = minhash_bands(new_sig, cfg).persist()
 
-        have_history = os.path.exists(os.path.join(sig_dir, "_SUCCESS"))
+        history = [
+            b for b in committed_batches(spark, commits_dir) if b < batch_id
+        ]
         cand = minhash_band_edges(new_sig, cfg).select("a_id", "b_id", "source")
-        if have_history:
-            old_sig = spark.read.parquet(sig_dir)
-            old_bands = spark.read.parquet(bands_dir)
+        if history:
+            old_sig = spark.read.parquet(
+                *[f"{sig_dir}/batch={b}" for b in history]
+            )
+            old_bands = spark.read.parquet(
+                *[f"{bands_dir}/batch={b}" for b in history]
+            )
             cross = (
                 new_bands.alias("n")
                 .join(old_bands.alias("o"), on=["band", "key"])
@@ -171,14 +213,47 @@ def incremental_dedup(
         cand = cand.groupBy("a_id", "b_id").agg(F.min("source").alias("source"))
 
         verified = verify_edges(cand, all_sig, cfg)
-        verified.write.mode("append").parquet(edges_dir)
-        new_sig.write.mode("append").parquet(sig_dir)
-        new_bands.write.mode("append").parquet(bands_dir)
+        verified.write.mode("overwrite").parquet(f"{edges_dir}/batch={batch_id}")
+        new_sig.write.mode("overwrite").parquet(f"{sig_dir}/batch={batch_id}")
+        new_bands.write.mode("overwrite").parquet(
+            f"{bands_dir}/batch={batch_id}"
+        )
+        _write_commit_marker(spark, commits_dir, batch_id)
         new_sig.unpersist()
         new_bands.unpersist()
 
+    return sink
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType | str,
+    work_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    cfg: DedupConfig | None = None,
+    available_now: bool = True,
+):
+    """Incremental near-duplicate detection: the standard incremental-LSH
+    pattern over a file-source stream (see ``make_dedup_sink`` for the
+    per-batch plan and the idempotency model).  Clustering stays a batch
+    job over the accumulated edges table (connected components is global by
+    nature; the north-rule pipeline runs it from the edges checkpoint).
+
+    Tables under ``work_dir``: ``signatures/``, ``bands/``, ``edges/``
+    (batch-partitioned), plus ``_commits/`` markers.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 32)
+        .parquet(input_dir)
+    )
     writer = (
-        stream.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(
+            make_dedup_sink(spark, work_dir, id_col, text_col, cfg)
+        )
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
