@@ -84,32 +84,21 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    # Iterative star rounds shrink the edge set geometrically; their
-    # shuffles are latency-bound, not volume-bound — exactly the case AQE's
-    # SIZE-FIRST partition coalescing is built for.  The session default is
-    # parallelism-first (right for the one-shot band joins); scope
-    # size-first + a size-derived shuffle fanout to this operator and
-    # restore afterwards.  The one up-front count is a single cheap job
-    # (callers hand in persisted or checkpointed edges) that saves a
-    # 64-way map fanout on every one of the O(log n) rounds.
+    # Two-regime conf strategy (A/B-measured at sf0.1, 948k edges):
+    # the FIRST round carries the full edge volume and wants the session's
+    # parallelism-first AQE coalescing + full shuffle fanout; the star
+    # rounds then shrink the edge set geometrically (948k -> ~3k after one
+    # round on a dense corpus), after which rounds are latency-bound and
+    # want SIZE-FIRST coalescing + a small fanout.  The switch is driven by
+    # the convergence fingerprint's edge count — no up-front count job, no
+    # re-execution of the caller's DAG, and the big round is never starved
+    # (the round-2 static size-first/fanout-10 scheme cost +25% here).
     spark = edges_df.sparkSession
     _pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     _sp_key = "spark.sql.shuffle.partitions"
     _pf_prev = spark.conf.get(_pf_key, "true")
     _sp_prev = spark.conf.get(_sp_key)
-    # size the per-round fanout from the edge count — but only when the
-    # input is materialized (persisted/checkpointed/cached): counting an
-    # unmaterialized frame would re-execute the caller's entire upstream
-    # DAG just to tune a knob.  Unmaterialized inputs keep the session
-    # fanout (correct, merely less latency-tuned).
-    sl = edges_df.storageLevel
-    if sl.useMemory or sl.useDisk:
-        n_edges = edges.count()
-        fanout = max(8, min(int(_sp_prev), int(n_edges / 100_000) + 1))
-    else:
-        fanout = int(_sp_prev)
-    spark.conf.set(_pf_key, "false")
-    spark.conf.set(_sp_key, str(fanout))
+    _small_threshold = 50_000
     if checkpoint_fn is None:
         # LAZY local checkpoint: lineage is cut, but materialization happens
         # at the next action — which is the every-2nd-iteration fingerprint.
@@ -127,6 +116,7 @@ def connected_components(
     # job per round.  At most ceil(max_iter/2) driver actions for the check.
     try:
         prev_fp = None
+        small = False
         for i in range(max_iter):
             edges = _small_star(_large_star(edges))
             edges = checkpoint_fn(edges, i)
@@ -135,6 +125,10 @@ def connected_components(
                 if fp == prev_fp:
                     break
                 prev_fp = fp
+                if not small and fp[0] < _small_threshold:
+                    small = True
+                    spark.conf.set(_pf_key, "false")
+                    spark.conf.set(_sp_key, "8")
     finally:
         spark.conf.set(_pf_key, _pf_prev)
         spark.conf.set(_sp_key, _sp_prev)
