@@ -289,6 +289,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_rhp_knn_pairs"] = ann_lsh
 
+    def ann_ivf(spark, sf):
+        # ORACLE-CHECKED IVF ANN: deterministic first-C coarse quantizer,
+        # 6-dp-rounded cosine cell assignment (ties to lower centroid id),
+        # probe top-2 cells, exact cosine top-k inside them — the whole
+        # inverted-file plan reproduces bit-identically in DuckDB.
+        from fuzzymatch_spark.operators.ann import ivf_topk
+
+        emb = _emb(spark, sf)
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+        return ivf_topk(emb, "embedding", qv, k=10, n_centroids=8, n_probe=2)
+
+    q["ann_ivf_topk"] = ann_ivf
+
     def cos_dups(spark, sf):
         # Plant near-duplicate vectors (the driver embeddings are independent
         # random unit vectors — no real pair clears 0.9): +0.02 per element
@@ -741,6 +755,61 @@ def oracle_sql() -> dict[str, str]:
                      CAST(e.embedding[n.i] AS DOUBLE) AS a,
                      CAST(q.qv[n.i] AS DOUBLE) AS b
               FROM embeddings e, q, nums n
+              WHERE n.i <= len(e.embedding)
+            ),
+            dots AS (
+              SELECT vec_id, sum(a * b) AS dot,
+                     sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb
+              FROM terms GROUP BY vec_id
+            )
+            SELECT vec_id, round(dot / (na * nb), 5) AS cos
+            FROM dots
+            ORDER BY cos DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "ann_ivf_topk": """
+            WITH nums AS (SELECT unnest(range(1, 65)) AS i),
+            cents AS (
+              SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8
+            ),
+            pairs AS (
+              SELECT e.vec_id, c.cid,
+                     sum(CAST(e.embedding[n.i] AS DOUBLE)
+                         * CAST(c.embedding[n.i] AS DOUBLE)) AS dot,
+                     sqrt(sum(CAST(e.embedding[n.i] AS DOUBLE)
+                              * CAST(e.embedding[n.i] AS DOUBLE))) AS ne,
+                     sqrt(sum(CAST(c.embedding[n.i] AS DOUBLE)
+                              * CAST(c.embedding[n.i] AS DOUBLE))) AS nc
+              FROM embeddings e, cents c, nums n
+              WHERE n.i <= len(e.embedding)
+              GROUP BY e.vec_id, c.cid
+            ),
+            scored AS (
+              SELECT vec_id, cid, round(dot / (ne * nc), 6) AS cos FROM pairs
+            ),
+            assign AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cid ASC) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT cid FROM (
+                SELECT cid, row_number() OVER (ORDER BY cos DESC, cid ASC) AS rn
+                FROM scored WHERE vec_id = 0
+              ) WHERE rn <= 2
+            ),
+            cand AS (
+              SELECT a.vec_id FROM assign a JOIN probes p ON a.cell = p.cid
+            ),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            terms AS (
+              SELECT e.vec_id,
+                     CAST(e.embedding[n.i] AS DOUBLE) AS a,
+                     CAST(q.qv[n.i] AS DOUBLE) AS b
+              FROM embeddings e JOIN cand USING (vec_id), q, nums n
               WHERE n.i <= len(e.embedding)
             ),
             dots AS (

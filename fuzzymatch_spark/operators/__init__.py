@@ -1,6 +1,7 @@
 from fuzzymatch_spark.operators.topk import (
     score_candidates,
     top_matches,
+    top_matches_levenshtein,
     top_matches_multi,
 )
 from fuzzymatch_spark.operators.dedup import (
@@ -16,10 +17,21 @@ from fuzzymatch_spark.operators.cluster import (
     cluster_assignments,
     connected_components,
 )
+from fuzzymatch_spark.operators.ann import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    rhp_knn_pairs,
+)
+from fuzzymatch_spark.operators.fuzzyjoin import (
+    fuzzy_token_candidates,
+    fuzzy_token_join,
+)
 
 __all__ = [
     "score_candidates",
     "top_matches",
+    "top_matches_levenshtein",
     "top_matches_multi",
     "compute_signatures",
     "exact_dup_edges",
@@ -30,4 +42,10 @@ __all__ = [
     "verify_edges",
     "connected_components",
     "cluster_assignments",
+    "cosine_topk",
+    "ivf_assign",
+    "ivf_topk",
+    "rhp_knn_pairs",
+    "fuzzy_token_candidates",
+    "fuzzy_token_join",
 ]

@@ -6,8 +6,17 @@
   oracle path.
 * ``rhp_lsh_buckets`` / ``rhp_knn_pairs`` — random-hyperplane (SimHash for
   vectors) LSH: 64 signed projections -> 64-bit sketch -> banded Hamming
-  join.  The 10^12-row scale path: candidates meet in band buckets; exact
-  cosine verifies survivors only.
+  join.  The 10^12-row scale path for PAIR generation: candidates meet in
+  band buckets; exact cosine verifies survivors only.
+* ``ivf_assign`` / ``ivf_topk`` — inverted-file (coarse-quantizer) ANN for
+  QUERY serving: every vector is assigned to its nearest centroid cell
+  once (one BLAS pass per Arrow batch); a query probes only the
+  ``n_probe`` nearest cells, so the scan prunes ``1 - n_probe/C`` of the
+  corpus.  At scale the table is written partitioned by ``cell`` and the
+  probe filter becomes partition pruning at the source.  Centroid choice
+  and cell assignment are deterministic (first-C rows, cosine rounded to 6
+  decimals, ties to the lower centroid id), so the whole operator is
+  DuckDB-reproducible and oracle-checked end-to-end.
 """
 
 from __future__ import annotations
@@ -135,3 +144,79 @@ def rhp_knn_pairs(
         .filter(F.col("cos") >= F.lit(min_cosine))
         .select("a_id", "b_id", "cos")
     )
+
+
+def _centroid_matrix(df: DataFrame, vec_col: str, id_col: str, n_centroids: int):
+    """Deterministic coarse quantizer: the first ``n_centroids`` rows by id
+    (L2-normalized).  A production build would k-means these; the fixed
+    choice keeps the operator reproducible across engines (and is exactly
+    how IVF indexes behave under a frozen codebook)."""
+    rows = (
+        df.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    cents = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return cents / norms, [int(r[0]) for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (max cosine, 6-dp
+    rounded, ties to the lower centroid index) — ONE matrix multiply per
+    Arrow batch.  At 10^12 rows this is the index-build pass; write the
+    result partitioned by ``cell`` so probes prune partitions."""
+    from pyspark.sql.types import IntegerType
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # (dim, C)
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int32)
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        cos = np.round((mat / nrm) @ cmat, 6)
+        return pd.Series(np.argmax(cos, axis=1).astype(np.int32))
+
+    return df.withColumn(cell_col, assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` cells nearest the query
+    and run the exact cosine top-k inside them only.
+
+    Recall shape: near-duplicate neighbors (cos ~1) share the query's cell
+    essentially always; weak neighbors may fall outside the probed cells —
+    the standard IVF trade.  The probe filter is a JVM ``isin`` over the
+    cell column (partition pruning when the table is cell-partitioned)."""
+    cents, _ = _centroid_matrix(df, vec_col, id_col, n_centroids)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qcos = np.round((q / (qn if qn > 0 else 1.0)) @ cents.T, 6)
+    # ties to the lower centroid id: stable sort on (-cos, id)
+    order = sorted(range(len(qcos)), key=lambda i: (-qcos[i], i))
+    probes = order[: min(n_probe, len(order))]
+
+    assigned = ivf_assign(df, vec_col, cents, id_col=id_col)
+    pruned = assigned.filter(F.col("cell").isin(*[int(p) for p in probes]))
+    out = cosine_topk(pruned, vec_col, [float(x) for x in query_vec], k=k,
+                      id_col=id_col)
+    return out

@@ -93,3 +93,41 @@ def test_rhp_knn_finds_planted_neighbors(spark):
     planted = {(i * 2, i * 2 + 1) for i in range(40)}
     recall = len(planted & pairs) / len(planted)
     assert recall >= 0.9, recall
+
+
+def test_ivf_topk_recall_and_pruning(spark):
+    """IVF ANN: near-duplicate neighbors (planted perturbed copies of the
+    query) are recovered through the probed cells, and the probe filter
+    genuinely prunes most of the corpus."""
+    from fuzzymatch_spark.operators.ann import (
+        _centroid_matrix,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    dim, n, n_planted = 16, 200, 8
+    base = rng.normal(size=(n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    qv = base[0]
+    planted = qv[None, :] + rng.normal(0, 0.05, size=(n_planted, dim))
+    vecs = np.vstack([base, planted])
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = ivf_topk(df, "embedding", [float(x) for x in qv], k=n_planted + 1,
+                   n_centroids=8, n_probe=2)
+    got = {r["vec_id"] for r in out.collect()}
+    want = {0} | set(range(n, n + n_planted))  # query itself + its copies
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, (sorted(got), sorted(want))
+
+    # the probe filter prunes: assigned cells are a real partition of the
+    # corpus, so 2-of-8 probes scan well under half of it
+    cents, _ = _centroid_matrix(df, "embedding", "vec_id", 8)
+    assigned = ivf_assign(df, "embedding", cents)
+    sizes = {r["cell"]: r["count"]
+             for r in assigned.groupBy("cell").count().collect()}
+    assert set(sizes) <= set(range(8)) and sum(sizes.values()) == n + n_planted
+    top2 = sorted(sizes.values(), reverse=True)[:2]
+    assert sum(top2) < 0.7 * (n + n_planted), sizes
