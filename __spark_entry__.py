@@ -344,6 +344,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["video_frame_phash"] = video_frame_phash
 
+    def video_dup_pairs_q(spark, sf):  # stub codec: rows-only
+        # video near-dup end-to-end: synth containers (every even doc's
+        # video gets a noisy twin) -> frame sample + per-frame pHash ->
+        # Hamming band join on frames -> frame-set containment per pair
+        from fuzzymatch_spark.operators.multimodal import (
+            encode_video,
+            frame_sample,
+            video_dup_pairs,
+        )
+        from fuzzymatch_spark.sources.images import synth_pixels
+
+        import numpy as np
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                out = {"video_id": [], "bytes": []}
+                for rid in pdf["doc_id"].astype(str):
+                    frames = [synth_pixels(f"{rid}f{i}", 24, 24) for i in range(8)]
+                    out["video_id"].append(f"vid_{rid}")
+                    out["bytes"].append(encode_video(frames))
+                    if int(rid) % 2 == 0:  # planted noisy twin
+                        rng = np.random.RandomState(int(rid) + 77)
+                        noisy = [
+                            np.clip(
+                                f.astype(np.int16)
+                                + rng.randint(-3, 4, f.shape),
+                                0, 255,
+                            ).astype(np.uint8)
+                            for f in frames
+                        ]
+                        out["video_id"].append(f"vid_{rid}_dup")
+                        out["bytes"].append(encode_video(noisy))
+                yield pd.DataFrame(out)
+
+        docs = _docs(spark, sf).limit(100).repartition(8)
+        videos = docs.select("doc_id").mapInPandas(
+            gen, schema="video_id string, bytes binary"
+        )
+        frames = frame_sample(videos, every_k=2)
+        return video_dup_pairs(frames, min_frac=0.5).orderBy("a_id", "b_id")
+
+    q["video_dup_pairs"] = video_dup_pairs_q
+
     # ---- multimodal (stub codec; Spark plumbing real: rows-only) ----
     def image_phash_pairs(spark, sf):
         from fuzzymatch_spark.sources.images import build_images_df
@@ -383,6 +427,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["image_decode_stats"] = image_decode_stats
+
+    def multimodal_dedup_clusters(spark, sf):  # stub codec: rows-only
+        # THE north-star query in one plan: an image+caption table of the
+        # input_hint shape (image_id, bytes, w, h, fmt, caption, phash) ->
+        # caption near-dup edges (MinHash/SimHash/exact LSH + two-tier
+        # verify) UNION perceptual pHash Hamming edges -> connected
+        # components -> (image_id, cluster_id) for every row.  Payloads
+        # never shuffle: captions ride the signature UDF once, bytes stay
+        # inside the builder.
+        from fuzzymatch_spark.sources.images import build_images_df
+
+        docs = _docs(spark, sf).limit(250)
+        images = build_images_df(spark, docs, "doc_id", "text").persist()
+        sig = compute_signatures(images, "image_id", "caption", DENSE).persist()
+        cap_edges = verify_edges(candidate_edges(sig, DENSE), sig, DENSE)
+        img_edges = phash_band_edges(
+            images.select("image_id", "phash"), CFG
+        )
+        edges = (
+            cap_edges.select("a_id", "b_id")
+            .unionByName(img_edges.select("a_id", "b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        ids = images.select(F.col("image_id"))
+        return cluster_assignments(edges, ids, id_col="image_id").orderBy(
+            "image_id"
+        )
+
+    q["multimodal_dedup_clusters"] = multimodal_dedup_clusters
 
     # ---- generic relational coverage (oracle-checked) ----
     def tpch_q1(spark, sf):

@@ -147,3 +147,61 @@ def frame_sample(
             yield pd.DataFrame(out)
 
     return videos_df.select(id_col, bytes_col).mapInPandas(go, schema=schema)
+
+
+def video_dup_pairs(
+    frames_df: DataFrame,
+    id_col: str = "video_id",
+    phash_col: str = "frame_phash",
+    max_hamming: int = 6,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Video near-duplicate pairs from sampled-frame pHash sets.
+
+    Frame-level candidates come from the SAME Manku combination-key Hamming
+    join as still images (operators/dedup._hamming_band_edges) over the
+    per-frame hashes that ``frame_sample`` emits; two videos match when at
+    least ``min_frac`` of the SHORTER side's sampled frames have a matching
+    frame in the other (frame-set containment — robust to trims and
+    re-encodes).  Everything is JVM-side; payloads never appear (the frame
+    table is (video_id, frame_idx, phash))."""
+    from pyspark.sql import functions as F2
+
+    from fuzzymatch_spark.operators.dedup import _hamming_band_edges
+
+    f = frames_df.select(
+        F2.col(id_col).alias("vid"),
+        F2.concat_ws("#", id_col, "frame_idx").alias("fid"),
+        F2.col(phash_col).alias("ph"),
+    )
+    n_frames = f.groupBy("vid").agg(F2.count("*").alias("nf"))
+    pairs = _hamming_band_edges(
+        f.select("fid", "ph"), "fid", "ph", n_bands=8,
+        max_hamming=max_hamming, source="vframe",
+    )
+    va = F2.substring_index("a_id", "#", 1)
+    vb = F2.substring_index("b_id", "#", 1)
+    cross = (
+        pairs.filter(va != vb)
+        .select(
+            F2.least(va, vb).alias("v1"),
+            F2.greatest(va, vb).alias("v2"),
+            F2.when(va < vb, F2.col("a_id")).otherwise(F2.col("b_id")).alias("f1"),
+            F2.when(va < vb, F2.col("b_id")).otherwise(F2.col("a_id")).alias("f2"),
+        )
+    )
+    agg = cross.groupBy("v1", "v2").agg(
+        F2.countDistinct("f1").alias("m1"), F2.countDistinct("f2").alias("m2")
+    )
+    n1 = n_frames.select(F2.col("vid").alias("v1"), F2.col("nf").alias("n1"))
+    n2 = n_frames.select(F2.col("vid").alias("v2"), F2.col("nf").alias("n2"))
+    frac = F2.when(
+        F2.col("n1") <= F2.col("n2"), F2.col("m1") / F2.col("n1")
+    ).otherwise(F2.col("m2") / F2.col("n2"))
+    return (
+        agg.join(n1, on="v1").join(n2, on="v2")
+        .withColumn("matched_frac", F2.round(frac, 6))
+        .filter(F2.col("matched_frac") >= F2.lit(min_frac))
+        .select(F2.col("v1").alias("a_id"), F2.col("v2").alias("b_id"),
+                "matched_frac")
+    )

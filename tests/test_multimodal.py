@@ -44,3 +44,40 @@ def test_frame_sample(spark):
     assert all(r["w"] == 24 for r in sampled)
     # frame pHashes are real signatures (distinct frames -> distinct-ish)
     assert len({r["frame_phash"] for r in sampled}) > 10
+
+
+def test_video_dup_pairs_planted(spark):
+    """Planted noisy-twin videos are recovered via frame-set containment;
+    unrelated videos never pair."""
+    import numpy as np
+    import pandas as pd
+
+    from fuzzymatch_spark.operators.multimodal import (
+        encode_video,
+        frame_sample,
+        video_dup_pairs,
+    )
+    from fuzzymatch_spark.sources.images import synth_pixels
+
+    rng = np.random.RandomState(9)
+    rows = []
+    want = set()
+    for v in range(12):
+        frames = [synth_pixels(f"v{v}f{i}", 24, 24) for i in range(8)]
+        rows.append((f"vid{v:02d}", encode_video(frames)))
+        if v % 2 == 0:
+            noisy = [
+                np.clip(f.astype(np.int16) + rng.randint(-3, 4, f.shape),
+                        0, 255).astype(np.uint8)
+                for f in frames
+            ]
+            rows.append((f"vid{v:02d}_dup", encode_video(noisy)))
+            want.add((f"vid{v:02d}", f"vid{v:02d}_dup"))
+
+    videos = spark.createDataFrame(rows, "video_id string, bytes binary")
+    frames = frame_sample(videos, every_k=2)
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in video_dup_pairs(frames, min_frac=0.5).collect()
+    }
+    assert got == want, (got, want)
