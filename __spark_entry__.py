@@ -189,7 +189,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["suffix_run_pairs"] = suffix_runs
 
-    def minhash_lsh(spark, sf):  # probabilistic band join: rows-only
+    def minhash_lsh(spark, sf):
+        # ORACLE-CHECKED banded-LSH self-join: the band decomposition is a
+        # pure function of the (already bit-identical, see minhash_sig4)
+        # signatures, so DuckDB reproduces the pair set by joining on the
+        # concatenated 16-value band keys.  The Spark side joins on
+        # xxhash64(band, slice) — equal keys iff equal slices (64-bit
+        # collisions are ~2^-65 here); bucket caps cannot engage at driver
+        # scale (500 docs << shard_target * max_shards).
         return minhash_band_edges(_sig(spark, sf), DENSE).orderBy("a_id", "b_id")
 
     q["minhash_lsh_pairs"] = minhash_lsh
@@ -625,7 +632,43 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(min(({int(a_params[i])} * CAST(g AS BIGINT) + {int(b_params[i])}) % 4294967311) AS BIGINT) AS mh{i}"
         for i in range(4)
     )
+
+    def _mh_expr(i: int) -> str:
+        return (
+            f"min(({int(a_params[i])} * CAST(g AS BIGINT) + "
+            f"{int(b_params[i])}) % 4294967311)"
+        )
+
+    r = DENSE.rows_per_band
+    band_keys = ",\n              ".join(
+        "concat_ws(','," + ", ".join(
+            f"CAST({_mh_expr(j * r + i)} AS VARCHAR)" for i in range(r)
+        ) + f") AS k{j}"
+        for j in range(DENSE.bands)
+    )
+    band_union = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, k{j} AS key FROM sigs"
+        for j in range(DENSE.bands)
+    )
+    minhash_lsh_sql = f"""
+            WITH {_GRAMS},
+            sigs AS (
+              SELECT doc_id,
+              {band_keys}
+              FROM grams GROUP BY doc_id
+            ),
+            bands AS (
+              {band_union}
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   'minhash' AS source
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.key = b.key
+                        AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+    """
     return {
+        "minhash_lsh_pairs": minhash_lsh_sql,
         "doc_normalize": """
             SELECT doc_id, lower(text) AS caption_norm FROM documents
         """,
