@@ -120,3 +120,47 @@ def test_exchange_reuse_or_aqe_present(spark, documents):
     pairs = ngram_jaccard_pairs(sig, threshold_pct=98)
     plan = plan_of(pairs)
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_levenshtein_topk_prefilter_below_python(spark, documents):
+    """The restricted flagship config keeps the derived length prefilter
+    below its Arrow kernel, like the full cascade."""
+    from fuzzymatch_spark.operators.topk import top_matches_levenshtein
+
+    vocab = (
+        documents.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    plan = plan_of(top_matches_levenshtein(vocab, "token", "straem", k=5))
+    py = plan.find("ArrowEvalPython")
+    assert py != -1
+    below = plan[py:]
+    assert "octet_length" in below, "length prefilter not below the kernel"
+
+
+def test_passjoin_candidates_jvm_only(spark, documents):
+    """PassJoin candidate generation (segment keys, windows, join) is pure
+    JVM; Python appears only in the final Levenshtein verify."""
+    from fuzzymatch_spark.operators.fuzzyjoin import fuzzy_token_candidates
+
+    vocab = (
+        documents.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    plan = plan_of(fuzzy_token_candidates(vocab, 2))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ivf_probe_filter_is_jvm(spark, embeddings):
+    """The IVF probe is a JVM isin filter over the assigned cell (partition
+    pruning at scale); the only Python stage is the one BLAS assignment."""
+    from fuzzymatch_spark.operators.ann import ivf_topk
+
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    plan = plan_of(ivf_topk(embeddings, "embedding", qv, k=5,
+                            n_centroids=4, n_probe=2))
+    assert plan.count("ArrowEvalPython") <= 1
+    assert re.search(r"cell#\d+ IN", plan) or " IN (" in plan
