@@ -67,7 +67,13 @@ def encode_image(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode to a 2-D uint8 grayscale array. See STUB NOTICE above."""
+    """Decode to a 2-D uint8 grayscale array. See STUB NOTICE above.
+
+    Containers the stand-in codec wrote decode byte-exactly; anything else
+    (real PNG/JPEG/WebP bytes) falls through to Pillow when it is
+    installed — that IS the production swap-in path, and it needs no code
+    change beyond `pip install pillow` (exercised by a mocked-PIL test in
+    tests/test_images_phash.py since the real library is absent here)."""
     magic = data[:4]
     if magic == _MAGIC_PNG:
         w, h = struct.unpack("<HH", data[4:8])
@@ -77,6 +83,13 @@ def decode_image(data: bytes) -> np.ndarray:
         w, h, _step = struct.unpack("<HHB", data[4:9])
         raw = zlib.decompress(data[9:])
         return np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+    if HAVE_PIL:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(data)).convert("L")
+        return np.asarray(img, dtype=np.uint8)
     raise NotImplementedError("unknown image container (real codecs stubbed)")
 
 

@@ -107,3 +107,50 @@ def test_build_phash_df_matches_full_table(spark, documents):
     }
     assert sig == full
     assert len(sig) > 300  # twins present
+
+
+def test_real_decoder_branch_via_mocked_pil(monkeypatch):
+    """The production swap-in path: bytes the stand-in codec does not
+    recognize go to Pillow when present.  Pillow is absent in this sandbox,
+    so a minimal mock stands in — the test pins the branch wiring (open ->
+    grayscale convert -> uint8 ndarray -> pHash-able), which is everything
+    the engine owns; the codec itself is Pillow's."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from fuzzymatch_spark.kernels.phash import phash64
+    from fuzzymatch_spark.sources import images
+
+    want = np.arange(48 * 48, dtype=np.uint8).reshape(48, 48)
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return want
+
+    fake_image_mod = types.SimpleNamespace(
+        open=lambda buf: _FakeImg()
+    )
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(
+        sys.modules, "PIL.Image",
+        types.SimpleNamespace(open=fake_image_mod.open),
+    )
+    monkeypatch.setattr(images, "HAVE_PIL", True)
+
+    # real-world magic (PNG header), unknown to the stand-in codec
+    out = images.decode_image(b"\x89PNG\r\n\x1a\n...payload...")
+    assert out.dtype == np.uint8 and out.shape == (48, 48)
+    assert np.array_equal(out, want)
+    assert isinstance(phash64(out), int)
+
+    # and with PIL absent, unknown containers still fail loudly
+    monkeypatch.setattr(images, "HAVE_PIL", False)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        images.decode_image(b"\x89PNG\r\n\x1a\nxxxx")
