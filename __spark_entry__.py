@@ -258,6 +258,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint_bands"] = fp_bands
 
     # ---- text analysis (oracle-checked) ----
+    def bpe_stats(spark, sf):
+        from fuzzymatch_spark.operators.textstats import bpe_token_stats
+
+        # plant mixed-content rows (contractions, digits, punctuation) so
+        # the regex's interesting branches are value-checked, not just the
+        # all-lowercase corpus shape
+        docs = _docs(spark, sf).select("doc_id", "text")
+        planted = docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+            F.concat(F.lit("It's 42 degrees... "), F.col("text")).alias("text"),
+        )
+        return bpe_token_stats(docs.unionByName(planted), "doc_id", "text")
+
+    q["bpe_token_stats"] = bpe_stats
+
     q["token_stats"] = lambda spark, sf: token_stats(_docs(spark, sf), "doc_id", "text")
     q["quality_score"] = lambda spark, sf: quality_score(_docs(spark, sf), "doc_id", "text")
     q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf), "doc_id", "text")
@@ -817,6 +832,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(band AS INT) AS band,
                    CAST((fp >> (band * 15)) & 32767 AS BIGINT) AS key
             FROM fps, bands
+        """,
+        "bpe_token_stats": """
+            WITH allrows AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000000 AS doc_id,
+                     'It''s 42 degrees... ' || text AS text
+              FROM documents WHERE doc_id < 10
+            ),
+            toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +',
+                       0) AS ts
+              FROM allrows
+            )
+            SELECT doc_id,
+                   CAST(len(ts) AS BIGINT) AS n_bpe_pieces,
+                   CAST(len(list_filter(ts, x -> regexp_matches(x, '^ ?[A-Za-z]+$')))
+                     AS BIGINT) AS n_alpha_pieces,
+                   CAST(len(list_filter(ts, x -> regexp_matches(x, '^ ?[0-9]+$')))
+                     AS BIGINT) AS n_digit_pieces
+            FROM toks
         """,
         "token_stats": """
             SELECT doc_id,

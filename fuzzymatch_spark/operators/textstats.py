@@ -124,3 +124,37 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         pred.alias("pred_lang"),
     )
     return out
+
+
+# --- BPE-style pre-tokenization (GPT-2-shaped regex) ---------------------
+# The standard byte-pair-encoding PRE-tokenizer splits text into
+# contraction suffixes, (space-prefixed) letter runs, digit runs,
+# punctuation runs, and residual whitespace BEFORE the merge table runs —
+# token COUNTS from this split are the practical "how many BPE tokens,
+# roughly" estimator a training pipeline budgets with (the merge table
+# only ever merges WITHIN these pieces, so the piece count lower-bounds
+# and tracks the true token count).  The pattern uses only portable
+# constructs (alternation, classes, non-capturing groups) so Java regex
+# (Spark) and RE2 (DuckDB) agree — cross-engine oracle-checked.
+_BPE_PRETOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    "| ?[^A-Za-z0-9 ]+"
+    "| +"
+)
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc BPE-ish pre-token counts: total pieces, letter-run pieces,
+    digit-run pieces — all JVM-side (`regexp_extract_all`, whole-stage
+    codegen), no tokenizer library needed."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(_BPE_PRETOKEN_RE), 0)
+    alpha = F.filter(toks, lambda t: t.rlike("^ ?[A-Za-z]+$"))
+    digit = F.filter(toks, lambda t: t.rlike("^ ?[0-9]+$"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_bpe_pieces"),
+        F.size(alpha).cast("long").alias("n_alpha_pieces"),
+        F.size(digit).cast("long").alias("n_digit_pieces"),
+    )

@@ -131,3 +131,22 @@ def test_ivf_topk_recall_and_pruning(spark):
     assert set(sizes) <= set(range(8)) and sum(sizes.values()) == n + n_planted
     top2 = sorted(sizes.values(), reverse=True)[:2]
     assert sum(top2) < 0.7 * (n + n_planted), sizes
+
+
+def test_bpe_token_stats(spark):
+    """GPT-2-shaped pre-tokenizer counts: contractions split off, letter
+    and digit runs counted separately, punctuation/whitespace residual."""
+    from fuzzymatch_spark.operators.textstats import bpe_token_stats
+
+    rows = [(0, "It's 42 degrees, isn't it?"), (1, "abc  def"), (2, "12ab34")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bpe_pieces"], r["n_alpha_pieces"],
+                         r["n_digit_pieces"])
+           for r in bpe_token_stats(df, "doc_id", "text").collect()}
+    # "It"," 's"?? -> pieces: It | 's | " 42" | " degrees" | "," | " isn"
+    #                | 't | " it" | "?"
+    assert got[0] == (9, 4, 1), got[0]
+    # "abc" | "  " is split as " " run? double space: " ?[A-Za-z]+" takes
+    # one leading space; residual " " matches the whitespace run
+    assert got[1] == (3, 2, 0), got[1]
+    assert got[2] == (3, 1, 2), got[2]  # 12 | ab | 34
