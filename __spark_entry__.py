@@ -189,6 +189,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["suffix_run_pairs"] = suffix_runs
 
+    def winnow_fps(spark, sf):
+        from fuzzymatch_spark.operators.suffix import winnow_fingerprints
+
+        return winnow_fingerprints(_docs(spark, sf), "doc_id", "text",
+                                   k=6, w=4)
+
+    q["winnow_fingerprints"] = winnow_fps
+
     def minhash_lsh(spark, sf):
         # ORACLE-CHECKED banded-LSH self-join: the band decomposition is a
         # pure function of the (already bit-identical, see minhash_sig4)
@@ -682,7 +690,32 @@ def oracle_sql() -> dict[str, str]:
                         AND a.doc_id < b.doc_id
             GROUP BY 1, 2
     """
+    _wk, _ww, _wb, _wm = 6, 4, 257, 2147483647
+    _wterms = " + ".join(
+        f"ascii(substr(d.text, n.i + {j}, 1)) * {_wb ** (_wk - 1 - j)}"
+        for j in range(_wk)
+    )
+    winnow_sql = f"""
+            WITH nums AS (SELECT unnest(range(1, 4000)) AS i),
+            grams AS (
+              SELECT d.doc_id, n.i AS pos,
+                     ({_wterms}) % {_wm} AS h
+              FROM documents d JOIN nums n
+                ON n.i <= len(d.text) - {_wk - 1}
+            ),
+            wmin AS (
+              SELECT doc_id, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND {_ww - 1} FOLLOWING) AS fp,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM grams
+            )
+            SELECT DISTINCT doc_id, fp
+            FROM wmin WHERE pos <= n - {_ww - 1}
+    """
     return {
+        "winnow_fingerprints": winnow_sql,
         "minhash_lsh_pairs": minhash_lsh_sql,
         "doc_normalize": """
             SELECT doc_id, lower(text) AS caption_norm FROM documents

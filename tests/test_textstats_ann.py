@@ -143,10 +143,32 @@ def test_bpe_token_stats(spark):
     got = {r["doc_id"]: (r["n_bpe_pieces"], r["n_alpha_pieces"],
                          r["n_digit_pieces"])
            for r in bpe_token_stats(df, "doc_id", "text").collect()}
-    # "It"," 's"?? -> pieces: It | 's | " 42" | " degrees" | "," | " isn"
-    #                | 't | " it" | "?"
+    # It | 's | " 42" | " degrees" | "," | " isn" | 't | " it" | "?"
     assert got[0] == (9, 4, 1), got[0]
-    # "abc" | "  " is split as " " run? double space: " ?[A-Za-z]+" takes
-    # one leading space; residual " " matches the whitespace run
+    # abc | "  " (letter-run takes at most one leading space) | def
     assert got[1] == (3, 2, 0), got[1]
     assert got[2] == (3, 1, 2), got[2]  # 12 | ab | 34
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing invariants: a substring shared across docs of length
+    >= w + k - 1 yields a common fingerprint; density stays ~2/(w+1); and
+    unrelated text shares nothing."""
+    from fuzzymatch_spark.operators.suffix import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, "prefix one " + shared + " suffix alpha"),
+        (1, "another beginning here " + shared + " tail"),
+        (2, "completely unrelated content with other words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, "doc_id", "text", k=6, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "shared run produced no common fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    # density: far fewer fingerprints than grams, but never zero
+    n_grams0 = len(rows[0][1]) - 5
+    assert 0 < len(fps[0]) < 0.7 * n_grams0
