@@ -282,7 +282,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_token_stats"] = bpe_stats
 
     q["token_stats"] = lambda spark, sf: token_stats(_docs(spark, sf), "doc_id", "text")
-    q["quality_score"] = lambda spark, sf: quality_score(_docs(spark, sf), "doc_id", "text")
+    def quality_q(spark, sf):
+        # plant punctuation/stopword-bearing rows so the new ratio columns
+        # are value-checked on non-zero values (the corpus is bare
+        # lowercase words)
+        docs = _docs(spark, sf).select("doc_id", "text")
+        planted = docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
+            F.concat(F.lit("The quick, brown fox!!! It is "), F.col("text"))
+            .alias("text"),
+        )
+        return quality_score(docs.unionByName(planted), "doc_id", "text")
+
+    q["quality_score"] = quality_q
     q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf), "doc_id", "text")
 
     # ---- similarity search ----
@@ -900,15 +912,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "quality_score": """
-            WITH t AS (
-              SELECT doc_id, len(text) AS nc,
+            WITH allrows AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 30000000 AS doc_id,
+                     'The quick, brown fox!!! It is ' || text AS text
+              FROM documents WHERE doc_id < 10
+            ),
+            t AS (
+              SELECT doc_id, text, len(text) AS nc,
                      len(string_split(text, ' ')) AS nt,
-                     len(list_distinct(string_split(text, ' '))) AS nd
-              FROM documents
+                     len(list_distinct(string_split(text, ' '))) AS nd,
+                     len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                       AS np,
+                     len(list_filter(string_split(text, ' '),
+                         x -> lower(x) IN ('the','and','of','is','to','a',
+                                           'in','it','that'))) AS ns
+              FROM allrows
             )
             SELECT doc_id,
                    round(nd * 1.0 / nt, 6) AS ttr,
                    round((nc - nt + 1) * 1.0 / nt, 6) AS mean_token_len,
+                   round(np * 1.0 / greatest(nc, 1), 6) AS punct_ratio,
+                   round(ns * 1.0 / nt, 6) AS stopword_ratio,
                    CAST(CASE WHEN nc >= 20 AND nc <= 10000
                              AND nd * 1.0 / nt >= 0.2
                         THEN 1 ELSE 0 END AS INT) AS quality_pass

@@ -29,16 +29,32 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+_EN_STOPWORDS = ["the", "and", "of", "is", "to", "a", "in", "it", "that"]
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Simple quality heuristics: length band, TTR, mean token length."""
+    """Quality heuristics for training-data filtering: length band, TTR,
+    mean token length, punctuation ratio (non-alphanumeric-non-space chars
+    per char), and stopword ratio (English-marker tokens per token) — all
+    pure column expressions, DuckDB-reproducible."""
     toks = F.split(F.col(text_col), " ")
     n_tokens = F.size(toks)
     mean_tok = (F.length(text_col) - n_tokens + 1) / n_tokens
     ttr = F.size(F.array_distinct(toks)) / n_tokens
+    n_punct = F.length(
+        F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", "")
+    )
+    punct_ratio = n_punct / F.greatest(F.length(text_col), F.lit(1))
+    stop_ratio = F.size(
+        F.filter(F.transform(toks, lambda t: F.lower(t)),
+                 lambda t: t.isin(_EN_STOPWORDS))
+    ) / n_tokens
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.round(ttr, 6).alias("ttr"),
         F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
         (
             (F.length(text_col) >= 20)
             & (F.length(text_col) <= 10000)
