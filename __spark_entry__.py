@@ -184,6 +184,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters
 
+    def dedup_canonical(spark, sf):
+        # the pipeline's END PRODUCT: corpus filtered to one representative
+        # per duplicate cluster (survivor = row whose id == cluster min)
+        from fuzzymatch_spark.operators.cluster import canonical_corpus
+
+        sig = _sig(spark, sf).persist()
+        edges = ngram_jaccard_pairs(sig, threshold_pct=JACCARD_PCT)
+        ids = sig.select(F.col("id").alias("doc_id"))
+        clusters = cluster_assignments(edges, ids, id_col="doc_id")
+        docs = _docs(spark, sf).select(
+            "doc_id", F.length("text").cast("long").alias("n_chars")
+        )
+        return canonical_corpus(docs, clusters)
+
+    q["dedup_canonical_corpus"] = dedup_canonical
+
     def suffix_runs(spark, sf):
         return suffix_run_pairs(_docs(spark, sf), "doc_id", "text", run_len=32)
 
@@ -296,6 +312,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_score"] = quality_q
     q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf), "doc_id", "text")
+
+    def mask_pii_q(spark, sf):
+        from fuzzymatch_spark.operators.textstats import mask_pii
+
+        # plant email/URL/long-number rows (the corpus is bare words) so
+        # every masking branch is value-checked
+        docs = _docs(spark, sf).select("doc_id", "text")
+        planted = docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + F.lit(40_000_000)).alias("doc_id"),
+            F.concat(
+                F.lit("mail bob.smith+x@example.co.uk or "
+                      "https://ex.org/a?id=99 card 4111222233334444 "),
+                F.col("text"),
+            ).alias("text"),
+        )
+        return mask_pii(docs.unionByName(planted), "doc_id", "text")
+
+    q["mask_pii"] = mask_pii_q
 
     # ---- similarity search ----
     def ann_topk(spark, sf):
@@ -821,6 +855,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(least(d.doc_id, r.m), d.doc_id) AS BIGINT)
                      AS cluster_id
             FROM documents d LEFT JOIN mins r ON r.u = d.doc_id
+        """,
+        "dedup_canonical_corpus": "WITH RECURSIVE " + f"""
+            {_JACCARD_EDGES_BODY},
+            bi AS (
+              SELECT a_id AS u, b_id AS v FROM edges
+              UNION SELECT b_id, a_id FROM edges
+            ),
+            walk(u, v) AS (
+              SELECT u, v FROM bi
+              UNION
+              SELECT w.u, e.v FROM walk w JOIN bi e ON w.v = e.u
+            ),
+            mins AS (SELECT u, min(v) AS m FROM walk GROUP BY u)
+            SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars
+            FROM documents d LEFT JOIN mins r ON r.u = d.doc_id
+            WHERE COALESCE(least(d.doc_id, r.m), d.doc_id) = d.doc_id
+        """,
+        "mask_pii": """
+            WITH allrows AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 40000000 AS doc_id,
+                     'mail bob.smith+x@example.co.uk or '
+                     || 'https://ex.org/a?id=99 card 4111222233334444 '
+                     || text AS text
+              FROM documents WHERE doc_id < 10
+            ),
+            s1 AS (
+              SELECT doc_id, text,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', 0))
+                       AS BIGINT) AS n_email,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM allrows
+            ),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t1, 'https?://[^ ]+', 0))
+                       AS BIGINT) AS n_url,
+                     regexp_replace(t1, 'https?://[^ ]+', '<URL>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_url,
+                   CAST(len(regexp_extract_all(t2, '[0-9]{7,}', 0))
+                     AS BIGINT) AS n_longnum,
+                   regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g')
+                     AS masked_text
+            FROM s2
         """,
         "suffix_run_pairs": """
             WITH nums AS (SELECT unnest(range(1, 2000)) AS i),

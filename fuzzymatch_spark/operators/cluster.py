@@ -71,9 +71,9 @@ def connected_components(
     ``checkpoint_fn(df, iteration) -> df`` optionally replaces
     localCheckpoint (e.g. writing a parquet stage checkpoint for resume).
 
-    Thread-safety note: the iteration rounds run under operator-scoped
-    session conf (size-first AQE coalescing + a size-derived shuffle
-    fanout, restored in ``finally``).  Session conf is process-global in
+    Thread-safety note: once the edge set collapses, the remaining rounds
+    run under operator-scoped session conf (size-first AQE coalescing + a
+    small fanout, restored in ``finally``).  Session conf is process-global in
     Spark, so OTHER queries submitted concurrently on the same
     SparkSession during the O(log n) rounds would also see the reduced
     fanout — run this operator serially with respect to other work on the
@@ -159,3 +159,25 @@ def cluster_assignments(
             F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
         )
     )
+
+
+def canonical_corpus(
+    docs_df: DataFrame,
+    clusters_df: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: the corpus with one representative
+    row per duplicate cluster.
+
+    ``cluster_id`` is the minimum member id by construction
+    (connected_components labels components by min node), so the
+    representative of every cluster is exactly the row whose id equals its
+    cluster id — survivor selection is a single equi-join plus a JVM
+    predicate, no aggregation.  At 10^12 rows both sides are partitioned by
+    id; the join is the only shuffle and ships ids only.
+    """
+    keep = clusters_df.filter(
+        F.col(id_col) == F.col(cluster_col)
+    ).select(id_col)
+    return docs_df.join(keep, on=id_col)

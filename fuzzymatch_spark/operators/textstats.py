@@ -174,3 +174,34 @@ def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(alpha).cast("long").alias("n_alpha_pieces"),
         F.size(digit).cast("long").alias("n_digit_pieces"),
     )
+
+
+# --- PII-ish masking (emails / URLs / long digit runs) -------------------
+# Training-data hygiene pass: replace matches with stable placeholder
+# tokens and count what was masked.  Patterns deliberately use only the
+# Java-regex/RE2-common subset so the operator is cross-engine checkable;
+# a production pipeline would extend the pattern table, not the plan.
+_PII_PATTERNS = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("longnum", "[0-9]{7,}", "<NUM>"),
+]
+
+
+def mask_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, masked_text, n_email, n_url, n_longnum): placeholder
+    substitution + per-category match counts, all JVM regexp functions in
+    one projection (no Python, no extra pass per category)."""
+    masked = F.col(text_col)
+    counts = []
+    for name, pat, repl in _PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(masked, F.lit(pat), 0))
+            .cast("long").alias(f"n_{name}")
+        )
+        masked = F.regexp_replace(masked, pat, repl)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *counts,
+        masked.alias("masked_text"),
+    )

@@ -172,3 +172,33 @@ def test_winnow_fingerprints_guarantee(spark):
     # density: far fewer fingerprints than grams, but never zero
     n_grams0 = len(rows[0][1]) - 5
     assert 0 < len(fps[0]) < 0.7 * n_grams0
+
+
+def test_mask_pii(spark):
+    from fuzzymatch_spark.operators.textstats import mask_pii
+
+    rows = [
+        (0, "email a.b+c@ex.org then https://x.io/p?q=1 and 123456789 end"),
+        (1, "clean words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in mask_pii(df, "doc_id", "text").collect()}
+    assert got[0]["masked_text"] == "email <EMAIL> then <URL> and <NUM> end"
+    assert (got[0]["n_email"], got[0]["n_url"], got[0]["n_longnum"]) == (1, 1, 1)
+    assert got[1]["masked_text"] == rows[1][1]
+    assert (got[1]["n_email"], got[1]["n_url"], got[1]["n_longnum"]) == (0, 0, 0)
+
+
+def test_canonical_corpus(spark):
+    """Survivor selection: exactly one representative (the min id) per
+    cluster, singletons untouched."""
+    from fuzzymatch_spark.operators.cluster import canonical_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4)],
+        "doc_id long, cluster_id long")
+    kept = sorted(r["doc_id"] for r in
+                  canonical_corpus(docs, clusters).collect())
+    assert kept == [0, 3, 4]
