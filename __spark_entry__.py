@@ -665,8 +665,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect; tables pre-registered as views)
 # --------------------------------------------------------------------------
 
-_GRAMS = """
-nums AS (SELECT unnest(range(1, 2000)) AS i),
+# position enumerations are bounded by the corpus's actual max text length
+# (a fixed literal bound would silently truncate grams for longer docs and
+# fail the validation against the CORRECT Spark result)
+_NUMS = ("nums AS (SELECT unnest(range(1, "
+         "(SELECT max(len(text)) + 1 FROM documents))) AS i)")
+
+_GRAMS = f"""
+{_NUMS},
 grams AS (
   SELECT DISTINCT d.doc_id,
          ascii(substr(d.text, n.i, 1))
@@ -742,7 +748,7 @@ def oracle_sql() -> dict[str, str]:
         for j in range(_wk)
     )
     winnow_sql = f"""
-            WITH nums AS (SELECT unnest(range(1, 4000)) AS i),
+            WITH {_NUMS},
             grams AS (
               SELECT d.doc_id, n.i AS pos,
                      ({_wterms}) % {_wm} AS h
@@ -906,8 +912,8 @@ def oracle_sql() -> dict[str, str]:
                      AS masked_text
             FROM s2
         """,
-        "suffix_run_pairs": """
-            WITH nums AS (SELECT unnest(range(1, 2000)) AS i),
+        "suffix_run_pairs": f"""
+            WITH {_NUMS},
             subs AS (
               SELECT DISTINCT d.doc_id, substr(d.text, n.i, 32) AS s
               FROM documents d JOIN nums n ON n.i <= len(d.text) - 31

@@ -373,7 +373,9 @@ def run_scaling(rep: int = 64) -> dict:
       min; they cannot bias the ratio.
     """
     out: dict = {}
-    windows = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    # clamp to >= 1: with zero windows every sample list stays empty and
+    # efficiency() would die on min([]) with a baffling ValueError
+    windows = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3")))
     # a window costs ~110s; base 3 windows ~340s. Quiet runs stop there;
     # runs that miss the gate extend adaptively up to max_extra more
     # windows within the budget.  The budget bounds the whole bench's

@@ -150,12 +150,22 @@ def _centroid_matrix(df: DataFrame, vec_col: str, id_col: str, n_centroids: int)
     """Deterministic coarse quantizer: the first ``n_centroids`` rows by id
     (L2-normalized).  A production build would k-means these; the fixed
     choice keeps the operator reproducible across engines (and is exactly
-    how IVF indexes behave under a frozen codebook)."""
+    how IVF indexes behave under a frozen codebook).
+
+    Requires dense integer ids covering ``0..n_centroids-1`` (the driver
+    tables' shape); anything sparser/stringly fails loudly rather than
+    producing a silently undersized codebook."""
     rows = (
         df.filter(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
         .collect()
     )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"IVF codebook needs {n_centroids} rows with {id_col} in "
+            f"[0, {n_centroids}) but found {len(rows)} — ids must be dense "
+            "integers starting at 0 (or pass an explicit centroid matrix)"
+        )
     rows.sort(key=lambda r: r[0])
     cents = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(cents, axis=1, keepdims=True)
@@ -167,7 +177,6 @@ def ivf_assign(
     df: DataFrame,
     vec_col: str,
     centroids: np.ndarray,
-    id_col: str = "vec_id",
     cell_col: str = "cell",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid cell (max cosine, 6-dp
@@ -215,7 +224,7 @@ def ivf_topk(
     order = sorted(range(len(qcos)), key=lambda i: (-qcos[i], i))
     probes = order[: min(n_probe, len(order))]
 
-    assigned = ivf_assign(df, vec_col, cents, id_col=id_col)
+    assigned = ivf_assign(df, vec_col, cents)
     pruned = assigned.filter(F.col("cell").isin(*[int(p) for p in probes]))
     out = cosine_topk(pruned, vec_col, [float(x) for x in query_vec], k=k,
                       id_col=id_col)

@@ -176,8 +176,19 @@ def canonical_corpus(
     cluster id — survivor selection is a single equi-join plus a JVM
     predicate, no aggregation.  At 10^12 rows both sides are partitioned by
     id; the join is the only shuffle and ships ids only.
+
+    ``clusters_df`` should be ``cluster_assignments`` output (one row per
+    doc, singletons self-labeled).  Raw ``connected_components`` output
+    (linked nodes only) is tolerated defensively: docs with NO cluster row
+    are singletons and kept — an inner join here would silently drop every
+    non-duplicated doc from the "canonical corpus".
     """
-    keep = clusters_df.filter(
-        F.col(id_col) == F.col(cluster_col)
-    ).select(id_col)
-    return docs_df.join(keep, on=id_col)
+    labels = clusters_df.select(id_col, cluster_col)
+    return (
+        docs_df.join(labels, on=id_col, how="left")
+        .filter(
+            F.col(cluster_col).isNull()
+            | (F.col(cluster_col) == F.col(id_col))
+        )
+        .drop(cluster_col)
+    )

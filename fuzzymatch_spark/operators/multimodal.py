@@ -169,9 +169,13 @@ def video_dup_pairs(
 
     from fuzzymatch_spark.operators.dedup import _hamming_band_edges
 
+    # frame key encoding: "<frame_idx>#<video_id>".  frame_idx is digits by
+    # schema, so "everything after the FIRST '#'" recovers the video id
+    # unambiguously even when ids themselves contain '#' (a trailing-id
+    # encoding with substring_index would silently truncate such ids).
     f = frames_df.select(
         F2.col(id_col).alias("vid"),
-        F2.concat_ws("#", id_col, "frame_idx").alias("fid"),
+        F2.concat_ws("#", "frame_idx", id_col).alias("fid"),
         F2.col(phash_col).alias("ph"),
     )
     n_frames = f.groupBy("vid").agg(F2.count("*").alias("nf"))
@@ -179,8 +183,8 @@ def video_dup_pairs(
         f.select("fid", "ph"), "fid", "ph", n_bands=8,
         max_hamming=max_hamming, source="vframe",
     )
-    va = F2.substring_index("a_id", "#", 1)
-    vb = F2.substring_index("b_id", "#", 1)
+    va = F2.expr("substring(a_id, instr(a_id, '#') + 1)")
+    vb = F2.expr("substring(b_id, instr(b_id, '#') + 1)")
     cross = (
         pairs.filter(va != vb)
         .select(
