@@ -52,7 +52,9 @@ def _dedup_core(spark, docs, cfg):
     return n_docs, n_edges
 
 
-def run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
+def run_queries(
+    spark,
+) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
     from pyspark.sql import functions as F
 
     from fuzzymatch_spark.config import DedupConfig, MatchConfig
@@ -74,24 +76,27 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
 
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # Steal-robust protocol (same discipline as the scaling section): this
+    # host's hypervisor steal inflates individual walls by up to ~45% in
+    # minutes-long bursts, so back-to-back repeats of ONE query land in the
+    # SAME steal window and their min is still inflated (the r3 driver
+    # record regressed every query 9-49% vs r2 this way, including a
+    # trivial 6-group aggregate, while the engine got faster).  Instead the
+    # WHOLE suite runs ``passes`` times; per-query repeats are therefore
+    # separated by a full-suite wall (~10-25s), sampling different steal
+    # windows.  Per-query headline = min over passes (steal only inflates;
+    # work is identical per pass); every sample is recorded in the output.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
-    def timed(name, fn, reps: int | None = None):
-        """best-of-N: this host has bursty hypervisor steal; min over
-        repeats estimates unloaded throughput."""
-        best = None
-        out = None
-        for _ in range(reps or repeats):
-            t0 = time.time()
-            out = fn()
-            w = time.time() - t0
-            best = w if best is None else min(best, w)
-        times[name] = round(best, 3)
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        w = round(time.time() - t0, 3)
+        samples.setdefault(name, []).append(w)
+        times[name] = min(samples[name])
         return out
-
-    # warmup: spin python workers / codegen so q1 measures steady state
-    compute_signatures(docs.limit(200), "doc_id", "text", cfg).count()
 
     # q1: full dedup pipeline (signatures -> LSH -> verify -> clusters)
     def q1():
@@ -109,8 +114,6 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
         verified.unpersist()
         return n
 
-    n_docs = timed("q1_dedup_pipeline", q1)
-
     # q2: flagship fuzzy top-k (ED kernel over the token vocabulary, the
     # reference's symbol-matching shape) + SW mode over full captions
     vocab = (
@@ -118,33 +121,27 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
         .filter(F.length("token") > 0)
         .distinct()
     )
-    timed(
-        "q2_topk_fuzzy",
-        lambda: top_matches(vocab, "token", "straem", k=10,
-                            config=MatchConfig()).collect(),
-    )
-    timed(
-        "q2b_topk_sw",
-        lambda: top_matches(
+
+    def q2():
+        return top_matches(vocab, "token", "straem", k=10,
+                           config=MatchConfig()).collect()
+
+    def q2b():
+        return top_matches(
             docs, "text", "stream batch", k=20,
             config=MatchConfig(algorithm="smithWaterman", min_score=0.1),
-        ).collect(),
-    )
+        ).collect()
 
     # q3: image pHash dedup (synth + decode + hash + band join)
     def q3():
         images = build_images_df(spark, docs, "doc_id", "text")
         return phash_band_edges(images, cfg).count()
 
-    timed("q3_phash_images", q3)
-
     # q4: ANN cosine top-k (brute force, JVM-side)
     def q4():
         qv = [float(x) for x in
               emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
         return cosine_topk(emb, "embedding", qv, k=10).collect()
-
-    timed("q4_ann_cosine", q4)
 
     # q5: relational agg (TPC-H Q1 shape)
     def q5():
@@ -155,10 +152,28 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
             .collect()
         )
 
-    timed("q5_tpch_q1", q5)
+    suite = [
+        ("q1_dedup_pipeline", q1),
+        ("q2_topk_fuzzy", q2),
+        ("q2b_topk_sw", q2b),
+        ("q3_phash_images", q3),
+        ("q4_ann_cosine", q4),
+        ("q5_tpch_q1", q5),
+    ]
+
+    # warmup: spin python workers / codegen so pass 1 measures steady state
+    compute_signatures(docs.limit(200), "doc_id", "text", cfg).count()
+
+    n_docs = 0
+    for _ in range(passes):
+        for name, fn in suite:
+            out = timed(name, fn)
+            if name == "q1_dedup_pipeline":
+                n_docs = out
 
     extras["docs_per_sec_dedup"] = round(n_docs / max(times["q1_dedup_pipeline"], 1e-9), 1)
-    return times, extras
+    extras["passes"] = passes
+    return times, extras, samples
 
 
 def _image_dedup_job(spark, rep: int, cores: int) -> tuple[int, int]:
@@ -511,7 +526,7 @@ def run_scaling(rep: int = 64) -> dict:
 def main() -> None:
     t_total = time.time()
     spark = _mk_spark(f"local[{CPUS}]", "fuzzymatch-bench")
-    times, extras = run_queries(spark)
+    times, extras, qsamples = run_queries(spark)
     spark.stop()
 
     scaling = run_scaling() if RUN_SCALING else {}
@@ -523,6 +538,9 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        # per-query walls across whole-suite passes (headline = min; the
+        # spread is the steal-noise error bar for round-over-round deltas)
+        "query_samples": qsamples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "throughput": extras,
         # north-rule headline: images/sec end-to-end dedup at 4N cores,
