@@ -464,6 +464,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["video_dup_pairs"] = video_dup_pairs_q
 
+    def phash_hamming_pairs(spark, sf):
+        # ORACLE-CHECKED Hamming pair join from a STORED phash column (the
+        # input_hint's phash:int64 shape; only the stub *decode* is
+        # non-portable, the join itself is pure integer SQL).  The Manku
+        # C(m, m-k) band join is recall-complete by pigeonhole and the
+        # bit_count verify is exact, so its output EQUALS the brute-force
+        # Hamming<=k pair set — the oracle is that brute-force join, which
+        # value-checks both the recall (banding loses nothing) and the
+        # precision (verify admits nothing) of the decomposition.
+        # Reference analog: the popcount-bound prefilter
+        # (`Sources/FuzzyMatch/Prefilters.swift:496-503`).
+        # The stored column is the deterministic 60-bit md5 fingerprint
+        # (same as doc_fingerprint); planted near-twins flip 2 bits.
+        docs = _docs(spark, sf).select(
+            "doc_id", md5_fingerprint64("text").alias("phash")
+        )
+        planted = docs.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+            F.col("phash").bitwiseXOR(F.lit(1025)).alias("phash"),
+        )
+        return phash_band_edges(
+            docs.unionByName(planted), CFG, id_col="doc_id",
+            phash_col="phash",
+        ).orderBy("a_id", "b_id")
+
+    q["phash_hamming_pairs"] = phash_hamming_pairs
+
+    def multimodal_relational(spark, sf):
+        # ORACLE-CHECKED north-star composite: the same union + CC
+        # composition as multimodal_dedup_clusters, but over STORED phash
+        # values (no stub decode) and exact caption edges — every leg
+        # (caption near-dup edges UNION image Hamming edges -> connected
+        # components -> label every row) is DuckDB-expressible, so the
+        # whole composite is value-checked end-to-end.  Planted rows are
+        # token-reversed captions with 2-bit-flipped phashes: linked to
+        # their originals through the IMAGE leg even where the caption leg
+        # misses them.
+        docs = _docs(spark, sf).select("doc_id", "text")
+        base = docs.withColumn("phash", md5_fingerprint64("text"))
+        planted = docs.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+            F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+            md5_fingerprint64("text").bitwiseXOR(F.lit(1025)).alias("phash"),
+        )
+        allrows = base.unionByName(planted).persist()
+        sig = compute_signatures(allrows, "doc_id", "text", CFG)
+        cap_edges = ngram_jaccard_pairs(
+            sig, threshold_pct=JACCARD_PCT
+        ).select("a_id", "b_id")
+        img_edges = phash_band_edges(
+            allrows.select("doc_id", "phash"), CFG, id_col="doc_id",
+            phash_col="phash",
+        ).select("a_id", "b_id")
+        edges = cap_edges.unionByName(img_edges).dropDuplicates(["a_id", "b_id"])
+        ids = allrows.select(F.col("doc_id"))
+        return cluster_assignments(edges, ids, id_col="doc_id").select(
+            "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+        )
+
+    q["multimodal_dedup_clusters_relational"] = multimodal_relational
+
     # ---- multimodal (stub codec; Spark plumbing real: rows-only) ----
     def image_phash_pairs(spark, sf):
         from fuzzymatch_spark.sources.images import build_images_df
@@ -766,8 +827,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp
             FROM wmin WHERE pos <= n - {_ww - 1}
     """
+    # stored-phash fragments: 60-bit md5 fingerprint (the doc_fingerprint
+    # scheme) + planted 2-bit-flipped near-twins (ids offset by 50M)
+    _fp = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
+    phash_rows = f"""
+            fps AS (
+              SELECT doc_id, {_fp} AS phash FROM documents
+              UNION ALL
+              SELECT doc_id + 50000000 AS doc_id, xor({_fp}, 1025) AS phash
+              FROM documents WHERE doc_id < 30
+            )"""
+    # brute-force Hamming oracle: the Manku band join is recall-complete
+    # (pigeonhole) and bit_count-verified, so its output equals this set
+    phash_pairs_sql = f"""
+            WITH {phash_rows}
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, 'phash' AS source
+            FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """
+    # north-star composite: caption jaccard edges UNION stored-phash
+    # Hamming edges -> recursive-CTE connected components -> label all rows
+    multimodal_rel_sql = f"""
+            WITH RECURSIVE
+            allrows AS (
+              SELECT doc_id, text, {_fp} AS phash FROM documents
+              UNION ALL
+              SELECT doc_id + 50000000 AS doc_id,
+                     array_to_string(list_reverse(string_split(text, ' ')),
+                                     ' ') AS text,
+                     xor({_fp}, 1025) AS phash
+              FROM documents WHERE doc_id < 30
+            ),
+            nums AS (SELECT unnest(range(1,
+              (SELECT max(len(text)) + 1 FROM allrows))) AS i),
+            grams AS (
+              SELECT DISTINCT d.doc_id,
+                     ascii(substr(d.text, n.i, 1))
+                     + 256 * ascii(substr(d.text, n.i + 1, 1))
+                     + 65536 * ascii(substr(d.text, n.i + 2, 1)) AS g
+              FROM allrows d JOIN nums n ON n.i <= len(d.text) - 2
+              WHERE substr(d.text, n.i, 3) NOT LIKE '% %'
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            cap_edges AS (
+              SELECT i.a_id, i.b_id
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.a_id
+              JOIN sizes sb ON sb.doc_id = i.b_id
+              WHERE 100 * i.c >= {JACCARD_PCT} * (sa.n + sb.n - i.c)
+            ),
+            ph_edges AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM allrows a JOIN allrows b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 6
+            ),
+            edges AS (
+              SELECT a_id, b_id FROM cap_edges
+              UNION SELECT a_id, b_id FROM ph_edges
+            ),
+            bi AS (
+              SELECT a_id AS u, b_id AS v FROM edges
+              UNION SELECT b_id, a_id FROM edges
+            ),
+            walk(u, v) AS (
+              SELECT u, v FROM bi
+              UNION
+              SELECT w.u, e.v FROM walk w JOIN bi e ON w.v = e.u
+            ),
+            mins AS (SELECT u, min(v) AS m FROM walk GROUP BY u)
+            SELECT d.doc_id,
+                   CAST(COALESCE(least(d.doc_id, r.m), d.doc_id) AS BIGINT)
+                     AS cluster_id
+            FROM allrows d LEFT JOIN mins r ON r.u = d.doc_id
+    """
     return {
         "winnow_fingerprints": winnow_sql,
+        "phash_hamming_pairs": phash_pairs_sql,
+        "multimodal_dedup_clusters_relational": multimodal_rel_sql,
         "minhash_lsh_pairs": minhash_lsh_sql,
         "doc_normalize": """
             SELECT doc_id, lower(text) AS caption_norm FROM documents
