@@ -168,6 +168,15 @@ class DedupConfig:
     # DP entirely — at 10^12 rows an O(n*m) DP on kilobyte strings is never
     # the right verifier.
     dl_max_len: int = 128
+    # SimHash banding as an ADDITIONAL candidate source in candidate_edges.
+    # Default off: measured on the dense corpus at sf0.1 it contributed 3
+    # of 948,411 verified edges (0.0003%) that MinHash+exact missed, while
+    # costing ~1/3 of total candidate-generation time (the C(8,5)=56
+    # combination keys explode 7x more band rows than MinHash's 8 bands).
+    # The standalone operator (simhash_band_edges) is unaffected — enable
+    # here when the corpus has token-permuted near-dups that shingle
+    # MinHash under-covers.
+    simhash_candidates: bool = False
     max_bucket_size: int = 2000  # salt/cap hot LSH buckets beyond this
     suffix_min_run: int = 20  # min shared-substring length for suffix stage
     seed: int = 42

@@ -519,11 +519,19 @@ def verify_edges(
 
 
 def candidate_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Union of all candidate sources, deduplicated (SURVEY.md §2.8)."""
+    """Union of all candidate sources, deduplicated (SURVEY.md §2.8).
+
+    SimHash banding is gated by ``cfg.simhash_candidates`` (default off):
+    on the dense corpus it duplicates MinHash's coverage almost exactly
+    (see the config field's measured numbers) while exploding 7x more band
+    rows per doc — candidate generation is q1's dominant cost, so the
+    default spends that budget only on sources that add recall.
+    """
     exact = exact_dup_edges(sig_df)
     mh = minhash_band_edges(sig_df, cfg)
-    sh = simhash_band_edges(sig_df, cfg)
-    all_edges = exact.unionByName(mh).unionByName(sh)
+    all_edges = exact.unionByName(mh)
+    if cfg.simhash_candidates:
+        all_edges = all_edges.unionByName(simhash_band_edges(sig_df, cfg))
     return (
         all_edges.groupBy("a_id", "b_id")
         .agg(F.min("source").alias("source"))
