@@ -20,7 +20,10 @@ from fuzzymatch_spark.operators.cluster import (
 from fuzzymatch_spark.operators.ann import (
     cosine_topk,
     ivf_assign,
+    ivf_build,
+    ivf_probe_topk,
     ivf_topk,
+    load_ivf_codebook,
     rhp_knn_pairs,
 )
 from fuzzymatch_spark.operators.fuzzyjoin import (
@@ -44,7 +47,10 @@ __all__ = [
     "cluster_assignments",
     "cosine_topk",
     "ivf_assign",
+    "ivf_build",
+    "ivf_probe_topk",
     "ivf_topk",
+    "load_ivf_codebook",
     "rhp_knn_pairs",
     "fuzzy_token_candidates",
     "fuzzy_token_join",

@@ -200,6 +200,19 @@ def ivf_assign(
     return df.withColumn(cell_col, assign(F.col(vec_col)))
 
 
+def _probe_cells(
+    centroids: np.ndarray, query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` cells nearest the query (6-dp-rounded cosine, ties
+    to the lower centroid id) — the same deterministic math as the cell
+    assignment, shared by the inline and the stored-index probe paths."""
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qcos = np.round((q / (qn if qn > 0 else 1.0)) @ centroids.T, 6)
+    order = sorted(range(len(qcos)), key=lambda i: (-qcos[i], i))
+    return [int(p) for p in order[: min(n_probe, len(order))]]
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -209,23 +222,77 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF approximate top-k: probe the ``n_probe`` cells nearest the query
-    and run the exact cosine top-k inside them only.
+    """IVF approximate top-k, inline form: probe the ``n_probe`` cells
+    nearest the query and run the exact cosine top-k inside them only.
 
     Recall shape: near-duplicate neighbors (cos ~1) share the query's cell
     essentially always; weak neighbors may fall outside the probed cells —
-    the standard IVF trade.  The probe filter is a JVM ``isin`` over the
-    cell column (partition pruning when the table is cell-partitioned)."""
+    the standard IVF trade.  This form recomputes the assignment per call
+    (fine for the oracle entry / one-shot queries); the serving path is
+    ``ivf_build`` once + ``ivf_probe_topk`` per query, where the probe
+    filter becomes structural partition pruning at the parquet source."""
     cents, _ = _centroid_matrix(df, vec_col, id_col, n_centroids)
-    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
-    qn = np.linalg.norm(q)
-    qcos = np.round((q / (qn if qn > 0 else 1.0)) @ cents.T, 6)
-    # ties to the lower centroid id: stable sort on (-cos, id)
-    order = sorted(range(len(qcos)), key=lambda i: (-qcos[i], i))
-    probes = order[: min(n_probe, len(order))]
+    probes = _probe_cells(cents, query_vec, n_probe)
 
     assigned = ivf_assign(df, vec_col, cents)
-    pruned = assigned.filter(F.col("cell").isin(*[int(p) for p in probes]))
+    pruned = assigned.filter(F.col("cell").isin(*probes))
     out = cosine_topk(pruned, vec_col, [float(x) for x in query_vec], k=k,
                       id_col=id_col)
     return out
+
+
+def ivf_build(
+    df: DataFrame,
+    vec_col: str,
+    index_path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+) -> None:
+    """Build and persist the IVF index: deterministic codebook + per-vector
+    cell assignment, written ``partitionBy("cell")`` so every probe prunes
+    partitions structurally at the source — the scan touches ONLY the
+    probed cells' files, skipping ``1 - n_probe/C`` of the corpus without
+    reading a row.  At 10^12 rows this is the one-time index-build pass
+    (one matmul per Arrow batch), amortized across every query.
+
+    The codebook is stored under ``<index_path>/_codebook`` — an
+    underscore-prefixed path, invisible to directory-level parquet reads of
+    the index itself."""
+    spark = df.sparkSession
+    cents, cent_ids = _centroid_matrix(df, vec_col, id_col, n_centroids)
+    assigned = ivf_assign(df, vec_col, cents)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    rows = [
+        (int(cid), [float(x) for x in c]) for cid, c in zip(cent_ids, cents)
+    ]
+    spark.createDataFrame(
+        rows, "cid int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/_codebook")
+
+
+def load_ivf_codebook(spark, index_path: str) -> np.ndarray:
+    """The (C, dim) L2-normalized centroid matrix stored by ``ivf_build``."""
+    rows = spark.read.parquet(f"{index_path}/_codebook").collect()
+    rows.sort(key=lambda r: r[0])
+    return np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+
+
+def ivf_probe_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve an ANN query from a stored ``ivf_build`` index: pick the
+    ``n_probe`` nearest cells from the stored codebook (driver-side, O(C)),
+    then exact cosine top-k over ONLY those cells — ``cell`` is the
+    partition column, so the ``isin`` filter is partition pruning, not a
+    scan-and-discard (plan-tested in tests/test_plan_quality.py)."""
+    cents = load_ivf_codebook(spark, index_path)
+    probes = _probe_cells(cents, query_vec, n_probe)
+    pruned = spark.read.parquet(index_path).filter(F.col("cell").isin(*probes))
+    return cosine_topk(pruned, vec_col, [float(x) for x in query_vec], k=k,
+                       id_col=id_col)

@@ -164,3 +164,30 @@ def test_ivf_probe_filter_is_jvm(spark, embeddings):
                             n_centroids=4, n_probe=2))
     assert plan.count("ArrowEvalPython") <= 1
     assert re.search(r"cell#\d+ IN", plan) or " IN (" in plan
+
+
+def test_ivf_stored_index_prunes_partitions(spark, embeddings, tmp_path):
+    """ivf_build writes the index partitioned by cell; probing it must be
+    PARTITION PRUNING at the parquet source (PartitionFilters on cell), not
+    a scan-and-discard — the structural form of the 1 - n_probe/C skip."""
+    from fuzzymatch_spark.operators.ann import (
+        ivf_build,
+        ivf_probe_topk,
+        ivf_topk,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    ivf_build(embeddings, "embedding", idx, n_centroids=4)
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    out = ivf_probe_topk(spark, idx, qv, k=5, n_probe=2)
+    plan = plan_of(out)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "cell" in m.group(1) and " IN " in m.group(1), m.group(1)
+    # stored-index probe result == inline ivf_topk (same codebook math)
+    inline = ivf_topk(embeddings, "embedding", qv, k=5, n_centroids=4,
+                      n_probe=2)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
