@@ -122,6 +122,7 @@ def make_dedup_sink(
     id_col: str,
     text_col: str,
     cfg: DedupConfig | None = None,
+    on_before_commit=None,
 ):
     """The incremental-dedup ``foreachBatch`` sink, exposed as a factory so
     at-least-once replay (same batch_id, same rows) is directly testable.
@@ -143,6 +144,11 @@ def make_dedup_sink(
     History is strictly the committed batches BELOW the current id, so a
     replay after a post-marker crash sees exactly the pre-batch corpus and
     reproduces the same partition content.
+
+    ``on_before_commit(batch_id)`` is a fault-injection hook invoked after
+    all table writes but BEFORE the commit marker — tests raise from it to
+    simulate a crash in the exact window the idempotency design exists for
+    (data written, batch uncommitted).
     """
     from pyspark.sql import functions as F
 
@@ -218,6 +224,8 @@ def make_dedup_sink(
         new_bands.write.mode("overwrite").parquet(
             f"{bands_dir}/batch={batch_id}"
         )
+        if on_before_commit is not None:
+            on_before_commit(batch_id)
         _write_commit_marker(spark, commits_dir, batch_id)
         new_sig.unpersist()
         new_bands.unpersist()

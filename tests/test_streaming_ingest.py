@@ -131,3 +131,57 @@ def test_dedup_sink_replay_idempotent(spark, tmp_path):
     pairs = {(a, b) for a, b, _ in before[0]}
     assert (1, 3) in pairs and (2, 4) in pairs
     assert committed_batches(spark, f"{work}/_commits") == [0, 1]
+
+
+def test_dedup_sink_crash_before_commit(spark, tmp_path):
+    """Crash INSIDE the vulnerable window (tables written, marker not):
+    the batch must be invisible to committed readers, and the replay must
+    converge to exactly the clean-run state — no duplicate edges, no
+    history double-join of the batch's own signatures."""
+    from fuzzymatch_spark.config import DedupConfig
+    from fuzzymatch_spark.streaming.ingest import (
+        committed_batches,
+        make_dedup_sink,
+        read_committed,
+    )
+
+    cfg = DedupConfig(min_score=0.72)
+    work = str(tmp_path / "dedup_crash")
+
+    class Boom(RuntimeError):
+        pass
+
+    crashes = {"armed": True}
+
+    def fault(batch_id):
+        if batch_id == 1 and crashes["armed"]:
+            crashes["armed"] = False
+            raise Boom(f"injected crash before commit of batch {batch_id}")
+
+    sink = make_dedup_sink(spark, work, "doc_id", "text", cfg,
+                           on_before_commit=fault)
+    b0 = spark.createDataFrame(
+        [(1, "spark shuffle partition join window"),
+         (2, "hash key order fast small")], SCHEMA)
+    b1 = spark.createDataFrame(
+        [(3, "spark shuffle partition join windoww"),
+         (4, "hash key order fast small")], SCHEMA)
+    sink(b0, 0)
+
+    with pytest.raises(Boom):
+        sink(b1, 1)  # crashes after edges/signatures/bands writes
+
+    # batch 1 is written but NOT committed: invisible to committed readers
+    assert committed_batches(spark, f"{work}/_commits") == [0]
+    assert os.path.isdir(f"{work}/edges/batch=1")  # data landed
+    committed_sig = read_committed(spark, work, "signatures")
+    assert {r["id"] for r in committed_sig.collect()} == {1, 2}
+
+    sink(b1, 1)  # stream replay under the SAME batch id
+    assert committed_batches(spark, f"{work}/_commits") == [0, 1]
+
+    edges = spark.read.parquet(f"{work}/edges")
+    got = sorted((r["a_id"], r["b_id"]) for r in edges.collect())
+    assert got == [(1, 3), (2, 4)], got  # exactly once, incl. cross-batch
+    sig = spark.read.parquet(f"{work}/signatures")
+    assert sorted(r["id"] for r in sig.collect()) == [1, 2, 3, 4]
