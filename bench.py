@@ -33,25 +33,6 @@ def _mk_spark(master: str, app: str):
     return get_spark(app_name=app, master=master)
 
 
-def _dedup_core(spark, docs, cfg):
-    """signatures -> LSH candidates (minhash+simhash) -> verify. Returns
-    (n_docs, n_edges) — the end-to-end dedup compute minus clustering."""
-    from fuzzymatch_spark.operators.dedup import (
-        candidate_edges,
-        compute_signatures,
-        verify_edges,
-    )
-
-    sig = compute_signatures(docs, "doc_id", "text", cfg)
-    sig.persist()
-    n_docs = sig.count()
-    cand = candidate_edges(sig, cfg)
-    verified = verify_edges(cand, sig, cfg)
-    n_edges = verified.count()
-    sig.unpersist()
-    return n_docs, n_edges
-
-
 def run_queries(
     spark,
 ) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
