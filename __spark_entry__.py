@@ -235,6 +235,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_canonical_corpus"] = dedup_canonical
 
+    def dedup_cluster_stats(spark, sf):
+        # the dedup REPORT: duplicate-cluster size distribution over the
+        # same clustering as dedup_clusters — what a pipeline owner reads
+        # to judge dedup impact (O(distinct sizes) output at any scale)
+        from fuzzymatch_spark.operators.cluster import cluster_size_histogram
+
+        sig = _sig(spark, sf).persist()
+        edges = ngram_jaccard_pairs(sig, threshold_pct=JACCARD_PCT)
+        ids = sig.select(F.col("id").alias("doc_id"))
+        clusters = cluster_assignments(edges, ids, id_col="doc_id")
+        return cluster_size_histogram(clusters)
+
+    q["dedup_cluster_stats"] = dedup_cluster_stats
+
     def suffix_runs(spark, sf):
         return suffix_run_pairs(_docs(spark, sf), "doc_id", "text", run_len=32)
 
@@ -498,6 +512,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return video_dup_pairs(frames, min_frac=0.5).orderBy("a_id", "b_id")
 
     q["video_dup_pairs"] = video_dup_pairs_q
+
+    def video_containment_relational(spark, sf):
+        # ORACLE-CHECKED video near-dup containment from a STORED frame
+        # table (video_id, frame_idx, frame_phash) — the same operator the
+        # stub-codec entry exercises, but with deterministic md5-derived
+        # frame hashes so the Manku Hamming join + per-pair frame-set
+        # containment are pure integer SQL.  Planted twins share 6 of 8
+        # frames (2-bit flips; frames 6-7 rerolled) -> matched_frac 0.75.
+        from fuzzymatch_spark.operators.multimodal import video_dup_pairs
+
+        def fp(col):
+            return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200).select(
+            "doc_id", "text"
+        )
+        fidx = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx")
+        orig = docs.select(
+            F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias(
+                "video_id"
+            ),
+            "text", fidx,
+        ).select(
+            "video_id", "frame_idx",
+            fp(F.concat("text", F.lit("#"),
+                        F.col("frame_idx").cast("string"))).alias(
+                "frame_phash"
+            ),
+        )
+        twin = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.concat(F.lit("v"), F.col("doc_id").cast("string"),
+                     F.lit("d")).alias("video_id"),
+            "text", fidx,
+        ).select(
+            "video_id", "frame_idx",
+            F.when(
+                F.col("frame_idx") < 6,
+                fp(F.concat("text", F.lit("#"),
+                            F.col("frame_idx").cast("string"))
+                   ).bitwiseXOR(F.lit(5)),
+            ).otherwise(
+                fp(F.concat("text", F.lit("#x"),
+                            F.col("frame_idx").cast("string")))
+            ).alias("frame_phash"),
+        )
+        frames = orig.unionByName(twin)
+        return video_dup_pairs(frames, min_frac=0.5).orderBy("a_id", "b_id")
+
+    q["video_containment_pairs"] = video_containment_relational
 
     def phash_hamming_pairs(spark, sf):
         # ORACLE-CHECKED Hamming pair join from a STORED phash column (the
@@ -940,9 +1003,55 @@ def oracle_sql() -> dict[str, str]:
                      AS cluster_id
             FROM allrows d LEFT JOIN mins r ON r.u = d.doc_id
     """
+    _ffp = lambda expr: (
+        f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+    )
+    video_containment_sql = f"""
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200
+            ),
+            idx AS (SELECT unnest(range(0, 8)) AS i),
+            frames AS (
+              SELECT 'v' || CAST(doc_id AS VARCHAR) AS vid,
+                     i AS frame_idx,
+                     {_ffp("text || '#' || CAST(i AS VARCHAR)")} AS ph
+              FROM docs2, idx
+              UNION ALL
+              SELECT 'v' || CAST(doc_id AS VARCHAR) || 'd' AS vid,
+                     i AS frame_idx,
+                     CASE WHEN i < 6
+                       THEN xor({_ffp("text || '#' || CAST(i AS VARCHAR)")}, 5)
+                       ELSE {_ffp("text || '#x' || CAST(i AS VARCHAR)")}
+                     END AS ph
+              FROM docs2, idx WHERE doc_id % 2 = 0
+            ),
+            nf AS (SELECT vid, count(*) AS n FROM frames GROUP BY vid),
+            m AS (
+              SELECT a.vid AS v1, b.vid AS v2,
+                     a.frame_idx AS f1, b.frame_idx AS f2
+              FROM frames a JOIN frames b
+                ON a.vid < b.vid AND bit_count(xor(a.ph, b.ph)) <= 6
+            ),
+            agg AS (
+              SELECT v1, v2, count(DISTINCT f1) AS m1,
+                     count(DISTINCT f2) AS m2
+              FROM m GROUP BY v1, v2
+            ),
+            scored AS (
+              SELECT v1, v2,
+                     round(CASE WHEN na.n <= nb.n THEN m1 * 1.0 / na.n
+                           ELSE m2 * 1.0 / nb.n END, 6) AS matched_frac
+              FROM agg
+              JOIN nf na ON na.vid = agg.v1
+              JOIN nf nb ON nb.vid = agg.v2
+            )
+            SELECT v1 AS a_id, v2 AS b_id, matched_frac
+            FROM scored WHERE matched_frac >= 0.5
+    """
     return {
         "winnow_fingerprints": winnow_sql,
         "phash_hamming_pairs": phash_pairs_sql,
+        "video_containment_pairs": video_containment_sql,
         "multimodal_dedup_clusters_relational": multimodal_rel_sql,
         "minhash_lsh_pairs": minhash_lsh_sql,
         "doc_normalize": """
@@ -1037,6 +1146,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(least(d.doc_id, r.m), d.doc_id) AS BIGINT)
                      AS cluster_id
             FROM documents d LEFT JOIN mins r ON r.u = d.doc_id
+        """,
+        "dedup_cluster_stats": "WITH RECURSIVE " + f"""
+            {_JACCARD_EDGES_BODY},
+            bi AS (
+              SELECT a_id AS u, b_id AS v FROM edges
+              UNION SELECT b_id, a_id FROM edges
+            ),
+            walk(u, v) AS (
+              SELECT u, v FROM bi
+              UNION
+              SELECT w.u, e.v FROM walk w JOIN bi e ON w.v = e.u
+            ),
+            mins AS (SELECT u, min(v) AS m FROM walk GROUP BY u),
+            labels AS (
+              SELECT d.doc_id,
+                     COALESCE(least(d.doc_id, r.m), d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN mins r ON r.u = d.doc_id
+            ),
+            csizes AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM labels GROUP BY cluster_id
+            )
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(cluster_size) AS BIGINT) AS n_docs
+            FROM csizes GROUP BY cluster_size
         """,
         "dedup_canonical_corpus": "WITH RECURSIVE " + f"""
             {_JACCARD_EDGES_BODY},

@@ -14,7 +14,9 @@ from fuzzymatch_spark.operators.dedup import (
     verify_edges,
 )
 from fuzzymatch_spark.operators.cluster import (
+    canonical_corpus,
     cluster_assignments,
+    cluster_size_histogram,
     connected_components,
 )
 from fuzzymatch_spark.operators.ann import (
@@ -45,6 +47,8 @@ __all__ = [
     "verify_edges",
     "connected_components",
     "cluster_assignments",
+    "cluster_size_histogram",
+    "canonical_corpus",
     "cosine_topk",
     "ivf_assign",
     "ivf_build",

@@ -161,6 +161,30 @@ def cluster_assignments(
     )
 
 
+def cluster_size_histogram(
+    clusters_df: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Dedup pipeline report: the duplicate-cluster size distribution —
+    (cluster_size, n_clusters, n_docs) per size.  The number a pipeline
+    owner actually reads: how much of the corpus is duplicated, and whether
+    a boilerplate mega-cluster exists.
+
+    Two narrow aggregations (cluster -> size, size -> counts), both
+    map-side partial-aggregated; output is O(distinct sizes) rows — at
+    10^12 inputs the result still fits on a screen.
+    """
+    sizes = clusters_df.groupBy(cluster_col).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters", "n_docs",
+    )
+
+
 def canonical_corpus(
     docs_df: DataFrame,
     clusters_df: DataFrame,
