@@ -236,6 +236,51 @@ def minhash_band_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     return pairs.withColumn("source", F.lit("minhash"))
 
 
+def hamming_band_keys(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """(id, hash, band, key) Manku combination-key decomposition of a
+    64-bit hash column — the shared banding for the batch self-join and
+    the incremental (streaming) new-vs-existing join.  Keys are pure
+    integer column expressions (28 shift/or ops per row for m=8, k=6), so
+    history can be re-keyed in-task from stored hashes — no band table to
+    persist."""
+    import itertools
+
+    assert 64 % n_bands == 0
+    m = n_bands
+    k = min(max_hamming, m - 1)
+    c = m - k  # blocks per key
+    width = 64 // m
+    mask = (1 << width) - 1
+
+    def block(i: int):
+        return F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(
+            F.lit(mask)
+        )
+
+    key_structs = []
+    for ci, combo in enumerate(itertools.combinations(range(m), c)):
+        key = F.lit(0).cast("long")
+        for j, blk in enumerate(combo):
+            key = key.bitwiseOR(F.shiftleft(block(blk), j * width))
+        key_structs.append(
+            F.struct(F.lit(ci).alias("band"), key.alias("key"))
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col),
+        F.explode(F.array(*key_structs)).alias("bk"),
+    ).select(
+        "id", hash_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def _hamming_band_edges(
     df: DataFrame,
     id_col: str,
@@ -259,37 +304,8 @@ def _hamming_band_edges(
 
     Verification is JVM-side ``bit_count(a ^ b) <= k`` — no Python.
     """
-    import itertools
-
-    assert 64 % n_bands == 0
-    m = n_bands
-    k = min(max_hamming, m - 1)
-    c = m - k  # blocks per key
-    width = 64 // m
-    mask = (1 << width) - 1
-
-    def block(i: int):
-        return F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(
-            F.lit(mask)
-        )
-
-    combos = list(itertools.combinations(range(m), c))
-    key_structs = []
-    for ci, combo in enumerate(combos):
-        key = F.lit(0).cast("long")
-        for j, blk in enumerate(combo):
-            key = key.bitwiseOR(F.shiftleft(block(blk), j * width))
-        key_structs.append(
-            F.struct(F.lit(ci).alias("band"), key.alias("key"))
-        )
-
-    bands = df.select(
-        F.col(id_col).alias("id"),
-        F.col(hash_col),
-        F.explode(F.array(*key_structs)).alias("bk"),
-    ).select(
-        "id", hash_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    k = min(max_hamming, n_bands - 1)
+    bands = hamming_band_keys(df, id_col, hash_col, n_bands, max_hamming)
 
     # Pair generation: ONE exchange (groupBy band,key) collecting each
     # bucket's members, then in-task pair expansion via a double explode.

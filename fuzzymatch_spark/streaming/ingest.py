@@ -233,6 +233,120 @@ def make_dedup_sink(
     return sink
 
 
+def make_phash_dedup_sink(
+    spark: SparkSession,
+    work_dir: str,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    n_bands: int = 8,
+    max_hamming: int = 6,
+    on_before_commit=None,
+):
+    """Image-side incremental near-dup sink — the pHash half of the north
+    rule's image+caption table, mirroring ``make_dedup_sink``'s idempotency
+    model (batch-scoped overwrites, commit marker written LAST,
+    ``on_before_commit`` fault hook).
+
+    Per micro-batch of NEW rows carrying stored perceptual hashes:
+
+      1. new x new — the Manku combination-key Hamming self-join
+      2. new x history — new rows' band keys equi-joined against the
+         COMMITTED phash partitions, re-keyed IN-TASK from the stored
+         hashes (28 integer shift/or ops per row; no band table persisted,
+         no shuffle on the history side beyond the join itself)
+      3. JVM ``bit_count`` verify on both legs
+      4. write edges + phashes to ``<table>/batch=<id>``, then the marker
+    """
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.dedup import (
+        _hamming_band_edges,
+        hamming_band_keys,
+    )
+
+    ph_dir = os.path.join(work_dir, "phashes")
+    edges_dir = os.path.join(work_dir, "edges")
+    commits_dir = os.path.join(work_dir, "_commits")
+    k = min(max_hamming, n_bands - 1)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.select(
+            F.col(id_col).alias("id"), F.col(phash_col).alias("ph")
+        ).persist()
+        cand = _hamming_band_edges(
+            new, "id", "ph", n_bands, max_hamming, "phash"
+        ).select("a_id", "b_id", "source")
+
+        history = [
+            b for b in committed_batches(spark, commits_dir) if b < batch_id
+        ]
+        if history:
+            old = spark.read.parquet(
+                *[f"{ph_dir}/batch={b}" for b in history]
+            ).select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
+            nb = hamming_band_keys(new, "id", "ph", n_bands, max_hamming)
+            ob = hamming_band_keys(old, "id", "ph", n_bands, max_hamming)
+            cross = (
+                nb.alias("n")
+                .join(ob.alias("o"), on=["band", "key"])
+                .filter(F.col("n.id") != F.col("o.id"))
+                .filter(
+                    F.bit_count(
+                        F.col("n.ph").bitwiseXOR(F.col("o.ph"))
+                    ) <= F.lit(k)
+                )
+                .select(
+                    F.least("n.id", "o.id").alias("a_id"),
+                    F.greatest("n.id", "o.id").alias("b_id"),
+                )
+                .dropDuplicates(["a_id", "b_id"])
+                .withColumn("source", F.lit("phash"))
+            )
+            cand = cand.unionByName(cross).dropDuplicates(["a_id", "b_id"])
+
+        cand.write.mode("overwrite").parquet(f"{edges_dir}/batch={batch_id}")
+        new.select(
+            F.col("id").alias(id_col), F.col("ph").alias(phash_col)
+        ).write.mode("overwrite").parquet(f"{ph_dir}/batch={batch_id}")
+        if on_before_commit is not None:
+            on_before_commit(batch_id)
+        _write_commit_marker(spark, commits_dir, batch_id)
+        new.unpersist()
+
+    return sink
+
+
+def incremental_phash_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType | str,
+    work_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    available_now: bool = True,
+):
+    """File-source stream over landing (image_id, phash) shards →
+    ``make_phash_dedup_sink``.  Tables under ``work_dir``: ``phashes/``,
+    ``edges/`` (batch-partitioned) + ``_commits/`` markers."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 32)
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(
+            make_phash_dedup_sink(spark, work_dir, id_col, phash_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def incremental_dedup(
     spark: SparkSession,
     input_dir: str,

@@ -185,3 +185,54 @@ def test_dedup_sink_crash_before_commit(spark, tmp_path):
     assert got == [(1, 3), (2, 4)], got  # exactly once, incl. cross-batch
     sig = spark.read.parquet(f"{work}/signatures")
     assert sorted(r["id"] for r in sig.collect()) == [1, 2, 3, 4]
+
+
+def test_incremental_phash_dedup_cross_batch(spark, tmp_path):
+    """Image-side incremental dedup: a near-dup pHash landing in a LATER
+    micro-batch pairs against the committed history (re-keyed in-task),
+    replay is idempotent, and the edge set equals the batch self-join's
+    over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.dedup import _hamming_band_edges
+    from fuzzymatch_spark.streaming.ingest import (
+        committed_batches,
+        incremental_phash_dedup,
+        make_phash_dedup_sink,
+    )
+
+    pschema = "image_id string, phash bigint"
+    base = 0x5555555555555555
+    b1 = [("i1", 0), ("i2", base), ("i3", 0x0F0F0F0F0F0F0F0F)]
+    # i4 = 3-bit-flip twin of i1 (cross-batch); i6 = exact dup of i2
+    b2 = [("i4", 0b10000000101), ("i5", 0x00FF00FF00FF00FF), ("i6", base)]
+
+    inp = str(tmp_path / "landing")
+    work = str(tmp_path / "phwork")
+    ckpt = str(tmp_path / "phckpt")
+    spark.createDataFrame(b1, pschema).coalesce(1).write.mode("append").parquet(inp)
+    incremental_phash_dedup(spark, inp, pschema, work, ckpt)
+    spark.createDataFrame(b2, pschema).coalesce(1).write.mode("append").parquet(inp)
+    incremental_phash_dedup(spark, inp, pschema, work, ckpt)
+
+    assert committed_batches(spark, f"{work}/_commits") == [0, 1]
+    edges = spark.read.parquet(f"{work}/edges")
+    got = {(r["a_id"], r["b_id"]) for r in edges.collect()}
+    assert got == {("i1", "i4"), ("i2", "i6")}, got
+
+    # parity with the batch self-join over the full corpus
+    full = spark.createDataFrame(b1 + b2, pschema)
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in _hamming_band_edges(
+            full, "image_id", "phash", 8, 6, "phash"
+        ).collect()
+    }
+    assert got == want
+
+    # replay idempotency: re-invoke the sink under the last batch id
+    sink = make_phash_dedup_sink(spark, work)
+    sink(spark.createDataFrame(b2, pschema), 1)
+    again = {(r["a_id"], r["b_id"])
+             for r in spark.read.parquet(f"{work}/edges").collect()}
+    assert again == got
