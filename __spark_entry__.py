@@ -204,6 +204,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_reorder_dedup"] = token_reorder_dedup
 
+    def exact_dup_star_edges(spark, sf):
+        # ORACLE-CHECKED exact-dup star edges: the join-to-group-min shape
+        # (min-id -> member, n-1 edges per group, never a pair explosion)
+        # value-checked directly.  The corpus has no identical texts at
+        # driver scale, so plant exact copies of the first 25 docs.
+        from fuzzymatch_spark.operators.dedup import exact_dup_edges
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        planted = docs.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + F.lit(60_000_000)).alias("doc_id"), "text"
+        )
+        sig = compute_signatures(docs.unionByName(planted), "doc_id",
+                                 "text", CFG)
+        return exact_dup_edges(sig).orderBy("a_id", "b_id")
+
+    q["exact_dup_star_edges"] = exact_dup_star_edges
+
+    def audio_envelope_verify(spark, sf):
+        # ORACLE-CHECKED audio verify tier: the JVM zip_with/aggregate
+        # rel-RMS comparison over stored envelope digests (the leg that
+        # decides audio near-dups), on deterministically synthesized
+        # envelopes — env[i] = ((doc_id*31 + i*7) % 97) / 97 — with planted
+        # +0.001 twins (rel_rms ~2e-3) and planted UNRELATED pairs
+        # (doc_id, doc_id+1) that must fail the 0.1 threshold.
+        from fuzzymatch_spark.operators.multimodal import audio_verify_pairs
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 60).select("doc_id")
+        env = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(97))
+            .cast("double") / F.lit(97.0),
+        )
+        base = docs.select(
+            F.col("doc_id").cast("long").alias("clip_id"),
+            env.alias("envelope"),
+        )
+        twins = base.filter(F.col("clip_id") < 40).select(
+            (F.col("clip_id") + F.lit(70_000_000)).alias("clip_id"),
+            F.transform("envelope", lambda x: x + F.lit(0.001)).alias(
+                "envelope"
+            ),
+        )
+        clips = base.unionByName(twins)
+        cand = base.filter(F.col("clip_id") < 40).select(
+            F.col("clip_id").alias("a_id"),
+            (F.col("clip_id") + F.lit(70_000_000)).alias("b_id"),
+        ).unionByName(
+            base.filter(F.col("clip_id") < 20).select(
+                F.col("clip_id").alias("a_id"),
+                (F.col("clip_id") + F.lit(1)).alias("b_id"),
+            )
+        )
+        return audio_verify_pairs(cand, clips).orderBy("a_id", "b_id")
+
+    q["audio_envelope_verify"] = audio_envelope_verify
+
     def jaccard_pairs(spark, sf):
         return ngram_jaccard_pairs(_sig(spark, sf), threshold_pct=JACCARD_PCT)
 
@@ -1188,6 +1244,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars
             FROM documents d LEFT JOIN mins r ON r.u = d.doc_id
             WHERE COALESCE(least(d.doc_id, r.m), d.doc_id) = d.doc_id
+        """,
+        "exact_dup_star_edges": """
+            WITH allrows AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 60000000 AS doc_id, text
+              FROM documents WHERE doc_id < 25
+            ),
+            norm AS (SELECT doc_id, lower(text) AS t FROM allrows),
+            g AS (
+              SELECT t, min(doc_id) AS a_id
+              FROM norm GROUP BY t HAVING count(*) > 1
+            )
+            SELECT g.a_id, n.doc_id AS b_id, 'exact' AS source
+            FROM g JOIN norm n ON n.t = g.t AND n.doc_id <> g.a_id
+        """,
+        "audio_envelope_verify": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS clip_id,
+                     list_transform(range(0, 64),
+                       i -> ((doc_id * 31 + i * 7) % 97) / 97.0) AS env
+              FROM documents WHERE doc_id < 60
+            ),
+            twins AS (
+              SELECT clip_id + 70000000 AS clip_id,
+                     list_transform(env, x -> x + 0.001) AS env
+              FROM base WHERE clip_id < 40
+            ),
+            clips AS (
+              SELECT * FROM base UNION ALL SELECT * FROM twins
+            ),
+            cand AS (
+              SELECT clip_id AS a_id, clip_id + 70000000 AS b_id
+              FROM base WHERE clip_id < 40
+              UNION ALL
+              SELECT clip_id AS a_id, clip_id + 1 AS b_id
+              FROM base WHERE clip_id < 20
+            ),
+            j AS (
+              SELECT c.a_id, c.b_id, a.env AS ea, b.env AS eb
+              FROM cand c
+              JOIN clips a ON a.clip_id = c.a_id
+              JOIN clips b ON b.clip_id = c.b_id
+            ),
+            m AS (
+              SELECT a_id, b_id,
+                     sqrt(list_sum(list_transform(range(0, 64),
+                          i -> (ea[i + 1] - eb[i + 1])
+                               * (ea[i + 1] - eb[i + 1]))) / 64)
+                     / (sqrt(list_sum(list_transform(ea, x -> x * x)) / 64)
+                        + 1e-9) AS rel
+              FROM j
+            )
+            SELECT a_id, b_id, round(rel, 6) AS rel_rms
+            FROM m WHERE rel <= 0.1
         """,
         "mask_pii": """
             WITH allrows AS (
