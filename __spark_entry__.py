@@ -265,6 +265,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard_pairs"] = jaccard_pairs
 
+    def jaccard_prefix_pairs(spark, sf):
+        # ORACLE-CHECKED PPJoin prefix-filtered exact Jaccard join: same
+        # pair set as ngram_jaccard_pairs by the prefix principle (100%
+        # recall + exact verify), so the same relational oracle applies —
+        # the hash check pins that the prefix filter loses nothing.
+        from fuzzymatch_spark.operators.dedup import ngram_jaccard_prefix_pairs
+
+        return ngram_jaccard_prefix_pairs(
+            _sig(spark, sf), threshold_pct=JACCARD_PCT
+        )
+
+    q["ngram_jaccard_prefix_pairs"] = jaccard_prefix_pairs
+
     def dedup_clusters(spark, sf):
         sig = _sig(spark, sf).persist()
         edges = ngram_jaccard_pairs(sig, threshold_pct=JACCARD_PCT)
@@ -1156,6 +1169,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY key HAVING count(*) > 1
         """,
         "ngram_jaccard_pairs": f"""
+            {_JACCARD_EDGES}
+            SELECT a_id, b_id, CAST(c AS BIGINT) AS inter,
+                   CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
+            FROM edges
+        """,
+        # identical oracle by design: prefix filtering is recall-complete
+        # and the verify is exact, so the output equals the full
+        # inverted-index join's
+        "ngram_jaccard_prefix_pairs": f"""
             {_JACCARD_EDGES}
             SELECT a_id, b_id, CAST(c AS BIGINT) AS inter,
                    CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb

@@ -222,3 +222,41 @@ def test_connected_components_chain_and_star(spark):
     assert got == {"n000"}
     n = connected_components(edges).count()
     assert n == 41
+
+
+def test_prefix_filtered_jaccard_equals_full_join(spark):
+    """PPJoin prefix filtering is recall-complete: on a shingle-diverse
+    corpus with planted near-dups, the prefix-filtered join returns the
+    EXACT pair set of the full inverted-index join (all thresholds)."""
+    import random
+    import string
+
+    from fuzzymatch_spark.config import DedupConfig
+    from fuzzymatch_spark.operators.dedup import (
+        compute_signatures,
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        t = "".join(rng.choices(string.ascii_lowercase, k=80))
+        rows.append((i, t))
+        if i < 20:  # planted near-dup: one char changed
+            rows.append(
+                (100000 + i,
+                 t[:40] + ("a" if t[40] != "a" else "b") + t[41:])
+            )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = compute_signatures(docs, "doc_id", "text", DedupConfig()).persist()
+    for pct in (95, 90, 70):
+        full = {tuple(r) for r in
+                ngram_jaccard_pairs(sig, threshold_pct=pct).collect()}
+        pref = {tuple(r) for r in
+                ngram_jaccard_prefix_pairs(sig, threshold_pct=pct).collect()}
+        assert pref == full, f"pct={pct}: {len(pref)} vs {len(full)}"
+    # the planted pairs are found
+    pairs = {(a, b) for a, b, *_ in pref}
+    assert all((i, 100000 + i) in pairs for i in range(20))
+    sig.unpersist()
