@@ -3,7 +3,8 @@
 Stage graph (SURVEY.md §3.4):
 
     1 signatures   : images/docs -> normalize+sketch table      [1 UDF pass]
-    2 cand_edges   : exact + MinHash-LSH + SimHash (+ pHash)    [band joins]
+    2 cand_edges   : exact + MinHash-LSH (+ SimHash if
+                     cfg.simhash_candidates, + pHash)            [band joins]
     3 scored_edges : verify kernel, threshold                    [1 UDF pass]
     4 clusters     : large-star/small-star to fixpoint           [iterative]
     5 metrics      : per-stage row counts / wall time            [lineage]
@@ -120,7 +121,8 @@ class DedupPipeline:
             ),
         )
 
-        # stage 2: candidate edges (exact + minhash + simhash [+ phash, suffix])
+        # stage 2: candidate edges (exact + minhash [+ simhash via cfg,
+        # + phash, suffix])
         def _cand():
             edges = candidate_edges(sig, self.cfg)
             if self.phash_col:
