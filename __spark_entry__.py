@@ -515,6 +515,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_dup_pairs"] = cos_dups
 
+    def ivf_semantic_dups(spark, sf):
+        # ORACLE-CHECKED SemDeDup-style semantic near-dup pairs: IVF cell
+        # assignment (deterministic first-8 codebook, 6-dp rounding) ->
+        # exact cosine pairs WITHIN cells only.  43 of 50 planted +0.02
+        # twins share their original's cell and surface as pairs (7 split
+        # across a cell boundary — the standard SemDeDup recall trade,
+        # reproduced identically by the oracle); the cell partition bounds
+        # the quadratic work the |D|^2 path (cosine_dup_pairs) cannot.
+        from fuzzymatch_spark.operators.ann import ivf_dup_pairs
+
+        emb = _emb(spark, sf).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        planted = emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+        )
+        return ivf_dup_pairs(
+            emb.unionByName(planted), "embedding", min_cosine=0.9,
+            n_centroids=8,
+        ).orderBy("a_id", "b_id")
+
+    q["ivf_semantic_dup_pairs"] = ivf_semantic_dups
+
     def video_frame_phash(spark, sf):  # stub codec: rows-only
         from fuzzymatch_spark.operators.multimodal import encode_video, frame_sample
         from fuzzymatch_spark.sources.images import synth_pixels
@@ -1654,6 +1678,60 @@ def oracle_sql() -> dict[str, str]:
                      b.embedding[n.i] AS y
               FROM allv a, allv b, nums n
               WHERE a.vec_id < b.vec_id AND n.i <= len(a.embedding)
+            ),
+            dots AS (
+              SELECT a_id, b_id, sum(x * y) AS dot,
+                     sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
+              FROM terms GROUP BY a_id, b_id
+            )
+            SELECT a_id, b_id, round(dot / (na * nb), 4) AS cos
+            FROM dots WHERE round(dot / (na * nb), 4) >= 0.9
+        """,
+        "ivf_semantic_dup_pairs": """
+            WITH allv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.02)
+                       AS embedding
+              FROM embeddings WHERE vec_id < 50
+            ),
+            nums AS (SELECT unnest(range(1, 65)) AS i),
+            cents AS (
+              SELECT vec_id AS cid, embedding FROM allv WHERE vec_id < 8
+            ),
+            cpairs AS (
+              SELECT e.vec_id, c.cid,
+                     sum(e.embedding[n.i] * c.embedding[n.i]) AS dot,
+                     sqrt(sum(e.embedding[n.i] * e.embedding[n.i])) AS ne,
+                     sqrt(sum(c.embedding[n.i] * c.embedding[n.i])) AS nc
+              FROM allv e, cents c, nums n
+              WHERE n.i <= len(e.embedding)
+              GROUP BY e.vec_id, c.cid
+            ),
+            cscored AS (
+              SELECT vec_id, cid, round(dot / (ne * nc), 6) AS cos
+              FROM cpairs
+            ),
+            assign AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cid ASC) AS rn
+                FROM cscored
+              ) WHERE rn = 1
+            ),
+            terms AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     av.embedding[n.i] AS x, bv.embedding[n.i] AS y
+              FROM assign a
+              JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              JOIN allv av ON av.vec_id = a.vec_id
+              JOIN allv bv ON bv.vec_id = b.vec_id, nums n
+              WHERE n.i <= len(av.embedding)
             ),
             dots AS (
               SELECT a_id, b_id, sum(x * y) AS dot,

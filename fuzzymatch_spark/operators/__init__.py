@@ -23,6 +23,7 @@ from fuzzymatch_spark.operators.ann import (
     cosine_topk,
     ivf_assign,
     ivf_build,
+    ivf_dup_pairs,
     ivf_probe_topk,
     ivf_topk,
     load_ivf_codebook,
@@ -52,6 +53,7 @@ __all__ = [
     "cosine_topk",
     "ivf_assign",
     "ivf_build",
+    "ivf_dup_pairs",
     "ivf_probe_topk",
     "ivf_topk",
     "load_ivf_codebook",

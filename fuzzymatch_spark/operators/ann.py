@@ -241,6 +241,43 @@ def ivf_topk(
     return out
 
 
+def ivf_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023):
+    assign every vector to its IVF cell (one BLAS matmul per Arrow batch),
+    then exact cosine pairs WITHIN each cell only — the quadratic work
+    drops from |D|^2 to sum of per-cell sizes^2, and the pair join is an
+    equi-join on ``cell`` so each task sees one cell's block.
+
+    Recall shape: near-duplicates (cos ~1) share a cell essentially
+    always (their centroid cosines differ by O(1-cos)); distant pairs are
+    the ones the cell partition skips — exactly the pairs a dedup doesn't
+    want.  Cosine is rounded to 4 decimals before thresholding, like
+    ``cosine_dup_pairs`` (the |D|^2 oracle path this operator bounds).
+    """
+    cents, _ = _centroid_matrix(df, vec_col, id_col, n_centroids)
+    assigned = ivf_assign(df, vec_col, cents)
+    a = assigned.select(
+        "cell", F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, on="cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", F.round(cos, 4))
+        .filter(F.col("cos") >= F.lit(min_cosine))
+        .select("a_id", "b_id", "cos")
+    )
+
+
 def ivf_build(
     df: DataFrame,
     vec_col: str,
