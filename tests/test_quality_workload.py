@@ -175,3 +175,45 @@ def test_quality_workload_name_only(spark):
     detail = {c: f"{sum(v)}/{len(v)}" for c, v in per_cat.items()}
     assert sum(per_cat["exact_name"]) == len(per_cat["exact_name"]), detail
     assert acc >= 0.95, detail
+
+
+@pytest.mark.slow
+def test_quality_workload_sw_mode(spark):
+    """Smith-Waterman mode on the same protocol. The reference's SW mode
+    trades typo tolerance for alignment-bonus ranking (85% overall, 56%
+    typo, 100% substring/abbreviation — `Documentation/COMPARISON.md:133,143`);
+    this gate pins the same shape: substring perfect, abbreviation near-
+    perfect, typo weak by design, overall >= 0.80 (measured 0.833)."""
+    rows = make_instruments()
+    queries = [q for q in make_queries(rows)
+               if q[1] in ("exact_name", "prefix", "typo", "substring",
+                           "abbreviation")]
+    corpus = spark.createDataFrame(
+        [(r[0], r[2]) for r in rows], "id int, name string"
+    )
+    cfg = MatchConfig(algorithm="smithWaterman", min_score=0.1)
+    out = top_matches_bulk(
+        corpus, "name", [q[0] for q in queries], k=5, config=cfg
+    ).collect()
+    by_query: dict[str, list] = {}
+    for r in out:
+        by_query.setdefault(r["query"], []).append((r["rank"], r["name"]))
+    k_of = {"exact_name": 1, "substring": 5, "prefix": 5, "typo": 5,
+            "abbreviation": 5}
+    per_cat: dict[str, list] = {}
+    for text, cat, expected in queries:
+        got = sorted(by_query.get(text, []))[: k_of[cat]]
+        per_cat.setdefault(cat, []).append(
+            any(name == expected for _, name in got)
+        )
+    detail = {c: f"{sum(v)}/{len(v)}" for c, v in per_cat.items()}
+    frac = {c: sum(v) / len(v) for c, v in per_cat.items()}
+    overall = [h for v in per_cat.values() for h in v]
+    acc = sum(overall) / len(overall)
+    print(f"\nSW quality per-category: {detail}  overall {acc:.3f}")
+    assert frac["substring"] == 1.0, detail       # reference: 22/22
+    assert frac["abbreviation"] >= 0.8, detail    # reference: 12/12
+    assert frac["exact_name"] >= 0.9, detail
+    assert frac["prefix"] >= 0.8, detail
+    assert frac["typo"] >= 0.4, detail            # weak by design (ref 56%)
+    assert acc >= 0.80, detail
