@@ -91,14 +91,21 @@ def top_matches(
     config: MatchConfig | None = None,
     mask_col: str | None = None,
 ) -> DataFrame:
-    """Global top-k by score desc, deterministic tie-break by candidate asc.
+    """Global top-k by score desc; deterministic tie-break by candidate
+    LENGTH asc, then candidate asc.
 
     The reference's sort is score-only with unordered ties
-    (`FuzzyMatcher+Convenience.swift:82-87`); we add the candidate tie-break
-    for reproducibility (SURVEY.md §2.7).
+    (`FuzzyMatcher+Convenience.swift:82-87`), so the tie order is ours to
+    define: shortest-first is the fzf/nucleo match-density convention and
+    ranks an exact match above a longer candidate that also normalizes to
+    the same score (e.g. the query itself vs a superstring of it, both
+    1.0 under Smith-Waterman's query-self-alignment cap); the final
+    candidate-asc leg makes the whole order reproducible (SURVEY.md §2.7).
     """
     scored = score_candidates(df, text_col, query_text, config, mask_col=mask_col)
-    return scored.orderBy(F.desc("score"), F.asc(text_col)).limit(k)
+    return scored.orderBy(
+        F.desc("score"), F.asc(F.length(text_col)), F.asc(text_col)
+    ).limit(k)
 
 
 def top_matches_levenshtein(
@@ -249,7 +256,9 @@ def top_matches_bulk(
             F.col("h.kind").alias("kind"),
         )
     )
-    w = Window.partitionBy("qi").orderBy(F.desc("score"), F.asc(text_col))
+    w = Window.partitionBy("qi").orderBy(
+        F.desc("score"), F.asc(F.length(text_col)), F.asc(text_col)
+    )
     return (
         exploded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -304,7 +313,13 @@ def top_matches_fields(
         .withColumn("kind", kind_expr)
         .drop(*[f"_m_{c}" for c in field_cols])
     )
-    return scored.orderBy(F.desc("score"), *[F.asc(c) for c in field_cols]).limit(k)
+    # shortest-winning-field-value tie-break (see top_matches)
+    best_len = F.lit(None).cast("int")
+    for c in reversed(field_cols):
+        best_len = F.when(F.col("field") == c, F.length(F.col(c))).otherwise(best_len)
+    return scored.orderBy(
+        F.desc("score"), F.asc(best_len), *[F.asc(c) for c in field_cols]
+    ).limit(k)
 
 
 def top_matches_fields_bulk(
@@ -399,8 +414,12 @@ def top_matches_fields_bulk(
             F.col("h.field").alias("field"),
         )
     )
+    # shortest-winning-field-value tie-break (see top_matches)
+    best_len = F.lit(None).cast("int")
+    for c in reversed(field_cols):
+        best_len = F.when(F.col("field") == c, F.length(F.col(c))).otherwise(best_len)
     w = Window.partitionBy("qi").orderBy(
-        F.desc("score"), *[F.asc(c) for c in field_cols]
+        F.desc("score"), F.asc(best_len), *[F.asc(c) for c in field_cols]
     )
     return (
         exploded.withColumn("rank", F.row_number().over(w))

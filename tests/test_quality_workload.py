@@ -183,7 +183,9 @@ def test_quality_workload_sw_mode(spark):
     trades typo tolerance for alignment-bonus ranking (85% overall, 56%
     typo, 100% substring/abbreviation — `Documentation/COMPARISON.md:133,143`);
     this gate pins the same shape: substring perfect, abbreviation near-
-    perfect, typo weak by design, overall >= 0.80 (measured 0.833)."""
+    perfect, typo weak by design, overall >= 0.82 (measured 0.856 with the
+    shortest-candidate tie-break ranking exact names above superstring
+    ties)."""
     rows = make_instruments()
     queries = [q for q in make_queries(rows)
                if q[1] in ("exact_name", "prefix", "typo", "substring",
@@ -213,7 +215,7 @@ def test_quality_workload_sw_mode(spark):
     print(f"\nSW quality per-category: {detail}  overall {acc:.3f}")
     assert frac["substring"] == 1.0, detail       # reference: 22/22
     assert frac["abbreviation"] >= 0.8, detail    # reference: 12/12
-    assert frac["exact_name"] >= 0.9, detail
-    assert frac["prefix"] >= 0.8, detail
+    assert frac["exact_name"] == 1.0, detail
+    assert frac["prefix"] >= 0.9, detail
     assert frac["typo"] >= 0.4, detail            # weak by design (ref 56%)
-    assert acc >= 0.80, detail
+    assert acc >= 0.82, detail
