@@ -348,6 +348,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_pairs"] = simhash_pairs
 
+    def simhash_tokens_q(spark, sf):
+        # ORACLE-CHECKED token-level SimHash: md5 token fingerprints ->
+        # per-bit majority -> 60-bit signature, all column expressions
+        # (the cross-engine twin of the seeded-blake2b UDF SimHash).
+        from fuzzymatch_spark.operators.textstats import simhash64_tokens
+
+        return simhash64_tokens(_docs(spark, sf), "doc_id", "text")
+
+    q["simhash_tokens"] = simhash_tokens_q
+
+    def simhash_token_pairs(spark, sf):
+        # ORACLE-CHECKED SimHash near-dup pairs end-to-end: relational
+        # SimHash signatures -> Manku Hamming band join (recall-complete,
+        # so the brute-force bit_count oracle is exact).  Planted twins
+        # replace the first token ('zzz' + rest): one token of ~60 flips
+        # few majority votes, so most twins land within Hamming 5 (28/30
+        # here; the 2 heavier flips are excluded identically by both
+        # engines — background pairs on this dense corpus start at 6).
+        from fuzzymatch_spark.operators.dedup import _hamming_band_edges
+        from fuzzymatch_spark.operators.textstats import simhash64_tokens
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        planted = docs.filter(
+            (F.col("doc_id") < 30) & (F.instr("text", " ") > 0)
+        ).select(
+            (F.col("doc_id") + F.lit(80_000_000)).alias("doc_id"),
+            F.expr("concat('zzz', substring(text, instr(text, ' ')))")
+            .alias("text"),
+        )
+        sig = simhash64_tokens(docs.unionByName(planted), "doc_id", "text")
+        return _hamming_band_edges(
+            sig, "doc_id", "simhash", n_bands=8, max_hamming=5,
+            source="simhash",
+        ).orderBy("a_id", "b_id")
+
+    q["simhash_token_pairs"] = simhash_token_pairs
+
     def verified_jaccard_edges(spark, sf):
         # ORACLE-CHECKED deterministic tier of verify_edges: exact inverted-
         # index candidates (ngram_jaccard_pairs, pct 60) -> two-tier verify
@@ -1141,8 +1178,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT v1 AS a_id, v2 AS b_id, matched_frac
             FROM scored WHERE matched_frac >= 0.5
     """
+    # token-level SimHash: per-bit majority vote over md5 token
+    # fingerprints (60 sum expressions; bit powers are disjoint so the
+    # CASE sum equals the bitwise OR the Spark side uses)
+    _sh_votes = ",\n                     ".join(
+        f"sum(CASE WHEN ((fp >> {k}) & 1) = 1 THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(60)
+    )
+    _sh_build = "\n                   + ".join(
+        f"CASE WHEN v{k} > 0 THEN (CAST(1 AS BIGINT) << {k}) ELSE 0 END"
+        for k in range(60)
+    )
+
+    def _simhash_sql(rows_cte: str) -> str:
+        return f"""
+            WITH {rows_cte},
+            toks AS (
+              SELECT d.doc_id, t.tok
+              FROM srows d, unnest(string_split(d.text, ' ')) AS t(tok)
+              WHERE len(t.tok) > 0
+            ),
+            fps AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS fp
+              FROM toks
+            ),
+            votes AS (
+              SELECT doc_id,
+                     {_sh_votes}
+              FROM fps GROUP BY doc_id
+            ),
+            sigs AS (
+              SELECT doc_id,
+                     ({_sh_build}) AS simhash
+              FROM votes
+            )"""
+
+    simhash_tokens_sql = (
+        _simhash_sql("srows AS (SELECT doc_id, text FROM documents)")
+        + "\n            SELECT doc_id, simhash FROM sigs"
+    )
+    simhash_pairs_sql = (
+        _simhash_sql("""srows AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 80000000 AS doc_id,
+                     'zzz' || substr(text, strpos(text, ' ')) AS text
+              FROM documents
+              WHERE doc_id < 30 AND strpos(text, ' ') > 0
+            )""")
+        + """
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   'simhash' AS source
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+        """
+    )
     return {
         "winnow_fingerprints": winnow_sql,
+        "simhash_tokens": simhash_tokens_sql,
+        "simhash_token_pairs": simhash_pairs_sql,
         "phash_hamming_pairs": phash_pairs_sql,
         "video_containment_pairs": video_containment_sql,
         "multimodal_dedup_clusters_relational": multimodal_rel_sql,

@@ -205,3 +205,44 @@ def mask_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *counts,
         masked.alias("masked_text"),
     )
+
+
+def simhash64_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token-level 60-bit SimHash (Charikar) as PURE COLUMN EXPRESSIONS:
+    md5-derived 60-bit token fingerprints (the ``md5_fingerprint64``
+    scheme), per-bit majority vote over the doc's tokens (with
+    multiplicity), bit set iff the vote is positive.
+
+    This is the cross-engine-checkable twin of the seeded-blake2b SimHash
+    inside the signature UDF (`fuzzymatch_spark/functions/udfs.py`): same
+    algorithm family, but every step is JVM/DuckDB-reproducible, so the
+    SimHash pipeline (signature -> Hamming band join) gets a relational
+    oracle.  Scale shape: one explode + one 60-expression groupBy —
+    map-side partial aggregation, no Python, output is 12 bytes/doc.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .withColumn("fp", md5_fingerprint64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("fp", k).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(60)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sh = F.lit(0).cast("long")
+    for k in range(60):
+        sh = sh.bitwiseOR(
+            F.when(
+                F.col(f"v{k}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), k),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("doc_id", sh.alias("simhash"))
