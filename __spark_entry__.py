@@ -486,6 +486,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mask_pii"] = mask_pii_q
 
+    # ---- corpus curation (oracle-checked; operators/corpus.py) ----
+    def repetition_q(spark, sf):
+        from fuzzymatch_spark.operators.corpus import repetition_stats
+
+        # plant a pathological repeater so the Gopher gate's fail branch is
+        # value-checked (the corpus's mild repetition mostly passes)
+        docs = _docs(spark, sf).select("doc_id", "text")
+        planted = docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+            F.concat(F.lit("loop loop loop loop loop loop "), F.col("text"))
+            .alias("text"),
+        )
+        return repetition_stats(docs.unionByName(planted), "doc_id", "text")
+
+    q["repetition_stats"] = repetition_q
+
+    def decontaminate_q(spark, sf):
+        from fuzzymatch_spark.operators.corpus import decontaminate_ngrams
+
+        docs = _docs(spark, sf).select("doc_id", "source", "text")
+        bench = docs.filter(F.col("source") == "src0")
+        return decontaminate_ngrams(docs, bench, "doc_id", "text", n=3)
+
+    q["decontaminate_ngrams"] = decontaminate_q
+
+    def stratified_q(spark, sf):
+        from fuzzymatch_spark.operators.corpus import stratified_sample
+
+        return stratified_sample(
+            _docs(spark, sf), ["lang", "source"], "doc_id", k=3
+        )
+
+    q["stratified_sample"] = stratified_q
+
+    def tfidf_q(spark, sf):
+        from fuzzymatch_spark.operators.corpus import tfidf_topk
+
+        return tfidf_topk(
+            _docs(spark, sf), "dup spark window", "doc_id", "text", k=20
+        )
+
+    q["tfidf_topk"] = tfidf_q
+
     # ---- similarity search ----
     def ann_topk(spark, sf):
         emb = _emb(spark, sf)
@@ -1474,6 +1517,131 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g')
                      AS masked_text
             FROM s2
+        """,
+        # independent relational formulation (unnest + GROUP BY) of the
+        # Spark side's within-row array-fold computation
+        "repetition_stats": """
+            WITH allrows AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 50000000 AS doc_id,
+                     'loop loop loop loop loop loop ' || text AS text
+              FROM documents WHERE doc_id < 10
+            ),
+            t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM allrows
+            ),
+            uni AS (
+              SELECT doc_id, sum(c) AS n1, max(c) AS top1 FROM (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                GROUP BY doc_id, tok
+              ) GROUP BY doc_id
+            ),
+            g2 AS (
+              SELECT doc_id, sum(c) AS n2, max(c) AS top2,
+                     count(*) AS nd2 FROM (
+                SELECT doc_id, gram, count(*) AS c FROM (
+                  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+                  FROM t, unnest(range(1, len(toks))) AS r(i)
+                ) GROUP BY doc_id, gram
+              ) GROUP BY doc_id
+            ),
+            g3 AS (
+              SELECT doc_id, sum(c) AS n3,
+                     count(*) FILTER (WHERE c = 1) AS singles3 FROM (
+                SELECT doc_id, gram, count(*) AS c FROM (
+                  SELECT doc_id,
+                         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           AS gram
+                  FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+                ) GROUP BY doc_id, gram
+              ) GROUP BY doc_id
+            ),
+            m AS (
+              SELECT t.doc_id,
+                     CAST(uni.n1 AS BIGINT) AS n_tokens,
+                     round(uni.top1 * 1.0 / greatest(uni.n1, 1), 6)
+                       AS top_unigram_frac,
+                     round(coalesce(g2.top2 * 1.0 / g2.n2, 0.0), 6)
+                       AS top_2gram_frac,
+                     round(coalesce(1.0 - g2.nd2 * 1.0 / g2.n2, 0.0), 6)
+                       AS excess_2gram_frac,
+                     round(coalesce((g3.n3 - g3.singles3) * 1.0 / g3.n3,
+                                    0.0), 6) AS dup_3gram_frac
+              FROM t
+              LEFT JOIN uni USING (doc_id)
+              LEFT JOIN g2 USING (doc_id)
+              LEFT JOIN g3 USING (doc_id)
+            )
+            SELECT *,
+                   CAST(CASE WHEN top_unigram_frac <= 0.30
+                              AND top_2gram_frac <= 0.20
+                              AND dup_3gram_frac <= 0.50
+                        THEN 1 ELSE 0 END AS INT) AS repetition_pass
+            FROM m
+        """,
+        "decontaminate_ngrams": """
+            WITH t AS (
+              SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     )) AS grams
+              FROM t
+            ),
+            dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            bg AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g
+              WHERE source = 'src0'
+            ),
+            hits AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM dg JOIN bg USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n, 0) AS n_gram_hits,
+                   CAST(CASE WHEN coalesce(n, 0) > 0 THEN 1 ELSE 0 END
+                        AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits USING (doc_id)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source,
+                   CAST(sample_rank AS INT) AS sample_rank
+            FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 3
+        """,
+        "tfidf_topk": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM tok
+              WHERE tok IN ('dup', 'spark', 'window')
+              GROUP BY doc_id, tok
+            ),
+            dfc AS (
+              SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id,
+                   round(sum(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)),
+                         6) AS tfidf
+            FROM tf JOIN dfc USING (tok), n
+            GROUP BY doc_id
+            ORDER BY tfidf DESC, doc_id
+            LIMIT 20
         """,
         "suffix_run_pairs": f"""
             WITH {_NUMS},

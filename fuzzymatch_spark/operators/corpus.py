@@ -1,0 +1,302 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+These cover the curation steps that sit *around* dedup in a real pipeline
+(reference analog: the FuzzyMatch CLI filters a candidate corpus before
+scoring, ``Sources/FuzzyMatch/FuzzyMatch.swift`` top-level flow; here the
+corpus itself is the product, so the filters are corpus-level):
+
+* Gopher-style repetition statistics — per-document duplicate / most-common
+  n-gram fractions (Rae et al., "Scaling Language Models: ... Gopher",
+  arXiv:2112.11446 §A1.1), computed entirely *within the row* with JVM
+  higher-order array functions: zero shuffle, zero Python.  At 100 TB this
+  is a pure map stage that fuses into the scan.
+* n-gram benchmark decontamination — drop/flag training docs sharing token
+  n-grams with an evaluation set (GPT-3 appendix-C style).  The benchmark
+  gram set is small by construction, so the join is an explicit
+  ``broadcast()``: the 100 TB side never shuffles.
+* deterministic stratified sampling — per-(stratum) top-k by a portable
+  hash (md5 hex of the id), reproducible across engines and runs; the
+  scale path for rate-based sampling (a pure filter, no window) is noted
+  in the docstring.
+* TF-IDF query ranking — corpus document frequencies for the query's terms
+  only (tokens are filtered to the query vocabulary *before* the exchange,
+  so the shuffled key-space is |query terms|, not |vocabulary|), then a
+  weighted top-k.
+
+Every operator here has a DuckDB oracle in ``__spark_entry__.oracle_sql``
+built from an *independent* relational formulation (unnest + GROUP BY)
+rather than mirroring the Spark array expressions — agreement is a real
+cross-check, not an echo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition statistics
+# --------------------------------------------------------------------------
+
+def _grams(toks, n: int):
+    """Token n-grams as strings, [] when the doc has < n tokens."""
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_stats(sorted_arr):
+    """(best_run, n_singleton_runs) over a sorted array, via one aggregate().
+
+    best_run = occurrence count of the most frequent element;
+    n_singletons = number of distinct elements occurring exactly once.
+    Runs as a single JVM fold over the array — no explode, no shuffle.
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("singles"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        closed_single = F.when(
+            acc["prev"].isNotNull() & ~same & (acc["run"] == 1), 1
+        ).otherwise(0)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"], F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+            ).alias("best"),
+            (acc["singles"] + closed_single).alias("singles"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            acc["best"].alias("best"),
+            (
+                acc["singles"]
+                + F.when(acc["prev"].isNotNull() & (acc["run"] == 1), 1)
+                .otherwise(0)
+            ).alias("singles"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition metrics (Gopher §A1.1, token-gram form).
+
+    Columns:
+      n_tokens            token count
+      top_unigram_frac    count of the most frequent token / n_tokens
+      top_2gram_frac      count of the most frequent 2-gram / n 2-grams
+      excess_2gram_frac   1 - distinct/total 2-grams (repeat occurrences)
+      dup_3gram_frac      fraction of 3-gram positions whose gram occurs
+                          >= 2 times in the doc
+      repetition_pass     1 when below the Gopher-ish thresholds
+
+    Entirely within-row (higher-order array functions): at 100 TB this is
+    a map-only stage — no exchange, payload never leaves the scan task.
+    """
+    toks = F.split(F.col(text_col), " ")
+    g2 = _grams(toks, 2)
+    g3 = _grams(toks, 3)
+    s1 = _run_stats(F.array_sort(toks))
+    s2 = _run_stats(F.array_sort(g2))
+    s3 = _run_stats(F.array_sort(g3))
+
+    n1 = F.size(toks)
+    n2 = F.size(g2)
+    n3 = F.size(g3)
+
+    top_uni = F.round(s1["best"] / F.greatest(n1, F.lit(1)), 6)
+    top_2 = F.round(
+        F.when(n2 > 0, s2["best"] / n2).otherwise(F.lit(0.0)), 6
+    )
+    excess_2 = F.round(
+        F.when(n2 > 0, 1.0 - F.size(F.array_distinct(g2)) / n2)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    dup_3 = F.round(
+        F.when(n3 > 0, (n3 - s3["singles"]) / n3).otherwise(F.lit(0.0)), 6
+    )
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n1.cast("long").alias("n_tokens"),
+        top_uni.alias("top_unigram_frac"),
+        top_2.alias("top_2gram_frac"),
+        excess_2.alias("excess_2gram_frac"),
+        dup_3.alias("dup_3gram_frac"),
+    )
+    return out.withColumn(
+        "repetition_pass",
+        F.when(
+            (F.col("top_unigram_frac") <= 0.30)
+            & (F.col("top_2gram_frac") <= 0.20)
+            & (F.col("dup_3gram_frac") <= 0.50),
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+def decontaminate_ngrams(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Flag training docs sharing any token n-gram with a benchmark set.
+
+    GPT-3-style decontamination (Brown et al. 2020, appendix C) at the
+    document level: a doc is contaminated when any of its distinct token
+    n-grams appears in the benchmark's gram set.
+
+    Scale shape: the benchmark gram set is small (eval suites are MBs, the
+    corpus is TBs) — it is explicitly ``broadcast()``, so the corpus side
+    is scan → in-task gram explode → broadcast-hash semi-count.  No shuffle
+    of corpus data at any width.
+
+    Returns (doc_id, n_gram_hits, contaminated) for every input doc.
+    """
+    def gram_rows(df, out_id):
+        toks = F.split(F.col(text_col), " ")
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(_grams(toks, n))).alias("gram"),
+        )
+
+    bench_grams = benchmark.select(
+        F.explode(
+            F.array_distinct(_grams(F.split(F.col(text_col), " "), n))
+        ).alias("gram")
+    ).distinct()
+
+    hits = (
+        gram_rows(docs, "doc_id")
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_gram_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_gram_hits", F.lit(0)).alias("n_gram_hits"),
+            F.when(F.coalesce("n_gram_hits", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame, strata_cols: list[str], id_col: str, k: int
+) -> DataFrame:
+    """Deterministic top-k sample per stratum, ordered by md5(id) hex.
+
+    md5 over the decimal string of the id is bit-identical across engines
+    (same hex digest in Spark and DuckDB), so the sample is reproducible
+    and oracle-checkable — unlike rand()-based sampling.
+
+    Scale note: exact-k needs a per-stratum window (one shuffle on the
+    strata key).  When an approximate rate suffices, the zero-shuffle path
+    is ``filter(conv(substring(md5(id),1,8),16,10) % 100 < pct)`` — a pure
+    map; use that for the 100 TB bulk pass and this exact-k form for
+    per-stratum caps on the (much smaller) survivor set.
+    """
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            *strata_cols,
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF query ranking
+# --------------------------------------------------------------------------
+
+def tfidf_topk(
+    docs: DataFrame,
+    query: str,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Rank documents against a query by sum of tf * idf over query terms.
+
+    idf(t) = ln((N + 1) / (df(t) + 1)) + 1  (smoothed; N = corpus size).
+
+    Scale shape: exploded tokens are filtered to the query vocabulary
+    *before* any exchange, so both the df aggregation and the per-doc tf
+    aggregation shuffle at most |query terms| x |matching docs| rows —
+    selectivity lands ahead of the shuffle, and the partial aggregation is
+    map-side combinable.  N arrives via a 1-row broadcast cross join (no
+    collect()).
+    """
+    terms = sorted({t for t in query.split(" ") if t})
+    toks = F.split(F.col(text_col), " ")
+    tok_rows = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+    )
+    tf = tok_rows.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * (
+                        F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                        + F.lit(1.0)
+                    )
+                ),
+                6,
+            ).alias("tfidf")
+        )
+    )
+    return (
+        scored.orderBy(F.col("tfidf").desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", "tfidf")
+    )

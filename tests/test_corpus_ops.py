@@ -1,0 +1,161 @@
+"""Corpus-curation operators: repetition stats, decontamination,
+stratified sampling, TF-IDF ranking.
+
+Each gets (a) hand-computed golden values on tiny planted docs and
+(b) a shape/invariant check on the real test corpus.  The DuckDB
+cross-engine check runs via the driver's oracle harness; these tests pin
+semantics independently of that harness.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzymatch_spark.operators.corpus import (
+    decontaminate_ngrams,
+    repetition_stats,
+    stratified_sample,
+    tfidf_topk,
+)
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- repetition
+
+def test_repetition_stats_golden(spark):
+    # doc 1: "a a a b" -> top unigram a: 3/4
+    #   2-grams: [a a, a a, a b] -> top 2/3, distinct 2 -> excess 1/3
+    #   3-grams: [a a a, a a b] -> both singletons -> dup 0
+    # doc 2: "x y x y x y" -> top unigram 3/6
+    #   2-grams: [x y, y x, x y, y x, x y] -> top 3/5, excess 3/5
+    #   3-grams: [x y x, y x y, x y x, y x y] -> all dup -> 1.0
+    df = _mkdocs(spark, [(1, "a a a b"), (2, "x y x y x y")])
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df, "doc_id", "text").collect()}
+
+    r1 = got[1]
+    assert r1["n_tokens"] == 4
+    assert r1["top_unigram_frac"] == 0.75
+    assert r1["top_2gram_frac"] == round(2 / 3, 6)
+    assert r1["excess_2gram_frac"] == round(1 / 3, 6)
+    assert r1["dup_3gram_frac"] == 0.0
+
+    r2 = got[2]
+    assert r2["top_unigram_frac"] == 0.5
+    assert r2["top_2gram_frac"] == 0.6
+    assert r2["excess_2gram_frac"] == 0.6
+    assert r2["dup_3gram_frac"] == 1.0
+    assert r2["repetition_pass"] == 0  # heavy repetition fails the gate
+
+
+def test_repetition_stats_short_docs(spark):
+    # docs shorter than the gram width must not error and report 0 fracs
+    df = _mkdocs(spark, [(1, "solo"), (2, "two words")])
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert got[1]["n_tokens"] == 1
+    assert got[1]["top_2gram_frac"] == 0.0
+    assert got[1]["dup_3gram_frac"] == 0.0
+    assert got[2]["top_2gram_frac"] == 1.0  # one 2-gram, occurs once -> 1/1
+    assert got[2]["dup_3gram_frac"] == 0.0
+
+
+def test_repetition_stats_corpus_invariants(documents):
+    out = repetition_stats(documents, "doc_id", "text")
+    rows = out.collect()
+    assert len(rows) == documents.count()
+    for r in rows:
+        for c in ("top_unigram_frac", "top_2gram_frac",
+                  "excess_2gram_frac", "dup_3gram_frac"):
+            assert 0.0 <= r[c] <= 1.0, (r["doc_id"], c, r[c])
+        # top-gram frequency can never be below the excess fraction's
+        # implied minimum: if excess > 0 some gram repeats -> top >= 2/n
+        if r["excess_2gram_frac"] > 0:
+            assert r["top_2gram_frac"] > 0
+
+
+# ------------------------------------------------------------ decontaminate
+
+def test_decontaminate_golden(spark):
+    docs = _mkdocs(spark, [
+        (1, "the quick brown fox jumps"),      # shares "quick brown fox"
+        (2, "lorem ipsum dolor sit amet"),     # clean
+        (3, "quick brown fox quick brown fox"),  # distinct grams, 2 hits
+    ])
+    bench = _mkdocs(spark, [(100, "a quick brown fox runs")])
+    got = {r["doc_id"]: r.asDict()
+           for r in decontaminate_ngrams(docs, bench, "doc_id", "text", n=3).collect()}
+    assert got[1]["contaminated"] == 1
+    assert got[1]["n_gram_hits"] == 1          # only "quick brown fox"
+    assert got[2] == {"doc_id": 2, "n_gram_hits": 0, "contaminated": 0}
+    # doc 3 distinct 3-grams: [quick brown fox, brown fox quick,
+    #   fox quick brown] -> only the first is in the benchmark
+    assert got[3]["n_gram_hits"] == 1
+
+
+def test_decontaminate_covers_all_docs(documents):
+    bench = documents.filter(F.col("source") == "src0")
+    out = decontaminate_ngrams(documents, bench, "doc_id", "text", n=3)
+    assert out.count() == documents.count()
+    # every src0 doc with >= 3 tokens shares its own grams with the bench
+    self_rows = (
+        out.join(documents.select("doc_id", "source", "text"), "doc_id")
+        .filter((F.col("source") == "src0") & (F.size(F.split("text", " ")) >= 3))
+    )
+    assert self_rows.filter(F.col("contaminated") == 0).count() == 0
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_stratified_sample_deterministic(documents):
+    out1 = stratified_sample(documents, ["lang", "source"], "doc_id", 3)
+    out2 = stratified_sample(documents, ["lang", "source"], "doc_id", 3)
+    rows1 = sorted(tuple(r) for r in out1.collect())
+    rows2 = sorted(tuple(r) for r in out2.collect())
+    assert rows1 == rows2
+    # never more than k per stratum
+    per = out1.groupBy("lang", "source").count().collect()
+    assert all(r["count"] <= 3 for r in per)
+    assert max(r["count"] for r in per) == 3  # strata are big enough here
+
+
+def test_stratified_sample_matches_portable_hash(spark):
+    import hashlib
+    df = _mkdocs(spark, [(i, "t") for i in range(50)]).withColumn(
+        "grp", F.lit("g")
+    )
+    got = [r["doc_id"] for r in
+           stratified_sample(df, ["grp"], "doc_id", 5)
+           .orderBy("sample_rank").collect()]
+    want = sorted(range(50),
+                  key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:5]
+    assert got == want
+
+
+# ------------------------------------------------------------------ tf-idf
+
+def test_tfidf_golden(spark):
+    docs = _mkdocs(spark, [
+        (1, "spark spark shuffle"),
+        (2, "spark join"),
+        (3, "window sort merge"),
+    ])
+    out = {r["doc_id"]: r["tfidf"]
+           for r in tfidf_topk(docs, "spark shuffle", "doc_id", "text", k=10).collect()}
+    idf_spark = math.log(4 / 3) + 1.0
+    idf_shuffle = math.log(4 / 2) + 1.0
+    assert out[1] == round(2 * idf_spark + 1 * idf_shuffle, 6)
+    assert out[2] == round(1 * idf_spark, 6)
+    assert 3 not in out  # no query term present
+    # rarer term outweighs a repeat of a common one at equal tf
+    assert out[1] > out[2]
+
+
+def test_tfidf_topk_order_and_k(documents):
+    out = tfidf_topk(documents, "spark shuffle window", "doc_id", "text", k=7)
+    rows = out.collect()
+    assert len(rows) == 7
+    scores = [r["tfidf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
