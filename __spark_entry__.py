@@ -529,6 +529,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_topk"] = tfidf_q
 
+    def pair_eval_q(spark, sf):
+        # Dedup-quality eval against a labeled pair set — the north rule's
+        # "dup-pair recall on a labeled eval shard" metric as an operator.
+        # Truth = planted copies (50 exact at +60M, 100 suffix-perturbed at
+        # +61M); predictions = the exact n-gram Jaccard join at the
+        # pipeline threshold.  Exact copies are always recovered; the
+        # 7-new-trigram perturbation sits below the 98% threshold on this
+        # corpus's vocabulary-bounded gram sets, so recall lands strictly
+        # between 0 and 1 and precision reflects the corpus's natural
+        # near-dup pairs — every branch of the metric is value-checked.
+        from fuzzymatch_spark.operators.corpus import pair_eval
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        exact = docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + F.lit(60_000_000)).alias("doc_id"), "text"
+        )
+        pert = docs.filter(
+            (F.col("doc_id") >= 50) & (F.col("doc_id") < 150)
+        ).select(
+            (F.col("doc_id") + F.lit(61_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qzxjvwblt")).alias("text"),
+        )
+        allrows = docs.unionByName(exact).unionByName(pert)
+        sig = compute_signatures(allrows, "doc_id", "text", CFG)
+        pred = ngram_jaccard_pairs(sig, threshold_pct=JACCARD_PCT).select(
+            "a_id", "b_id"
+        )
+        truth = docs.filter(F.col("doc_id") < 150).select(
+            F.col("doc_id").alias("a_id"),
+            F.when(F.col("doc_id") < 50, F.col("doc_id") + 60_000_000)
+            .otherwise(F.col("doc_id") + 61_000_000)
+            .alias("b_id"),
+        )
+        return pair_eval(pred, truth)
+
+    q["dedup_pair_eval"] = pair_eval_q
+
+    def kmeans_q(spark, sf):
+        from fuzzymatch_spark.operators.ann import kmeans_lloyd
+
+        return kmeans_lloyd(_emb(spark, sf), "embedding", k=8, iters=2)
+
+    q["kmeans_clusters"] = kmeans_q
+
     # ---- similarity search ----
     def ann_topk(spark, sf):
         emb = _emb(spark, sf)
@@ -1642,6 +1686,120 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY tfidf DESC, doc_id
             LIMIT 20
+        """,
+        "dedup_pair_eval": f"""
+            WITH allrows AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 60000000, text FROM documents
+              WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id + 61000000, text || ' qzxjvwblt'
+              FROM documents WHERE doc_id >= 50 AND doc_id < 150
+            ),
+            nums AS (
+              SELECT unnest(range(1,
+                (SELECT max(len(text)) + 1 FROM allrows))) AS i
+            ),
+            grams AS (
+              SELECT DISTINCT d.doc_id,
+                     ascii(substr(d.text, n.i, 1))
+                     + 256 * ascii(substr(d.text, n.i + 1, 1))
+                     + 65536 * ascii(substr(d.text, n.i + 2, 1)) AS g
+              FROM allrows d JOIN nums n ON n.i <= len(d.text) - 2
+              WHERE substr(d.text, n.i, 3) NOT LIKE '% %'
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pred AS (
+              SELECT i.a_id, i.b_id
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.a_id
+              JOIN sizes sb ON sb.doc_id = i.b_id
+              WHERE 100 * i.c >= {JACCARD_PCT} * (sa.n + sb.n - i.c)
+            ),
+            truth AS (
+              SELECT doc_id AS a_id, doc_id + 60000000 AS b_id
+              FROM documents WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id, doc_id + 61000000
+              FROM documents WHERE doc_id >= 50 AND doc_id < 150
+            ),
+            j AS (
+              SELECT CASE WHEN p.a_id IS NULL THEN 0 ELSE 1 END AS in_pred,
+                     CASE WHEN t.a_id IS NULL THEN 0 ELSE 1 END AS in_truth
+              FROM pred p
+              FULL JOIN truth t ON p.a_id = t.a_id AND p.b_id = t.b_id
+            )
+            SELECT CAST(sum(in_pred) AS BIGINT) AS n_pred,
+                   CAST(sum(in_truth) AS BIGINT) AS n_truth,
+                   CAST(sum(in_pred * in_truth) AS BIGINT) AS n_hit,
+                   round(sum(in_pred * in_truth) * 1.0
+                         / greatest(sum(in_pred), 1), 6) AS prec,
+                   round(sum(in_pred * in_truth) * 1.0
+                         / greatest(sum(in_truth), 1), 6) AS recall,
+                   round(2.0 * sum(in_pred * in_truth)
+                         / greatest(sum(in_pred) + sum(in_truth), 1), 6)
+                     AS f1
+            FROM j
+        """,
+        # two unrolled Lloyd iterations; every comparison happens on
+        # 6-dp-rounded values so summation-order drift cannot flip an
+        # assignment between engines
+        "kmeans_clusters": """
+            WITH nums AS (SELECT unnest(range(1, 65)) AS i),
+            cents0 AS (
+              SELECT vec_id AS cid, embedding FROM embeddings
+              WHERE vec_id < 8
+            ),
+            p0 AS (
+              SELECT e.vec_id, c.cid,
+                     round(sum(CAST(e.embedding[n.i] AS DOUBLE)
+                               * CAST(c.embedding[n.i] AS DOUBLE))
+                           / (sqrt(sum(CAST(e.embedding[n.i] AS DOUBLE)
+                                       * CAST(e.embedding[n.i] AS DOUBLE)))
+                              * sqrt(sum(CAST(c.embedding[n.i] AS DOUBLE)
+                                         * CAST(c.embedding[n.i] AS DOUBLE)))),
+                           6) AS cos
+              FROM embeddings e, cents0 c, nums n
+              WHERE n.i <= len(e.embedding)
+              GROUP BY e.vec_id, c.cid
+            ),
+            a0 AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cid ASC) AS rn
+                FROM p0
+              ) WHERE rn = 1
+            ),
+            c1 AS (
+              SELECT a0.cell AS cid, n.i AS dim,
+                     round(avg(CAST(e.embedding[n.i] AS DOUBLE)), 6) AS v
+              FROM embeddings e JOIN a0 USING (vec_id), nums n
+              WHERE n.i <= len(e.embedding)
+              GROUP BY a0.cell, n.i
+            ),
+            p1 AS (
+              SELECT e.vec_id, c1.cid,
+                     round(sum(CAST(e.embedding[c1.dim] AS DOUBLE) * c1.v)
+                           / (sqrt(sum(CAST(e.embedding[c1.dim] AS DOUBLE)
+                                       * CAST(e.embedding[c1.dim] AS DOUBLE)))
+                              * sqrt(sum(c1.v * c1.v))), 6) AS cos
+              FROM embeddings e, c1
+              WHERE c1.dim <= len(e.embedding)
+              GROUP BY e.vec_id, c1.cid
+            )
+            SELECT vec_id, CAST(cluster AS INT) AS cluster, cos FROM (
+              SELECT vec_id, cid AS cluster, cos,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid ASC) AS rn
+              FROM p1
+            ) WHERE rn = 1
         """,
         "suffix_run_pairs": f"""
             WITH {_NUMS},

@@ -333,3 +333,106 @@ def ivf_probe_topk(
     pruned = spark.read.parquet(index_path).filter(F.col("cell").isin(*probes))
     return cosine_topk(pruned, vec_col, [float(x) for x in query_vec], k=k,
                        id_col=id_col)
+
+
+def _assign_labeled(cmat: np.ndarray, labels: list[int]):
+    """Nearest-centroid assignment returning (cell label, 6-dp cosine).
+
+    ``cmat`` rows must be unit-normalized and ``labels`` ascending so that
+    numpy's first-max argmax realizes the ties-to-lower-label rule.  One
+    BLAS matmul per Arrow batch, like ``ivf_assign``.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    assert list(labels) == sorted(labels)
+    ct = np.asarray(cmat, dtype=np.float64).T  # (dim, C)
+    lab = np.asarray(labels, dtype=np.int32)
+
+    schema = StructType([
+        StructField("cell", IntegerType()),
+        StructField("cos", DoubleType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype=np.int32),
+                                 "cos": pd.Series([], dtype=np.float64)})
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        cos = np.round((mat / nrm) @ ct, 6)
+        idx = np.argmax(cos, axis=1)
+        return pd.DataFrame({
+            "cell": lab[idx],
+            "cos": cos[np.arange(len(idx)), idx],
+        })
+
+    return assign
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column (cosine
+    assignment), the iterative-algorithm pattern on Spark.
+
+    Semantics, pinned for cross-engine reproduction:
+      * init centroids = the first ``k`` rows by id (like the IVF
+        codebook), unit-normalized;
+      * assignment = max 6-dp-rounded cosine, ties to the lower centroid
+        label;
+      * update = per-dimension arithmetic mean of the raw (double-cast)
+        member components, each mean rounded to 6 decimals — the rounding
+        absorbs cross-engine summation-order drift (~1e-15) so a DuckDB
+        oracle reproduces every iteration bit-for-bit at the comparison
+        granularity;
+      * ``iters`` assignment rounds with an update between consecutive
+        rounds (iters=2: assign -> update -> assign -> emit); empty cells
+        simply drop out of the next round's codebook.
+
+    Scale shape: assignment is one BLAS matmul per Arrow batch over the
+    full table; the update is a (k x dim)-row aggregate — the classic
+    driver-synchronized k-means loop, where per-iteration driver traffic
+    is O(k * dim), never O(rows).  Returns (id, cluster, cos).
+    """
+    cmat, labels = _centroid_matrix(df, vec_col, id_col, k)
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    for it in range(iters):
+        assign = _assign_labeled(cmat, labels)
+        assigned = base.withColumn("asg", assign(F.col(vec_col)))
+        if it == iters - 1:
+            return assigned.select(
+                F.col(id_col),
+                F.col("asg.cell").alias("cluster"),
+                F.col("asg.cos").alias("cos"),
+            )
+        upd = (
+            assigned.select(
+                F.col("asg.cell").alias("cell"),
+                F.posexplode(vec_col).alias("dim", "val"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("v"))
+            .collect()  # O(k * dim) rows — codebook-sized by construction
+        )
+        bycell: dict[int, dict[int, float]] = {}
+        for r in upd:
+            bycell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["v"])
+        labels = sorted(bycell)
+        dim = cmat.shape[1]
+        rows = np.array(
+            [[bycell[c].get(d, 0.0) for d in range(dim)] for c in labels],
+            dtype=np.float64,
+        )
+        norms = np.linalg.norm(rows, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cmat = rows / norms

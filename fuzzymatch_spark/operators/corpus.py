@@ -246,6 +246,68 @@ def stratified_sample(
 
 
 # --------------------------------------------------------------------------
+# Dedup-quality evaluation (precision / recall vs labeled pairs)
+# --------------------------------------------------------------------------
+
+def pair_eval(
+    pred: DataFrame,
+    truth: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Precision/recall/F1 of a predicted duplicate-pair set against a
+    labeled truth set — the metric the north rule's "dup-pair recall
+    >= 0.99 on a labeled eval shard" gate is scored on.
+
+    Pairs are canonicalized (least, greatest) and deduplicated on both
+    sides, then matched with one full outer equi-join on the pair key and
+    reduced to a single row of counts + ratios.  Both the canonicalization
+    and the counts are map-side combinable; nothing is collected — at
+    100 TB the eval shard's truth set is the small side and the join
+    broadcasts it, so the predicted-edge table never shuffles for this.
+    """
+    def canon(df):
+        return df.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        ).distinct()
+
+    j = (
+        canon(pred).withColumn("in_pred", F.lit(1))
+        .join(
+            canon(truth).withColumn("in_truth", F.lit(1)),
+            ["a", "b"],
+            "full",
+        )
+        .select(
+            F.coalesce("in_pred", F.lit(0)).alias("in_pred"),
+            F.coalesce("in_truth", F.lit(0)).alias("in_truth"),
+        )
+    )
+    agg = j.agg(
+        F.sum("in_pred").cast("long").alias("n_pred"),
+        F.sum("in_truth").cast("long").alias("n_truth"),
+        F.sum(F.col("in_pred") * F.col("in_truth")).cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "n_pred",
+        "n_truth",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1)), 6
+        ).alias("prec"),
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+        ).alias("recall"),
+        F.round(
+            2.0 * F.col("n_hit")
+            / F.greatest(F.col("n_pred") + F.col("n_truth"), F.lit(1)),
+            6,
+        ).alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
 # TF-IDF query ranking
 # --------------------------------------------------------------------------
 

@@ -159,3 +159,70 @@ def test_tfidf_topk_order_and_k(documents):
     assert len(rows) == 7
     scores = [r["tfidf"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------- pair eval
+
+def test_pair_eval_golden(spark):
+    from fuzzymatch_spark.operators.corpus import pair_eval
+
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 4), (6, 5), (7, 8)], "a_id long, b_id long"
+    )
+    truth = spark.createDataFrame(
+        # (5,6) matches (6,5) after canonicalization; (2,1) dups (1,2)
+        [(1, 2), (2, 1), (5, 6), (9, 10)], "a_id long, b_id long"
+    )
+    row = pair_eval(pred, truth).collect()[0].asDict()
+    assert row == {
+        "n_pred": 4, "n_truth": 3, "n_hit": 2,
+        "prec": 0.5, "recall": round(2 / 3, 6), "f1": round(4 / 7, 6),
+    }
+
+
+def test_pair_eval_empty_pred(spark):
+    from fuzzymatch_spark.operators.corpus import pair_eval
+
+    pred = spark.createDataFrame([], "a_id long, b_id long")
+    truth = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    row = pair_eval(pred, truth).collect()[0].asDict()
+    assert row["n_pred"] == 0 and row["prec"] == 0.0 and row["f1"] == 0.0
+
+
+# ------------------------------------------------------------------ k-means
+
+def test_kmeans_lloyd_converges_on_planted_blobs(spark):
+    import numpy as np
+    from fuzzymatch_spark.operators.ann import kmeans_lloyd
+
+    # three tight blobs in 8-d; first 3 rows (the init centroids) are one
+    # member of each blob, so k=3 must recover the blobs exactly
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(3, 8)) * 5
+    rows = []
+    vid = 0
+    for rep in range(10):
+        for b in range(3):
+            v = centers[b] + rng.normal(size=8) * 0.05
+            rows.append((vid, [float(x) for x in v], b))
+            vid += 1
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_lloyd(df, "embedding", k=3, iters=2).collect()}
+    # rows were laid out blob-cyclically: vec_id % 3 is the true blob, and
+    # init centroid i belongs to blob i
+    for i, _, blob in rows:
+        assert got[i] == blob, (i, got[i], blob)
+
+
+def test_kmeans_lloyd_deterministic(embeddings):
+    from fuzzymatch_spark.operators.ann import kmeans_lloyd
+
+    a = sorted(tuple(r) for r in
+               kmeans_lloyd(embeddings, "embedding", k=4, iters=2).collect())
+    b = sorted(tuple(r) for r in
+               kmeans_lloyd(embeddings, "embedding", k=4, iters=2).collect())
+    assert a == b
+    assert len(a) == 1000 or len(a) > 0

@@ -191,3 +191,44 @@ def test_ivf_stored_index_prunes_partitions(spark, embeddings, tmp_path):
     assert [tuple(r) for r in out.collect()] == [
         tuple(r) for r in inline.collect()
     ]
+
+
+# ---------------------------------------------------------- corpus curation
+
+def test_repetition_stats_plan_has_no_exchange(spark, documents):
+    from fuzzymatch_spark.operators.corpus import repetition_stats
+
+    plan = plan_of(repetition_stats(documents, "doc_id", "text"))
+    # the whole computation is within-row array folds: a map-only stage
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, documents):
+    from fuzzymatch_spark.operators.corpus import decontaminate_ngrams
+
+    bench = documents.filter(F.col("source") == "src0")
+    plan = plan_of(
+        decontaminate_ngrams(documents, bench, "doc_id", "text", n=3)
+    )
+    # the gram-hit join must be broadcast (corpus side never shuffles on
+    # the gram key); no sort-merge join anywhere
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tfidf_filters_tokens_before_exchange(spark, documents):
+    from fuzzymatch_spark.operators.corpus import tfidf_topk
+
+    plan = plan_of(
+        tfidf_topk(documents, "dup spark window", "doc_id", "text", k=20)
+    )
+    # the query-vocabulary IN-filter must sit below the first aggregate
+    # exchange: selectivity lands before any shuffle
+    first_exchange = plan.index("Exchange")
+    fil = re.search(r"Filter .*tok#\d+ IN", plan)
+    assert fil, plan
+    assert fil.start() > first_exchange, (
+        "vocabulary filter should be deeper in the tree (below the "
+        "exchange printed above it)"
+    )
