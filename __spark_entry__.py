@@ -573,6 +573,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmeans_clusters"] = kmeans_q
 
+    def windowed_events_q(spark, sf):
+        # the streaming windowed aggregation run in batch mode (watermark
+        # is a no-op in batch) — value-checks the window expressions the
+        # streaming path emits
+        from fuzzymatch_spark.streaming.windowed import windowed_event_stats
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return windowed_event_stats(ev, exact_sums=True)
+
+    q["events_windowed_stats"] = windowed_events_q
+
     # ---- similarity search ----
     def ann_topk(spark, sf):
         emb = _emb(spark, sf)
@@ -1746,6 +1757,17 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(sum(in_pred) + sum(in_truth), 1), 6)
                      AS f1
             FROM j
+        """,
+        "events_windowed_stats": """
+            SELECT time_bucket(INTERVAL '1 minute', ts) AS win_start,
+                   time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute'
+                     AS win_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+                     AS sum_value
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         # two unrolled Lloyd iterations; every comparison happens on
         # 6-dp-rounded values so summation-order drift cannot flip an

@@ -1,0 +1,127 @@
+"""Watermarked windowed aggregation and explicit-state streaming operators:
+
+* append-mode finality — a window is emitted once, only after the
+  watermark passes its end, and the emitted values match the batch
+  aggregation over the same events
+* late-data drop — an event older than the watermark does not reopen or
+  change an already-final window
+* stateful running totals — GroupState accumulates across separate
+  AvailableNow passes through the stream checkpoint
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzymatch_spark.streaming.windowed import (
+    run_user_totals,
+    run_windowed_events,
+    windowed_event_stats,
+)
+
+SCHEMA = "ts timestamp, user_id bigint, event_type string, value double"
+
+
+def _ts(minute, second=0):
+    return datetime(2026, 1, 1, 10, minute, second)
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _read_out(spark, out):
+    return {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_windowed_append_matches_batch_and_drops_late(spark, tmp_path):
+    inp = str(tmp_path / "landing")
+    out = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [
+        (_ts(0, 10), 1, "view", 1.0),
+        (_ts(0, 40), 2, "view", 2.0),
+        (_ts(0, 50), 1, "click", 0.5),
+        (_ts(1, 20), 3, "view", 4.0),
+        (_ts(3, 0), 1, "view", 8.0),
+    ]
+    _write(spark, inp, batch1)
+    run_windowed_events(spark, inp, SCHEMA, out, ckpt,
+                        window_dur="1 minute", watermark="2 minutes")
+    # watermark after batch1 = 10:03 - 2min = 10:01 -> only the 10:00
+    # window is final
+    got = _read_out(spark, out)
+    assert set(k[0].minute for k in got) == {0}
+    assert got[(_ts(0), "view")] == (2, 3.0)
+    assert got[(_ts(0), "click")] == (1, 0.5)
+
+    # a far-future sentinel advances the watermark past every open window
+    _write(spark, inp, [(_ts(30), 9, "view", 0.0)])
+    run_windowed_events(spark, inp, SCHEMA, out, ckpt,
+                        window_dur="1 minute", watermark="2 minutes")
+    got = _read_out(spark, out)
+    assert got[(_ts(1), "view")] == (1, 4.0)
+    assert got[(_ts(3), "view")] == (1, 8.0)
+
+    # emitted finals match the batch aggregation over the same events
+    batch_df = spark.createDataFrame(
+        batch1, SCHEMA
+    )
+    want = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_stats(batch_df).collect()
+    }
+    assert {k: v for k, v in got.items() if k[0].minute != 30} == want
+
+    # an event 28 minutes older than the watermark must be dropped: the
+    # already-final 10:00 view window stays (2, 3.0)
+    _write(spark, inp, [(_ts(0, 55), 7, "view", 100.0)])
+    run_windowed_events(spark, inp, SCHEMA, out, ckpt,
+                        window_dur="1 minute", watermark="2 minutes")
+    got = _read_out(spark, out)
+    assert got[(_ts(0), "view")] == (2, 3.0)
+
+
+def test_running_user_totals_state_across_passes(spark, tmp_path):
+    inp = str(tmp_path / "landing")
+    out = str(tmp_path / "totals")
+    ckpt = str(tmp_path / "ckpt")
+
+    def latest():
+        # newest emitted row per user (AvailableNow may split files into
+        # several epochs; the running total is whatever came last)
+        rows = spark.read.parquet(out).collect()
+        best = {}
+        for r in rows:
+            if r["user_id"] not in best or r["epoch"] > best[r["user_id"]]["epoch"]:
+                best[r["user_id"]] = r
+        return {u: (r["n_events"], r["total_value"]) for u, r in best.items()}
+
+    _write(spark, inp, [
+        (_ts(0), 1, "view", 1.0),
+        (_ts(1), 1, "view", 2.0),
+        (_ts(1), 2, "click", 5.0),
+    ])
+    run_user_totals(spark, inp, SCHEMA, out, ckpt)
+    assert latest() == {1: (2, 3.0), 2: (1, 5.0)}
+
+    # second pass: state persists through the checkpoint — totals
+    # accumulate, they don't restart
+    _write(spark, inp, [
+        (_ts(2), 1, "view", 4.0),
+        (_ts(2), 3, "view", 7.0),
+    ])
+    run_user_totals(spark, inp, SCHEMA, out, ckpt)
+    got2 = latest()
+    assert got2[1] == (3, 7.0)   # 2 prior events + 1 new
+    assert got2[3] == (1, 7.0)   # new user
+    # user 2 had no new events: update mode re-emitted nothing, so their
+    # newest row is still the first pass's total
+    assert got2[2] == (1, 5.0)
