@@ -529,6 +529,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_topk"] = tfidf_q
 
+    def chunk_q(spark, sf):
+        from fuzzymatch_spark.operators.corpus import chunk_documents
+
+        return chunk_documents(
+            _docs(spark, sf), "doc_id", "text", chunk_tokens=32, overlap=8
+        )
+
+    q["chunk_documents"] = chunk_q
+
     def pair_eval_q(spark, sf):
         # Dedup-quality eval against a labeled pair set — the north rule's
         # "dup-pair recall on a labeled eval shard" metric as an operator.
@@ -1697,6 +1706,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY tfidf DESC, doc_id
             LIMIT 20
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            c AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) <= 32 THEN 1
+                          ELSE (len(toks) - 32 + 23) // 24 + 1
+                     END AS k
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_id,
+                   CAST(i * 24 AS BIGINT) AS start_token,
+                   CAST(len(list_slice(toks, i * 24 + 1, i * 24 + 32))
+                     AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(
+                     list_slice(toks, i * 24 + 1, i * 24 + 32), ' '
+                   ) AS chunk_text
+            FROM c, unnest(range(0, k)) AS r(i)
         """,
         "dedup_pair_eval": f"""
             WITH allrows AS (

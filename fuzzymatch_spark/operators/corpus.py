@@ -246,6 +246,57 @@ def stratified_sample(
 
 
 # --------------------------------------------------------------------------
+# Document chunking (overlapping token windows)
+# --------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard pre-embedding / pre-training segmentation step.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens; the final chunk
+    may be short (tail coverage beats fixed-length truncation for
+    training data).  Chunk boundaries are computed within the row with
+    JVM array expressions and exploded in-task: a map-side explode, no
+    shuffle — at 100 TB this fuses into the scan and the output is
+    written straight back out partition-aligned with the input.
+
+    Emits (doc_id, chunk_id, start_token, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / stride).cast("long") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            (i * stride).cast("long").alias("start_token"),
+            F.slice(toks, i * stride + 1, chunk_tokens).alias("ctoks"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.start_token").alias("start_token"),
+            F.size("c.ctoks").cast("long").alias("n_chunk_tokens"),
+            F.array_join("c.ctoks", " ").alias("chunk_text"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Dedup-quality evaluation (precision / recall vs labeled pairs)
 # --------------------------------------------------------------------------
 

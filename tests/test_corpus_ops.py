@@ -226,3 +226,60 @@ def test_kmeans_lloyd_deterministic(embeddings):
                kmeans_lloyd(embeddings, "embedding", k=4, iters=2).collect())
     assert a == b
     assert len(a) == 1000 or len(a) > 0
+
+
+# ----------------------------------------------------------------- chunking
+
+def test_chunk_documents_golden(spark):
+    from fuzzymatch_spark.operators.corpus import chunk_documents
+
+    df = _mkdocs(spark, [
+        (1, "a b c d e"),      # n=5, chunk 3, overlap 1 -> starts 0, 2
+        (2, "a b c d e f"),    # n=6 -> starts 0, 2, 4 (short tail chunk)
+        (3, "a b"),            # n <= chunk -> single chunk
+    ])
+    rows = sorted(
+        tuple(r) for r in
+        chunk_documents(df, "doc_id", "text", chunk_tokens=3, overlap=1)
+        .collect()
+    )
+    assert rows == [
+        (1, 0, 0, 3, "a b c"),
+        (1, 1, 2, 3, "c d e"),
+        (2, 0, 0, 3, "a b c"),
+        (2, 1, 2, 3, "c d e"),
+        (2, 2, 4, 2, "e f"),
+        (3, 0, 0, 2, "a b"),
+    ]
+
+
+def test_chunk_documents_covers_every_token(documents):
+    from fuzzymatch_spark.operators.corpus import chunk_documents
+
+    out = chunk_documents(documents, "doc_id", "text",
+                          chunk_tokens=32, overlap=8)
+    # every token index of every doc falls inside some chunk: the last
+    # chunk's start + its length reaches the doc's token count
+    cover = (
+        out.groupBy("doc_id")
+        .agg(F.max(F.col("start_token") + F.col("n_chunk_tokens")).alias("reach"))
+        .join(
+            documents.select(
+                "doc_id", F.size(F.split("text", " ")).alias("n")
+            ),
+            "doc_id",
+        )
+    )
+    assert cover.filter(F.col("reach") != F.col("n")).count() == 0
+    # overlap invariant: consecutive chunks share exactly `overlap` tokens
+    # except possibly the short tail
+    full = out.filter(F.col("n_chunk_tokens") == 32)
+    assert full.filter((F.col("start_token") % 24) != 0).count() == 0
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from fuzzymatch_spark.operators.corpus import chunk_documents
+
+    df = _mkdocs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
