@@ -582,6 +582,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmeans_clusters"] = kmeans_q
 
+    def cluster_agree_q(spark, sf):
+        # pair-counting agreement between the init-codebook assignment
+        # (Lloyd iteration 0) and the post-update assignment (iteration 1)
+        # — the "how close are two clusterings" check the north rule's
+        # assignment-matching criterion needs, on two fully deterministic
+        # clusterings
+        from fuzzymatch_spark.operators.ann import kmeans_lloyd
+        from fuzzymatch_spark.operators.cluster import cluster_agreement
+
+        emb = _emb(spark, sf)
+        a = kmeans_lloyd(emb, "embedding", k=8, iters=1).select(
+            "vec_id", "cluster"
+        )
+        b = kmeans_lloyd(emb, "embedding", k=8, iters=2).select(
+            "vec_id", "cluster"
+        )
+        return cluster_agreement(a, b, id_col="vec_id")
+
+    q["cluster_agreement_ari"] = cluster_agree_q
+
     def windowed_events_q(spark, sf):
         # the streaming windowed aggregation run in batch mode (watermark
         # is a no-op in batch) — value-checks the window expressions the
@@ -1095,6 +1115,62 @@ edges AS (
 )"""
 
 _JACCARD_EDGES = "WITH " + _JACCARD_EDGES_BODY
+
+# Two unrolled deterministic Lloyd iterations over `embeddings` (shared by
+# the kmeans_clusters and cluster_agreement_ari oracles): a0 = assignment
+# under the first-8 init codebook, a1 = assignment after one 6-dp-rounded
+# mean update.  Mirrors operators/ann.py:kmeans_lloyd semantics exactly.
+_KMEANS_CTES = """nums AS (SELECT unnest(range(1, 65)) AS i),
+            cents0 AS (
+              SELECT vec_id AS cid, embedding FROM embeddings
+              WHERE vec_id < 8
+            ),
+            p0 AS (
+              SELECT e.vec_id, c.cid,
+                     round(sum(CAST(e.embedding[n.i] AS DOUBLE)
+                               * CAST(c.embedding[n.i] AS DOUBLE))
+                           / (sqrt(sum(CAST(e.embedding[n.i] AS DOUBLE)
+                                       * CAST(e.embedding[n.i] AS DOUBLE)))
+                              * sqrt(sum(CAST(c.embedding[n.i] AS DOUBLE)
+                                         * CAST(c.embedding[n.i] AS DOUBLE)))),
+                           6) AS cos
+              FROM embeddings e, cents0 c, nums n
+              WHERE n.i <= len(e.embedding)
+              GROUP BY e.vec_id, c.cid
+            ),
+            a0 AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cid ASC) AS rn
+                FROM p0
+              ) WHERE rn = 1
+            ),
+            c1 AS (
+              SELECT a0.cell AS cid, n.i AS dim,
+                     round(avg(CAST(e.embedding[n.i] AS DOUBLE)), 6) AS v
+              FROM embeddings e JOIN a0 USING (vec_id), nums n
+              WHERE n.i <= len(e.embedding)
+              GROUP BY a0.cell, n.i
+            ),
+            p1 AS (
+              SELECT e.vec_id, c1.cid,
+                     round(sum(CAST(e.embedding[c1.dim] AS DOUBLE) * c1.v)
+                           / (sqrt(sum(CAST(e.embedding[c1.dim] AS DOUBLE)
+                                       * CAST(e.embedding[c1.dim] AS DOUBLE)))
+                              * sqrt(sum(c1.v * c1.v))), 6) AS cos
+              FROM embeddings e, c1
+              WHERE c1.dim <= len(e.embedding)
+              GROUP BY e.vec_id, c1.cid
+            ),
+            a1 AS (
+              SELECT vec_id, cid AS cluster, cos FROM (
+                SELECT vec_id, cid, cos,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cid ASC) AS rn
+                FROM p1
+              ) WHERE rn = 1
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1802,56 +1878,40 @@ def oracle_sql() -> dict[str, str]:
         # two unrolled Lloyd iterations; every comparison happens on
         # 6-dp-rounded values so summation-order drift cannot flip an
         # assignment between engines
-        "kmeans_clusters": """
-            WITH nums AS (SELECT unnest(range(1, 65)) AS i),
-            cents0 AS (
-              SELECT vec_id AS cid, embedding FROM embeddings
-              WHERE vec_id < 8
+        "kmeans_clusters": f"""
+            WITH {_KMEANS_CTES}
+            SELECT vec_id, CAST(cluster AS INT) AS cluster, cos FROM a1
+        """,
+        "cluster_agreement_ari": f"""
+            WITH {_KMEANS_CTES},
+            cells AS (
+              SELECT a0.cell AS ca, a1.cluster AS cb, count(*) AS nij
+              FROM a0 JOIN a1 USING (vec_id) GROUP BY 1, 2
             ),
-            p0 AS (
-              SELECT e.vec_id, c.cid,
-                     round(sum(CAST(e.embedding[n.i] AS DOUBLE)
-                               * CAST(c.embedding[n.i] AS DOUBLE))
-                           / (sqrt(sum(CAST(e.embedding[n.i] AS DOUBLE)
-                                       * CAST(e.embedding[n.i] AS DOUBLE)))
-                              * sqrt(sum(CAST(c.embedding[n.i] AS DOUBLE)
-                                         * CAST(c.embedding[n.i] AS DOUBLE)))),
-                           6) AS cos
-              FROM embeddings e, cents0 c, nums n
-              WHERE n.i <= len(e.embedding)
-              GROUP BY e.vec_id, c.cid
+            stats AS (
+              SELECT sum(nij) AS n_items,
+                     sum(nij * (nij - 1) / 2.0) AS s
+              FROM cells
             ),
-            a0 AS (
-              SELECT vec_id, cid AS cell FROM (
-                SELECT vec_id, cid,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY cos DESC, cid ASC) AS rn
-                FROM p0
-              ) WHERE rn = 1
+            sa AS (
+              SELECT sum(ai * (ai - 1) / 2.0) AS sa FROM (
+                SELECT sum(nij) AS ai FROM cells GROUP BY ca
+              )
             ),
-            c1 AS (
-              SELECT a0.cell AS cid, n.i AS dim,
-                     round(avg(CAST(e.embedding[n.i] AS DOUBLE)), 6) AS v
-              FROM embeddings e JOIN a0 USING (vec_id), nums n
-              WHERE n.i <= len(e.embedding)
-              GROUP BY a0.cell, n.i
-            ),
-            p1 AS (
-              SELECT e.vec_id, c1.cid,
-                     round(sum(CAST(e.embedding[c1.dim] AS DOUBLE) * c1.v)
-                           / (sqrt(sum(CAST(e.embedding[c1.dim] AS DOUBLE)
-                                       * CAST(e.embedding[c1.dim] AS DOUBLE)))
-                              * sqrt(sum(c1.v * c1.v))), 6) AS cos
-              FROM embeddings e, c1
-              WHERE c1.dim <= len(e.embedding)
-              GROUP BY e.vec_id, c1.cid
+            sb AS (
+              SELECT sum(bj * (bj - 1) / 2.0) AS sb FROM (
+                SELECT sum(nij) AS bj FROM cells GROUP BY cb
+              )
             )
-            SELECT vec_id, CAST(cluster AS INT) AS cluster, cos FROM (
-              SELECT vec_id, cid AS cluster, cos,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY cos DESC, cid ASC) AS rn
-              FROM p1
-            ) WHERE rn = 1
+            SELECT CAST(n_items AS BIGINT) AS n_items,
+                   CAST(s AS BIGINT) AS agree_both,
+                   round((n_items * (n_items - 1) / 2.0 + 2 * s - sa - sb)
+                         / (n_items * (n_items - 1) / 2.0), 6) AS rand_index,
+                   round((s - sa * sb / (n_items * (n_items - 1) / 2.0))
+                         / ((sa + sb) / 2
+                            - sa * sb / (n_items * (n_items - 1) / 2.0)),
+                         6) AS adjusted_rand
+            FROM stats, sa, sb
         """,
         "suffix_run_pairs": f"""
             WITH {_NUMS},

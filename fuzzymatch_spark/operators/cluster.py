@@ -216,3 +216,64 @@ def canonical_corpus(
         )
         .drop(cluster_col)
     )
+
+
+def cluster_agreement(
+    assign_a: DataFrame,
+    assign_b: DataFrame,
+    id_col: str = "id",
+    a_col: str = "cluster",
+    b_col: str = "cluster",
+) -> DataFrame:
+    """Pair-counting agreement between two clusterings of the same items:
+    Rand index and Adjusted Rand Index (Hubert & Arabie 1985).
+
+    The north rule scores "matching the reference's cluster assignments";
+    this is that check as an operator — run it between an approximate
+    clustering (LSH-derived, IVF cells) and an exact/reference one.
+
+    Everything reduces to ONE contingency aggregation: join the two
+    assignments on id (equi-join; at scale both sides are already
+    partitioned by id from their producing jobs), count the (a, b) label
+    cells, and fold C(n,2) sums — counts are map-side combinable,
+    nothing is collected, output is a single row.  Ratios are rounded to
+    6 decimals for cross-engine comparison.
+    """
+    a = assign_a.select(F.col(id_col).alias("id"), F.col(a_col).alias("ca"))
+    b = assign_b.select(F.col(id_col).alias("id"), F.col(b_col).alias("cb"))
+    cells = (
+        a.join(b, "id")
+        .groupBy("ca", "cb")
+        .agg(F.count("*").alias("nij"))
+    )
+
+    def c2(x):
+        return (x * (x - 1) / 2).cast("double")
+
+    stats = cells.agg(
+        F.sum("nij").cast("long").alias("n_items"),
+        F.sum(c2(F.col("nij"))).alias("s"),
+    )
+    sa = (
+        cells.groupBy("ca").agg(F.sum("nij").alias("ai"))
+        .agg(F.sum(c2(F.col("ai"))).alias("sa"))
+    )
+    sb = (
+        cells.groupBy("cb").agg(F.sum("nij").alias("bj"))
+        .agg(F.sum(c2(F.col("bj"))).alias("sb"))
+    )
+    j = stats.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    t = c2(F.col("n_items"))
+    expected = F.col("sa") * F.col("sb") / t
+    return j.select(
+        "n_items",
+        F.col("s").cast("long").alias("agree_both"),
+        F.round(
+            (t + 2 * F.col("s") - F.col("sa") - F.col("sb")) / t, 6
+        ).alias("rand_index"),
+        F.round(
+            (F.col("s") - expected)
+            / ((F.col("sa") + F.col("sb")) / 2 - expected),
+            6,
+        ).alias("adjusted_rand"),
+    )

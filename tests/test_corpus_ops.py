@@ -283,3 +283,41 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = _mkdocs(spark, [(1, "a b")])
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+# ------------------------------------------------------- cluster agreement
+
+def test_cluster_agreement_identical_and_golden(spark):
+    from fuzzymatch_spark.operators.cluster import cluster_agreement
+
+    a = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "id long, cluster int"
+    )
+    # identical clusterings: both indices are exactly 1
+    row = cluster_agreement(a, a).collect()[0].asDict()
+    assert row["rand_index"] == 1.0 and row["adjusted_rand"] == 1.0
+    assert row["n_items"] == 4 and row["agree_both"] == 2
+
+    # b merges everything into one cluster: S = C(4,2)=6 intersections?
+    # contingency: cells (0,0):2, (1,0):2 -> S = 1+1 = 2; Sa = 2; Sb = 6
+    # T = 6; Rand = (6 + 4 - 2 - 6)/6 = 1/3
+    # ARI = (2 - 2*6/6) / ((2+6)/2 - 2) = 0 / 2 = 0
+    b = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (4, 9)], "id long, cluster int"
+    )
+    row = cluster_agreement(a, b).collect()[0].asDict()
+    assert row["rand_index"] == round(1 / 3, 6)
+    assert row["adjusted_rand"] == 0.0
+
+
+def test_cluster_agreement_label_permutation_invariant(spark):
+    from fuzzymatch_spark.operators.cluster import cluster_agreement
+
+    a = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, cluster int"
+    )
+    relabeled = spark.createDataFrame(
+        [(i, (i % 3 + 7) * 11) for i in range(30)], "id long, cluster int"
+    )
+    row = cluster_agreement(a, relabeled).collect()[0].asDict()
+    assert row["rand_index"] == 1.0 and row["adjusted_rand"] == 1.0
