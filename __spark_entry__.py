@@ -582,6 +582,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmeans_clusters"] = kmeans_q
 
+    def hash_vec_q(spark, sf):
+        # sparse entries of the hashing-trick vectors (exploded scalar
+        # rows — exact integer counts, no float-array comparison needed)
+        from fuzzymatch_spark.operators.corpus import hash_vectorize
+
+        vecs = hash_vectorize(_docs(spark, sf), "doc_id", "text", dim=64)
+        return vecs.select(
+            F.col("vec_id").alias("doc_id"),
+            F.posexplode("embedding").alias("dim", "cnt"),
+        ).filter(F.col("cnt") > 0).select(
+            "doc_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+
+    q["hash_vector_entries"] = hash_vec_q
+
+    def text_kmeans_q(spark, sf):
+        # end-to-end text -> hashing-trick vector -> Lloyd k-means: the
+        # semantic-dedup surface with no external embedding model
+        from fuzzymatch_spark.operators.ann import kmeans_lloyd
+        from fuzzymatch_spark.operators.corpus import hash_vectorize
+
+        vecs = hash_vectorize(_docs(spark, sf), "doc_id", "text", dim=64)
+        return kmeans_lloyd(vecs, "embedding", k=8, iters=2)
+
+    q["text_kmeans_clusters"] = text_kmeans_q
+
     def cluster_agree_q(spark, sf):
         # pair-counting agreement between the init-codebook assignment
         # (Lloyd iteration 0) and the post-update assignment (iteration 1)
@@ -1116,13 +1144,44 @@ edges AS (
 
 _JACCARD_EDGES = "WITH " + _JACCARD_EDGES_BODY
 
-# Two unrolled deterministic Lloyd iterations over `embeddings` (shared by
-# the kmeans_clusters and cluster_agreement_ari oracles): a0 = assignment
-# under the first-8 init codebook, a1 = assignment after one 6-dp-rounded
-# mean update.  Mirrors operators/ann.py:kmeans_lloyd semantics exactly.
-_KMEANS_CTES = """nums AS (SELECT unnest(range(1, 65)) AS i),
+# Two unrolled deterministic Lloyd iterations over a (vec_id, embedding)
+# relation (shared by the kmeans_clusters / cluster_agreement_ari /
+# text_kmeans_clusters oracles): a0 = assignment under the first-8 init
+# codebook, a1 = assignment after one 6-dp-rounded mean update.  Mirrors
+# operators/ann.py:kmeans_lloyd semantics exactly.
+def _kmeans_ctes(src: str) -> str:
+    return _KMEANS_CTES_TMPL.replace("__SRC__", src)
+
+
+# Hashing-trick text vectors (operators/corpus.py:hash_vectorize) as a CTE:
+# 31-ary polynomial rolling hash mod 1e9+7 per token -> bucket mod 64 ->
+# per-bucket counts as a 64-dim double list.  list_reduce has no init
+# accumulator in DuckDB (acc starts at the first element) — identical to a
+# zero-init fold here because (0*31 + c0) % M == c0.
+_TVEC_CTE = """tvec AS (
+              SELECT doc_id AS vec_id,
+                     list_transform(range(0, 64),
+                       d -> CAST(len(list_filter(bks, b -> b = d))
+                                 AS DOUBLE)) AS embedding
+              FROM (
+                SELECT doc_id,
+                       list_transform(
+                         list_filter(string_split(text, ' '),
+                                     t -> len(t) > 0),
+                         t -> list_reduce(
+                                list_transform(
+                                  range(1, len(t) + 1),
+                                  i -> CAST(ascii(substr(t, i, 1))
+                                            AS BIGINT)),
+                                (acc, c) -> (acc * 31 + c) % 1000000007
+                              ) % 64) AS bks
+                FROM documents)
+            )"""
+
+
+_KMEANS_CTES_TMPL = """nums AS (SELECT unnest(range(1, 65)) AS i),
             cents0 AS (
-              SELECT vec_id AS cid, embedding FROM embeddings
+              SELECT vec_id AS cid, embedding FROM __SRC__
               WHERE vec_id < 8
             ),
             p0 AS (
@@ -1134,7 +1193,7 @@ _KMEANS_CTES = """nums AS (SELECT unnest(range(1, 65)) AS i),
                               * sqrt(sum(CAST(c.embedding[n.i] AS DOUBLE)
                                          * CAST(c.embedding[n.i] AS DOUBLE)))),
                            6) AS cos
-              FROM embeddings e, cents0 c, nums n
+              FROM __SRC__ e, cents0 c, nums n
               WHERE n.i <= len(e.embedding)
               GROUP BY e.vec_id, c.cid
             ),
@@ -1149,7 +1208,7 @@ _KMEANS_CTES = """nums AS (SELECT unnest(range(1, 65)) AS i),
             c1 AS (
               SELECT a0.cell AS cid, n.i AS dim,
                      round(avg(CAST(e.embedding[n.i] AS DOUBLE)), 6) AS v
-              FROM embeddings e JOIN a0 USING (vec_id), nums n
+              FROM __SRC__ e JOIN a0 USING (vec_id), nums n
               WHERE n.i <= len(e.embedding)
               GROUP BY a0.cell, n.i
             ),
@@ -1159,7 +1218,7 @@ _KMEANS_CTES = """nums AS (SELECT unnest(range(1, 65)) AS i),
                            / (sqrt(sum(CAST(e.embedding[c1.dim] AS DOUBLE)
                                        * CAST(e.embedding[c1.dim] AS DOUBLE)))
                               * sqrt(sum(c1.v * c1.v))), 6) AS cos
-              FROM embeddings e, c1
+              FROM __SRC__ e, c1
               WHERE c1.dim <= len(e.embedding)
               GROUP BY e.vec_id, c1.cid
             ),
@@ -1879,11 +1938,24 @@ def oracle_sql() -> dict[str, str]:
         # 6-dp-rounded values so summation-order drift cannot flip an
         # assignment between engines
         "kmeans_clusters": f"""
-            WITH {_KMEANS_CTES}
+            WITH {_kmeans_ctes("embeddings")}
+            SELECT vec_id, CAST(cluster AS INT) AS cluster, cos FROM a1
+        """,
+        "hash_vector_entries": f"""
+            WITH {_TVEC_CTE}
+            SELECT vec_id AS doc_id,
+                   CAST(d AS INT) AS dim,
+                   CAST(embedding[d + 1] AS BIGINT) AS cnt
+            FROM tvec, unnest(range(0, 64)) AS r(d)
+            WHERE embedding[d + 1] > 0
+        """,
+        "text_kmeans_clusters": f"""
+            WITH {_TVEC_CTE},
+            {_kmeans_ctes("tvec")}
             SELECT vec_id, CAST(cluster AS INT) AS cluster, cos FROM a1
         """,
         "cluster_agreement_ari": f"""
-            WITH {_KMEANS_CTES},
+            WITH {_kmeans_ctes("embeddings")},
             cells AS (
               SELECT a0.cell AS ca, a1.cluster AS cb, count(*) AS nij
               FROM a0 JOIN a1 USING (vec_id) GROUP BY 1, 2

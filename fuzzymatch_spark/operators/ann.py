@@ -335,43 +335,35 @@ def ivf_probe_topk(
                        id_col=id_col)
 
 
-def _assign_labeled(cmat: np.ndarray, labels: list[int]):
-    """Nearest-centroid assignment returning (cell label, 6-dp cosine).
+def _assign_labeled(cmat: np.ndarray, labels: list[int], vec):
+    """Nearest-centroid assignment as a PURE JVM expression: a struct
+    (cell label, 6-dp cosine) built from one zip_with/aggregate dot
+    product per centroid and an argmax over structs.
 
-    ``cmat`` rows must be unit-normalized and ``labels`` ascending so that
-    numpy's first-max argmax realizes the ties-to-lower-label rule.  One
-    BLAS matmul per Arrow batch, like ``ivf_assign``.
+    Staying JVM-side matters twice here: the k dot products run in
+    whole-stage codegen (for k=8, dim=64 that beats shipping the column
+    to Python), and — load-bearing — the result composes safely under
+    generators (kmeans' update step posexplodes the vector in the same
+    projection; a pandas UDF there trips Catalyst's Python-UDF extraction
+    into interpreted eval).  For large k*dim, assign with the BLAS-batch
+    ``ivf_assign`` path instead and join the label on.
+
+    Ties go to the LOWER label: the struct max compares (cos, -label).
+    ``cmat`` rows must be unit-normalized, ``labels`` ascending.
     """
-    import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType, IntegerType, StructField, StructType,
-    )
-
     assert list(labels) == sorted(labels)
-    ct = np.asarray(cmat, dtype=np.float64).T  # (dim, C)
-    lab = np.asarray(labels, dtype=np.int32)
-
-    schema = StructType([
-        StructField("cell", IntegerType()),
-        StructField("cos", DoubleType()),
-    ])
-
-    @F.pandas_udf(schema)
-    def assign(vecs: pd.Series) -> pd.DataFrame:
-        if len(vecs) == 0:
-            return pd.DataFrame({"cell": pd.Series([], dtype=np.int32),
-                                 "cos": pd.Series([], dtype=np.float64)})
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        cos = np.round((mat / nrm) @ ct, 6)
-        idx = np.argmax(cos, axis=1)
-        return pd.DataFrame({
-            "cell": lab[idx],
-            "cos": cos[np.arange(len(idx)), idx],
-        })
-
-    return assign
+    vnorm = _norm(vec)
+    cands = []
+    for row, lab in zip(np.asarray(cmat, dtype=np.float64), labels):
+        arr = F.array(*[F.lit(float(x)) for x in row])
+        cos = F.round(_dot(vec, arr) / (vnorm * _norm(arr)), 6)
+        cands.append(F.struct(cos.alias("cos"),
+                              F.lit(-int(lab)).alias("neg")))
+    best = F.array_max(F.array(*cands))
+    return F.struct(
+        (-best["neg"]).cast("int").alias("cell"),
+        best["cos"].alias("cos"),
+    )
 
 
 def kmeans_lloyd(
@@ -398,17 +390,19 @@ def kmeans_lloyd(
         rounds (iters=2: assign -> update -> assign -> emit); empty cells
         simply drop out of the next round's codebook.
 
-    Scale shape: assignment is one BLAS matmul per Arrow batch over the
-    full table; the update is a (k x dim)-row aggregate — the classic
-    driver-synchronized k-means loop, where per-iteration driver traffic
-    is O(k * dim), never O(rows).  Returns (id, cluster, cos).
+    Scale shape: assignment is k JVM dot products per row in whole-stage
+    codegen (no Python stage anywhere — see ``_assign_labeled``); the
+    update is a (k x dim)-row aggregate — the classic driver-synchronized
+    k-means loop, where per-iteration driver traffic is O(k * dim),
+    never O(rows).  Returns (id, cluster, cos).
     """
     cmat, labels = _centroid_matrix(df, vec_col, id_col, k)
 
     base = df.select(F.col(id_col), F.col(vec_col))
     for it in range(iters):
-        assign = _assign_labeled(cmat, labels)
-        assigned = base.withColumn("asg", assign(F.col(vec_col)))
+        assigned = base.withColumn(
+            "asg", _assign_labeled(cmat, labels, F.col(vec_col))
+        )
         if it == iters - 1:
             return assigned.select(
                 F.col(id_col),

@@ -359,6 +359,63 @@ def pair_eval(
 
 
 # --------------------------------------------------------------------------
+# Feature-hashing vectorizer (hashing trick)
+# --------------------------------------------------------------------------
+
+_HASH_MOD = 1_000_000_007  # fits 31*mod + 255 comfortably inside int64
+
+
+def hash_vectorize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """Token-count vectors via the hashing trick (Weinberger et al. 2009):
+    each token hashes to one of ``dim`` buckets with a 31-ary polynomial
+    rolling hash mod 1e9+7 — the same portable hash family the winnowing
+    fingerprints use, so the vectorizer is reproducible in any engine
+    with integer arithmetic (no murmur/xxhash dependence).
+
+    The whole computation is within-row (split -> per-token fold ->
+    per-bucket count), zero shuffle, and the output ``vec`` feeds every
+    embedding operator here (cosine pairs, IVF, k-means) — a text-only
+    corpus gets the semantic-dedup surface without an external model.
+
+    Emits (id, vec: array<double>) with exact integer counts.
+    """
+    # drop empty tokens (doubled separators) — an empty fold differs
+    # between engines, and an empty token carries no signal anyway
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+
+    def bucket(tok):
+        # polynomial fold over character positions (substr keeps the char
+        # enumeration identical across engines; split-on-empty does not)
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length(tok)),
+            lambda i: F.ascii(F.substring(tok, i, F.lit(1))),
+        )
+        return (
+            F.aggregate(
+                chars,
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * 31 + c) % _HASH_MOD,
+            )
+            % dim
+        )
+
+    buckets = F.transform(toks, bucket)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.size(F.filter(buckets, lambda b: b == d.cast("long")))
+        .cast("double"),
+    )
+    return df.select(F.col(id_col).alias("vec_id"), vec.alias("embedding"))
+
+
+# --------------------------------------------------------------------------
 # TF-IDF query ranking
 # --------------------------------------------------------------------------
 

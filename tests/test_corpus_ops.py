@@ -321,3 +321,39 @@ def test_cluster_agreement_label_permutation_invariant(spark):
     )
     row = cluster_agreement(a, relabeled).collect()[0].asDict()
     assert row["rand_index"] == 1.0 and row["adjusted_rand"] == 1.0
+
+
+# --------------------------------------------------------------- hashing vec
+
+def test_hash_vectorize_golden(spark):
+    from fuzzymatch_spark.operators.corpus import hash_vectorize, _HASH_MOD
+
+    def bucket(tok, dim=8):
+        acc = 0
+        for ch in tok:
+            acc = (acc * 31 + ord(ch)) % _HASH_MOD
+        return acc % dim
+
+    df = _mkdocs(spark, [(1, "spark spark join"), (2, "a  b")])  # double space
+    got = {r["vec_id"]: r["embedding"]
+           for r in hash_vectorize(df, "doc_id", "text", dim=8).collect()}
+    want1 = [0.0] * 8
+    want1[bucket("spark")] += 2
+    want1[bucket("join")] += 1
+    assert got[1] == want1
+    # empty token from the doubled space is dropped, not hashed
+    want2 = [0.0] * 8
+    want2[bucket("a")] += 1
+    want2[bucket("b")] += 1
+    assert got[2] == want2
+
+
+def test_hash_vectorize_feeds_kmeans(documents):
+    from fuzzymatch_spark.operators.ann import kmeans_lloyd
+    from fuzzymatch_spark.operators.corpus import hash_vectorize
+
+    vecs = hash_vectorize(documents, "doc_id", "text", dim=64)
+    out = kmeans_lloyd(vecs, "embedding", k=4, iters=2).collect()
+    assert len(out) == documents.count()
+    assert set(r["cluster"] for r in out) <= {0, 1, 2, 3}
+    assert all(0.0 <= r["cos"] <= 1.0 for r in out)  # count vectors: cos >= 0

@@ -232,3 +232,14 @@ def test_tfidf_filters_tokens_before_exchange(spark, documents):
         "vocabulary filter should be deeper in the tree (below the "
         "exchange printed above it)"
     )
+
+
+def test_kmeans_assignment_plan_is_jvm_only(spark, embeddings):
+    from fuzzymatch_spark.operators.ann import kmeans_lloyd
+
+    plan = plan_of(kmeans_lloyd(embeddings, "embedding", k=4, iters=2))
+    # assignment = k codegen dot products; no Python stage anywhere (a
+    # pandas UDF here would sit under the update's posexplode and trip
+    # Catalyst's UDF extraction into interpreted eval)
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan  # final assignment pass is map-only
