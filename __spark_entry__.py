@@ -582,6 +582,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmeans_clusters"] = kmeans_q
 
+    def curation_q(spark, sf):
+        # End-to-end curation composite, the curation-side counterpart of
+        # multimodal_dedup_clusters: repetition gate -> benchmark
+        # decontamination (the benchmark source's own docs drop out, as a
+        # real decontamination pass would drop the eval set) -> exact-dup
+        # removal keyed on portable md5(text) -> per-stratum cap.  Every
+        # stage is one of the oracle-checked operators; the composite
+        # value-checks their composition.
+        from fuzzymatch_spark.operators.corpus import (
+            decontaminate_ngrams,
+            repetition_stats,
+            stratified_sample,
+        )
+
+        base = _docs(spark, sf).select("doc_id", "lang", "source", "text")
+        # plant both failure branches so every stage of the composite
+        # does real work: exact copies (+70M) the dedup stage must fold
+        # onto their originals, and heavy repeaters (+71M) the Gopher
+        # gate must drop (30 leading 'loop' tokens -> top-unigram > 0.30)
+        copies = base.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + F.lit(70_000_000)).alias("doc_id"),
+            "lang", "source", "text",
+        )
+        loops = base.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + F.lit(71_000_000)).alias("doc_id"),
+            "lang", "source",
+            F.concat(F.lit("loop " * 30), F.col("text")).alias("text"),
+        )
+        docs = base.unionByName(copies).unionByName(loops)
+        rep = repetition_stats(docs, "doc_id", "text").select(
+            "doc_id", "repetition_pass"
+        )
+        dec = decontaminate_ngrams(
+            docs, docs.filter(F.col("source") == "src0"),
+            "doc_id", "text", n=4,
+        ).select("doc_id", "contaminated")
+        gated = (
+            docs.join(rep, "doc_id")
+            .join(dec, "doc_id")
+            .filter(
+                (F.col("repetition_pass") == 1) & (F.col("contaminated") == 0)
+            )
+        )
+        keyed = gated.withColumn(
+            "k", F.md5(F.col("text").cast("binary"))
+        )
+        minid = keyed.groupBy("k").agg(F.min("doc_id").alias("doc_id"))
+        survivors = keyed.join(minid, ["k", "doc_id"])
+        return stratified_sample(survivors, ["lang", "source"], "doc_id", k=3)
+
+    q["corpus_curation_pipeline"] = curation_q
+
     def hash_vec_q(spark, sf):
         # sparse entries of the hashing-trick vectors (exploded scalar
         # rows — exact integer counts, no float-array comparison needed)
@@ -1940,6 +1992,100 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"""
             WITH {_kmeans_ctes("embeddings")}
             SELECT vec_id, CAST(cluster AS INT) AS cluster, cos FROM a1
+        """,
+        "corpus_curation_pipeline": """
+            WITH allrows AS (
+              SELECT doc_id, lang, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 70000000, lang, source, text
+              FROM documents WHERE doc_id < 20
+              UNION ALL
+              SELECT doc_id + 71000000, lang, source,
+                     repeat('loop ', 30) || text
+              FROM documents WHERE doc_id < 10
+            ),
+            t AS (
+              SELECT doc_id, lang, source, text,
+                     string_split(text, ' ') AS toks
+              FROM allrows
+            ),
+            uni AS (
+              SELECT doc_id, sum(c) AS n1, max(c) AS top1 FROM (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                GROUP BY doc_id, tok
+              ) GROUP BY doc_id
+            ),
+            g2 AS (
+              SELECT doc_id, sum(c) AS n2, max(c) AS top2 FROM (
+                SELECT doc_id, gram, count(*) AS c FROM (
+                  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+                  FROM t, unnest(range(1, len(toks))) AS r(i)
+                ) GROUP BY doc_id, gram
+              ) GROUP BY doc_id
+            ),
+            g3 AS (
+              SELECT doc_id, sum(c) AS n3,
+                     count(*) FILTER (WHERE c = 1) AS singles3 FROM (
+                SELECT doc_id, gram, count(*) AS c FROM (
+                  SELECT doc_id,
+                         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           AS gram
+                  FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+                ) GROUP BY doc_id, gram
+              ) GROUP BY doc_id
+            ),
+            rep_ok AS (
+              SELECT t.doc_id FROM t
+              LEFT JOIN uni USING (doc_id)
+              LEFT JOIN g2 USING (doc_id)
+              LEFT JOIN g3 USING (doc_id)
+              WHERE round(uni.top1 * 1.0 / greatest(uni.n1, 1), 6) <= 0.30
+                AND round(coalesce(g2.top2 * 1.0 / g2.n2, 0.0), 6) <= 0.20
+                AND round(coalesce((g3.n3 - g3.singles3) * 1.0 / g3.n3,
+                                   0.0), 6) <= 0.50
+            ),
+            grams4 AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       range(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' '
+                            || toks[i+2] || ' ' || toks[i+3]
+                     )) AS grams
+              FROM t
+            ),
+            bg AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM grams4
+              WHERE source = 'src0'
+            ),
+            clean AS (
+              SELECT g.doc_id FROM grams4 g
+              WHERE NOT EXISTS (
+                SELECT 1 FROM unnest(g.grams) AS u(gram)
+                JOIN bg USING (gram)
+              )
+            ),
+            gated AS (
+              SELECT t.doc_id, t.lang, t.source, md5(t.text) AS k
+              FROM t
+              JOIN rep_ok USING (doc_id)
+              JOIN clean USING (doc_id)
+            ),
+            survivors AS (
+              SELECT * FROM gated
+              WHERE doc_id = (SELECT min(doc_id) FROM gated g2
+                              WHERE g2.k = gated.k)
+            )
+            SELECT doc_id, lang, source,
+                   CAST(sample_rank AS INT) AS sample_rank
+            FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS sample_rank
+              FROM survivors
+            ) WHERE sample_rank <= 3
         """,
         "hash_vector_entries": f"""
             WITH {_TVEC_CTE}
