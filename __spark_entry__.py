@@ -582,6 +582,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmeans_clusters"] = kmeans_q
 
+    def length_quantiles_q(spark, sf):
+        from fuzzymatch_spark.operators.corpus import length_quantiles
+
+        return length_quantiles(_docs(spark, sf), "text", ["lang"])
+
+    q["doc_length_quantiles"] = length_quantiles_q
+
+    def asof_q(spark, sf):
+        # as-of join: every event picks up the newest "rate" state row
+        # (a deterministic subset of the stream) at or before its own
+        # timestamp, per user.  Oracle = DuckDB's native ASOF LEFT JOIN.
+        from pyspark.sql import Window
+
+        from fuzzymatch_spark.operators.temporal import asof_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "user_id", "ts", F.round("value", 4).alias("value")
+        )
+        dim = (
+            ev.filter(F.col("event_id") % 97 == 0)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id", "ts").orderBy("event_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("user_id", "ts", F.col("value").alias("rate"))
+        )
+        out = asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            dim,
+            ["user_id"],
+            "ts",
+            ["rate"],
+        )
+        return out.select("event_id", "user_id", "ts",
+                          F.col("asof_rate").alias("rate"))
+
+    q["events_asof_rate"] = asof_q
+
     def curation_q(spark, sf):
         # End-to-end curation composite, the curation-side counterpart of
         # multimodal_dedup_clusters: repetition gate -> benchmark
@@ -1992,6 +2033,34 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"""
             WITH {_kmeans_ctes("embeddings")}
             SELECT vec_id, CAST(cluster AS INT) AS cluster, cos FROM a1
+        """,
+        "doc_length_quantiles": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(quantile_cont(len(text), 0.25), 6) AS p25,
+                   round(quantile_cont(len(text), 0.50), 6) AS p50,
+                   round(quantile_cont(len(text), 0.75), 6) AS p75,
+                   round(quantile_cont(len(text), 0.90), 6) AS p90,
+                   round(quantile_cont(len(text), 0.99), 6) AS p99
+            FROM documents GROUP BY lang
+        """,
+        "events_asof_rate": """
+            WITH ev AS (
+              SELECT event_id, user_id, ts, round(value, 4) AS value
+              FROM events
+            ),
+            dim AS (
+              SELECT user_id, ts, value AS rate FROM (
+                SELECT user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id) AS rn
+                FROM ev WHERE event_id % 97 = 0
+              ) WHERE rn = 1
+            )
+            SELECT e.event_id, e.user_id, e.ts, d.rate
+            FROM ev e
+            ASOF LEFT JOIN dim d
+              ON e.user_id = d.user_id AND e.ts >= d.ts
         """,
         "corpus_curation_pipeline": """
             WITH allrows AS (

@@ -359,6 +359,37 @@ def pair_eval(
 
 
 # --------------------------------------------------------------------------
+# Length-distribution quantiles
+# --------------------------------------------------------------------------
+
+def length_quantiles(
+    df: DataFrame,
+    text_col: str,
+    group_cols: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group EXACT character-length quantiles (linear interpolation,
+    the quantile_cont definition both Spark's ``percentile`` and DuckDB
+    share bit-for-bit) — the length-distribution report a cutoff-picking
+    curation pass reads.
+
+    Scale note: exact ``percentile`` buffers each group's values, which
+    is the oracle/report path; for the 100 TB bulk pass swap in
+    ``approx_percentile`` (t-digest, bounded memory, same call shape)
+    and accept the documented error bound.  Counts and quantiles are all
+    one aggregation — a single shuffle on the group key.
+    """
+    aggs = [F.count("*").cast("long").alias("n_docs")]
+    for p in probs:
+        aggs.append(
+            F.round(
+                F.expr(f"percentile(length({text_col}), {p!r})"), 6
+            ).alias(f"p{int(p * 100)}")
+        )
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+# --------------------------------------------------------------------------
 # Feature-hashing vectorizer (hashing trick)
 # --------------------------------------------------------------------------
 
