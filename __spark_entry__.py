@@ -623,6 +623,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_asof_rate"] = asof_q
 
+    def range_q(spark, sf):
+        # interval-containment join: events against 10-minute windows
+        # opened at a deterministic subset of the stream, per user.
+        # Overlapping windows make it genuinely multi-match (unlike the
+        # as-of entry).  Oracle = DuckDB inequality join.
+        from fuzzymatch_spark.operators.temporal import range_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "user_id", "ts"
+        )
+        dim = ev.filter(F.col("event_id") % 97 == 0).select(
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+            F.col("event_id").alias("interval_id"),
+        )
+        out = range_join(
+            ev, dim, ["user_id"], "ts", "start_ts", "end_ts",
+            bucket_secs=300,
+        )
+        return out.select("event_id", "user_id", "ts", "interval_id")
+
+    q["events_range_join"] = range_q
+
     def curation_q(spark, sf):
         # End-to-end curation composite, the curation-side counterpart of
         # multimodal_dedup_clusters: repetition gate -> benchmark
@@ -2061,6 +2085,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ev e
             ASOF LEFT JOIN dim d
               ON e.user_id = d.user_id AND e.ts >= d.ts
+        """,
+        "events_range_join": """
+            WITH ev AS (SELECT event_id, user_id, ts FROM events),
+            dim AS (
+              SELECT user_id, ts AS start_ts,
+                     ts + INTERVAL 10 MINUTE AS end_ts,
+                     event_id AS interval_id
+              FROM ev WHERE event_id % 97 = 0
+            )
+            SELECT e.event_id, e.user_id, e.ts, d.interval_id
+            FROM ev e
+            JOIN dim d
+              ON e.user_id = d.user_id
+             AND e.ts >= d.start_ts AND e.ts < d.end_ts
         """,
         "corpus_curation_pipeline": """
             WITH allrows AS (

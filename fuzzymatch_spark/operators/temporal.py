@@ -72,3 +72,65 @@ def asof_join(
     out_cols = [F.col(f"_row.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols]
     return carried.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_secs: int = 300,
+) -> DataFrame:
+    """Interval containment join: every ``left`` row paired with every
+    ``right`` interval ``[start, end)`` (same keys) containing its
+    timestamp — the other classic join Spark lacks a native operator
+    for (its fallback plan is BroadcastNestedLoopJoin or a per-key cross
+    product).
+
+    Scalable encoding — bucketize time:
+
+        right intervals explode into the epoch buckets they overlap
+        (``sequence(floor(start/w), floor((end-1)/w))``, in-task);
+        left rows land in exactly ONE bucket; the join is an equi-join
+        on (keys..., bucket) followed by the exact containment filter.
+
+    A point falls in one bucket, so no dedup pass is needed; candidate
+    volume is |intervals| x ceil(span/w) + |points|, never |L| x |R|
+    per key.  Pick ``bucket_secs`` near the typical interval length:
+    shorter buckets cut false candidates, longer buckets cut the
+    explode factor (the standard tuning trade, documented not hidden).
+
+    Keeps all left columns plus the right payload columns (everything in
+    ``right`` beyond keys/start/end).
+    """
+    w = int(bucket_secs)
+    if w <= 0:
+        raise ValueError("bucket_secs must be positive")
+    lb = F.floor(F.unix_timestamp(F.col(ts_col)) / w)
+    payload_cols = [
+        c for c in right.columns
+        if c not in set(key_cols) | {start_col, end_col}
+    ]
+    r = right.filter(F.col(end_col) > F.col(start_col)).select(
+        *key_cols,
+        F.col(start_col),
+        F.col(end_col),
+        *payload_cols,
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / w),
+                F.floor((F.unix_timestamp(F.col(end_col)) - 1) / w),
+            )
+        ).alias("_bucket"),
+    )
+    out = (
+        left.withColumn("_bucket", lb)
+        .join(r, [*key_cols, "_bucket"])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+    )
+    return out.select(*left.columns, start_col, end_col, *payload_cols)

@@ -67,3 +67,91 @@ def test_asof_join_single_shuffle_plan(spark):
     # at all (the naive ASOF encoding is a range join that explodes)
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+# ------------------------------------------------------------- range join
+
+def test_range_join_golden_boundaries(spark):
+    from fuzzymatch_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "k", _t(0)),    # == start -> included
+            (2, "k", _t(9)),    # inside
+            (3, "k", _t(10)),   # == end -> excluded
+            (4, "k", _t(59)),   # outside everything
+            (5, "x", _t(5)),    # other key, no intervals
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _t(0), _t(10), 100),
+            ("k", _t(5), _t(15), 200),  # overlaps the first
+        ],
+        "user_id string, start_ts timestamp, end_ts timestamp, iv long",
+    )
+    out = range_join(left, right, ["user_id"], "ts",
+                     "start_ts", "end_ts", bucket_secs=180)
+    got = sorted((r["event_id"], r["iv"]) for r in out.collect())
+    assert got == [(1, 100), (2, 100), (2, 200), (3, 200)]
+
+
+def test_range_join_matches_bruteforce(spark):
+    # fixed-seed random intervals vs the naive inequality join
+    import random
+
+    from fuzzymatch_spark.operators.temporal import range_join
+
+    def tm(m):  # minute count with hour carry (intervals can pass :60)
+        return datetime(2026, 1, 1, 10 + m // 60, m % 60)
+
+    rng = random.Random(13)
+    left_rows = [
+        (i, f"u{rng.randrange(4)}", tm(rng.randrange(60)))
+        for i in range(200)
+    ]
+    right_rows = [
+        ("u%d" % rng.randrange(4), tm(s), tm(s + rng.randrange(1, 20)), i)
+        for i, s in ((j, rng.randrange(55)) for j in range(40))
+    ]
+    left = spark.createDataFrame(
+        left_rows, "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        right_rows,
+        "user_id string, start_ts timestamp, end_ts timestamp, iv long",
+    )
+    got = sorted(
+        (r["event_id"], r["iv"])
+        for r in range_join(left, right, ["user_id"], "ts",
+                            "start_ts", "end_ts", bucket_secs=240).collect()
+    )
+    want = sorted(
+        (r["event_id"], r["iv"])
+        for r in left.join(
+            right,
+            (left.user_id == right.user_id)
+            & (left.ts >= right.start_ts) & (left.ts < right.end_ts),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_range_join_plan_is_equi_join(spark):
+    from fuzzymatch_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, "k", _t(1))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", _t(0), _t(5), 9)],
+        "user_id string, start_ts timestamp, end_ts timestamp, iv long",
+    )
+    plan = (
+        range_join(left, right, ["user_id"], "ts", "start_ts", "end_ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # bucketized: a hash equi-join on (key, bucket), never a nested-loop
+    # or cartesian fallback
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
