@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the corpus-curation pass (the stage that
+runs BEFORE dedup in a training-data pipeline): Gopher repetition gate ->
+n-gram benchmark decontamination -> exact-dup fold -> optional
+per-stratum cap -> partitioned parquet sink.
+
+Example:
+    scripts/package.sh
+    spark-submit --master 'local[8]' \
+        --py-files dist/fuzzymatch_spark.zip \
+        jobs/curate_job.py \
+        --input /root/testdata/sf0.01/documents.parquet \
+        --benchmark-source src0 \
+        --id-col doc_id --text-col text \
+        --partition-by lang \
+        --output /tmp/curated_run1
+
+The sink writes ``partitionBy(<cols>)`` so downstream per-language reads
+prune partitions at the source, and drops a ``_CURATED`` completion
+marker last (same commit-marker discipline as the dedup pipeline's
+checkpoints) so a consumer never reads a half-written corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def curate(
+    df,
+    id_col: str,
+    text_col: str,
+    benchmark_df,
+    ngram_n: int = 4,
+    strata_cols: list[str] | None = None,
+    per_stratum_cap: int | None = None,
+):
+    """The composed curation DataFrame (shared by the job and tests)."""
+    from fuzzymatch_spark.operators.corpus import (
+        decontaminate_ngrams,
+        repetition_stats,
+        stratified_sample,
+    )
+
+    rep = repetition_stats(df, id_col, text_col).select(
+        F.col("doc_id").alias(id_col), "repetition_pass"
+    )
+    dec = decontaminate_ngrams(
+        df, benchmark_df, id_col, text_col, n=ngram_n
+    ).select(F.col("doc_id").alias(id_col), "contaminated")
+    gated = (
+        df.join(rep, id_col)
+        .join(dec, id_col)
+        .filter((F.col("repetition_pass") == 1) & (F.col("contaminated") == 0))
+        .drop("repetition_pass", "contaminated")
+    )
+    keyed = gated.withColumn("_k", F.md5(F.col(text_col).cast("binary")))
+    minid = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    survivors = keyed.join(minid, ["_k", id_col]).drop("_k")
+    if per_stratum_cap and strata_cols:
+        capped_ids = stratified_sample(
+            survivors, strata_cols, id_col, per_stratum_cap
+        ).select(F.col("doc_id").alias(id_col))
+        survivors = survivors.join(capped_ids, id_col)
+    return survivors
+
+
+def write_curated(spark, df, output: str, partition_cols: list[str]) -> None:
+    """Partitioned parquet sink + a ``_CURATED`` marker written LAST via
+    the Hadoop FS API (portable to HDFS/S3, like the pipeline's commit
+    markers) — readers treat a marker-less directory as in-flight."""
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(output)
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(output, "_CURATED")
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.create(path, True).close()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet path of the eval/benchmark docs")
+    ap.add_argument("--benchmark-source", default=None,
+                    help="alternatively: source value inside --input to "
+                         "treat as the benchmark (its docs are dropped)")
+    ap.add_argument("--ngram-n", type=int, default=4)
+    ap.add_argument("--partition-by", default=None,
+                    help="comma-separated partition columns for the sink")
+    ap.add_argument("--strata", default=None,
+                    help="comma-separated strata columns for the cap")
+    ap.add_argument("--cap", type=int, default=None,
+                    help="max docs kept per stratum")
+    ap.add_argument("--output", required=True)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("fuzzymatch-curate")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    df = spark.read.parquet(args.input)
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+    elif args.benchmark_source:
+        bench = df.filter(F.col("source") == args.benchmark_source)
+    else:
+        raise SystemExit("need --benchmark or --benchmark-source")
+
+    out = curate(
+        df, args.id_col, args.text_col, bench,
+        ngram_n=args.ngram_n,
+        strata_cols=args.strata.split(",") if args.strata else None,
+        per_stratum_cap=args.cap,
+    )
+    parts = args.partition_by.split(",") if args.partition_by else []
+    write_curated(spark, out, args.output, parts)
+    n = spark.read.parquet(args.output).count()
+    print(f"curated corpus written: {n} docs -> {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
