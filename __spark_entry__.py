@@ -582,6 +582,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmeans_clusters"] = kmeans_q
 
+    def vocab_q(spark, sf):
+        from fuzzymatch_spark.operators.corpus import vocab_top_tokens
+
+        return vocab_top_tokens(_docs(spark, sf), "text", ["source"], k=5)
+
+    q["vocab_top_tokens"] = vocab_q
+
+    def unigram_q(spark, sf):
+        from fuzzymatch_spark.operators.corpus import unigram_logprob
+
+        return unigram_logprob(_docs(spark, sf), "doc_id", "text")
+
+    q["unigram_logprob"] = unigram_q
+
     def length_quantiles_q(spark, sf):
         from fuzzymatch_spark.operators.corpus import length_quantiles
 
@@ -2057,6 +2071,42 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"""
             WITH {_kmeans_ctes("embeddings")}
             SELECT vec_id, CAST(cluster AS INT) AS cluster, cos FROM a1
+        """,
+        "vocab_top_tokens": """
+            WITH toks AS (
+              SELECT source, tok AS token, count(*) AS n FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+              ) WHERE len(tok) > 0
+              GROUP BY source, tok
+            )
+            SELECT source, token, CAST(n AS BIGINT) AS n,
+                   CAST(rank AS INT) AS rank
+            FROM (
+              SELECT source, token, n,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n DESC, token ASC) AS rank
+              FROM toks
+            ) WHERE rank <= 5
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, tok AS token FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+              ) WHERE len(tok) > 0
+            ),
+            freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+            totals AS (
+              SELECT count(*) AS n_total, count(DISTINCT token) AS n_vocab
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(-ln((tf + 1) * 1.0 / (n_total + n_vocab))), 6)
+                     AS mean_neg_logprob
+            FROM toks JOIN freq USING (token), totals
+            GROUP BY doc_id
         """,
         "doc_length_quantiles": """
             SELECT lang,

@@ -359,6 +359,81 @@ def pair_eval(
 
 
 # --------------------------------------------------------------------------
+# Vocabulary reports and unigram-LM scoring
+# --------------------------------------------------------------------------
+
+def vocab_top_tokens(
+    df: DataFrame,
+    text_col: str,
+    group_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Per-group top-k tokens by occurrence count (ties to the earlier
+    token) — the vocabulary drift report run per source/shard.  Token
+    counting is a map-side-combinable aggregate; the top-k is a window
+    over the (small) per-group vocabulary, so the second shuffle moves
+    one row per distinct (group, token), never per occurrence."""
+    toks = (
+        df.select(*group_cols, F.explode(F.split(F.col(text_col), " "))
+                  .alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy(*group_cols, "token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("n"), F.asc("token")
+    )
+    return (
+        toks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "token", "n", F.col("rank").cast("int"))
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document mean unigram negative log-probability under the
+    corpus's own (add-one-smoothed) unigram distribution — the
+    relational stand-in for the LM-perplexity quality filter (CCNet
+    style): a document of rare/garbled tokens scores high, boilerplate
+    scores low.
+
+    The unigram table is vocabulary-sized, built with one map-side
+    combinable aggregate and broadcast back onto the exploded tokens —
+    the corpus side shuffles only on doc_id for the final per-doc mean.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    totals = toks.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("token").alias("n_vocab"),
+    )
+    scored = (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("tf") + 1)
+                        / (F.col("n_total") + F.col("n_vocab"))
+                    )
+                ),
+                6,
+            ).alias("mean_neg_logprob"),
+        )
+    )
+    return scored
+
+
+# --------------------------------------------------------------------------
 # Length-distribution quantiles
 # --------------------------------------------------------------------------
 

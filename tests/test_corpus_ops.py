@@ -357,3 +357,40 @@ def test_hash_vectorize_feeds_kmeans(documents):
     assert len(out) == documents.count()
     assert set(r["cluster"] for r in out) <= {0, 1, 2, 3}
     assert all(0.0 <= r["cos"] <= 1.0 for r in out)  # count vectors: cos >= 0
+
+
+# ------------------------------------------------------ vocab / unigram LM
+
+def test_vocab_top_tokens_golden(spark):
+    from fuzzymatch_spark.operators.corpus import vocab_top_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a", "x x y z"), (2, "a", "x y"), (3, "b", "q")],
+        "doc_id long, source string, text string",
+    )
+    got = [(r["source"], r["token"], r["n"], r["rank"]) for r in
+           vocab_top_tokens(df, "text", ["source"], k=2)
+           .orderBy("source", "rank").collect()]
+    assert got == [("a", "x", 3, 1), ("a", "y", 2, 2), ("b", "q", 1, 1)]
+
+
+def test_unigram_logprob_ranks_rare_docs_higher(spark):
+    import math
+
+    from fuzzymatch_spark.operators.corpus import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "common common common"), (2, "common common rare")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           unigram_logprob(df, "doc_id", "text").collect()}
+    # corpus: common tf=5, rare tf=1, n_total=6, n_vocab=2
+    p_common = 6 / 8
+    p_rare = 2 / 8
+    assert got[1]["mean_neg_logprob"] == round(-math.log(p_common), 6)
+    assert got[2]["mean_neg_logprob"] == round(
+        -(2 * math.log(p_common) + math.log(p_rare)) / 3, 6
+    )
+    # the doc containing a rare token scores strictly higher
+    assert got[2]["mean_neg_logprob"] > got[1]["mean_neg_logprob"]
