@@ -718,7 +718,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows — exact integer counts, no float-array comparison needed)
         from fuzzymatch_spark.operators.corpus import hash_vectorize
 
-        vecs = hash_vectorize(_docs(spark, sf), "doc_id", "text", dim=64)
+        docs = _docs(spark, sf).select("doc_id", "text")
+        # plant a non-ASCII row: pins that ascii()/substr/length are
+        # codepoint-identical across engines, not just on the ASCII corpus
+        planted = docs.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + F.lit(80_000_000)).alias("doc_id"),
+            F.concat(F.lit("café naïve 東京 žluťoučký "), F.col("text"))
+            .alias("text"),
+        )
+        vecs = hash_vectorize(
+            docs.unionByName(planted), "doc_id", "text", dim=64
+        )
         return vecs.select(
             F.col("vec_id").alias("doc_id"),
             F.posexplode("embedding").alias("dim", "cnt"),
@@ -2245,7 +2255,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE sample_rank <= 3
         """,
         "hash_vector_entries": f"""
-            WITH {_TVEC_CTE}
+            WITH allrows AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 80000000,
+                     'café naïve 東京 žluťoučký ' || text
+              FROM documents WHERE doc_id < 5
+            ),
+            {_TVEC_CTE.replace("FROM documents", "FROM allrows")}
             SELECT vec_id AS doc_id,
                    CAST(d AS INT) AS dim,
                    CAST(embedding[d + 1] AS BIGINT) AS cnt
