@@ -669,11 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # removal keyed on portable md5(text) -> per-stratum cap.  Every
         # stage is one of the oracle-checked operators; the composite
         # value-checks their composition.
-        from fuzzymatch_spark.operators.corpus import (
-            decontaminate_ngrams,
-            repetition_stats,
-            stratified_sample,
-        )
+        from fuzzymatch_spark.operators.corpus import stratified_sample
 
         base = _docs(spark, sf).select("doc_id", "lang", "source", "text")
         # plant both failure branches so every stage of the composite
@@ -690,25 +686,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(F.lit("loop " * 30), F.col("text")).alias("text"),
         )
         docs = base.unionByName(copies).unionByName(loops)
-        rep = repetition_stats(docs, "doc_id", "text").select(
-            "doc_id", "repetition_pass"
+        # the same composed pass the spark-submit job ships — the entry
+        # exists to hash-check THAT code path, not a re-implementation
+        from jobs.curate_job import curate
+
+        survivors = curate(
+            docs, "doc_id", "text",
+            docs.filter(F.col("source") == "src0"), ngram_n=4,
         )
-        dec = decontaminate_ngrams(
-            docs, docs.filter(F.col("source") == "src0"),
-            "doc_id", "text", n=4,
-        ).select("doc_id", "contaminated")
-        gated = (
-            docs.join(rep, "doc_id")
-            .join(dec, "doc_id")
-            .filter(
-                (F.col("repetition_pass") == 1) & (F.col("contaminated") == 0)
-            )
-        )
-        keyed = gated.withColumn(
-            "k", F.md5(F.col("text").cast("binary"))
-        )
-        minid = keyed.groupBy("k").agg(F.min("doc_id").alias("doc_id"))
-        survivors = keyed.join(minid, ["k", "doc_id"])
         return stratified_sample(survivors, ["lang", "source"], "doc_id", k=3)
 
     q["corpus_curation_pipeline"] = curation_q
@@ -1976,7 +1961,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             n AS (SELECT count(*) AS n_docs FROM documents)
             SELECT doc_id,
-                   round(sum(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)),
+                   round(CAST(sum(CAST(tf * (ln((n_docs + 1.0)
+                                                / (df + 1.0)) + 1.0)
+                                       AS DECIMAL(38,18))) AS DOUBLE),
                          6) AS tfidf
             FROM tf JOIN dfc USING (tok), n
             GROUP BY doc_id
@@ -2113,8 +2100,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    CAST(count(*) AS BIGINT) AS n_tokens,
-                   round(avg(-ln((tf + 1) * 1.0 / (n_total + n_vocab))), 6)
-                     AS mean_neg_logprob
+                   round(CAST(sum(CAST(-ln((tf + 1) * 1.0
+                                           / (n_total + n_vocab))
+                                       AS DECIMAL(38,18))) AS DOUBLE)
+                         / count(*), 6) AS mean_neg_logprob
             FROM toks JOIN freq USING (token), totals
             GROUP BY doc_id
         """,

@@ -428,7 +428,6 @@ def run_scaling(rep: int = 64) -> dict:
         return wall
 
     wins: list[dict] = []
-    window_walls: list[float] = []
 
     def sample_ceiling_pair() -> None:
         _pin_cpus(8)
@@ -437,7 +436,6 @@ def run_scaling(rep: int = 64) -> dict:
         mp32_samples.append(hw_ceiling_at(32))
 
     def run_window() -> None:
-        w0 = time.time()
         sample_ceiling_pair()
         l8 = spark_draw(8)
         sample_ceiling_pair()
@@ -451,7 +449,6 @@ def run_scaling(rep: int = 64) -> dict:
                 "speedup": round(l8 / l32, 3),
             }
         )
-        window_walls.append(time.time() - w0)
 
     def best_window() -> dict:
         return min(wins, key=lambda w: w["l8"] + w["l32"])

@@ -352,7 +352,12 @@ def _assign_labeled(cmat: np.ndarray, labels: list[int], vec):
     ``cmat`` rows must be unit-normalized, ``labels`` ascending.
     """
     assert list(labels) == sorted(labels)
-    vnorm = _norm(vec)
+    # zero vectors (e.g. hash_vectorize of an empty document) must not
+    # divide by zero — under Spark 4's default ANSI mode that aborts the
+    # job.  cos := 0 for them, so they deterministically take the lowest
+    # label through the tie-break.
+    raw_norm = _norm(vec)
+    vnorm = F.when(raw_norm == 0, F.lit(1.0)).otherwise(raw_norm)
     cands = []
     for row, lab in zip(np.asarray(cmat, dtype=np.float64), labels):
         arr = F.array(*[F.lit(float(x)) for x in row])
@@ -396,6 +401,8 @@ def kmeans_lloyd(
     k-means loop, where per-iteration driver traffic is O(k * dim),
     never O(rows).  Returns (id, cluster, cos).
     """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     cmat, labels = _centroid_matrix(df, vec_col, id_col, k)
 
     base = df.select(F.col(id_col), F.col(vec_col))

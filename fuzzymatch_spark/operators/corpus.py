@@ -413,6 +413,13 @@ def unigram_logprob(
         F.count("*").alias("n_total"),
         F.countDistinct("token").alias("n_vocab"),
     )
+    # each -ln(p) term is cast to decimal(38,18) BEFORE the sum so the
+    # aggregate is summation-order-independent (the repo's cross-engine
+    # rule): partial-aggregation order differs from DuckDB's, and a plain
+    # double sum could land a 6-dp rounding boundary differently
+    term = (
+        -F.log((F.col("tf") + 1) / (F.col("n_total") + F.col("n_vocab")))
+    ).cast("decimal(38,18)")
     scored = (
         toks.join(F.broadcast(freq), "token")
         .crossJoin(F.broadcast(totals))
@@ -420,13 +427,7 @@ def unigram_logprob(
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
             F.round(
-                F.avg(
-                    -F.log(
-                        (F.col("tf") + 1)
-                        / (F.col("n_total") + F.col("n_vocab"))
-                    )
-                ),
-                6,
+                F.sum(term).cast("double") / F.count("*"), 6
             ).alias("mean_neg_logprob"),
         )
     )
@@ -459,7 +460,8 @@ def length_quantiles(
         aggs.append(
             F.round(
                 F.expr(f"percentile(length({text_col}), {p!r})"), 6
-            ).alias(f"p{int(p * 100)}")
+            ).alias(f"p{round(p * 100)}")  # round(): int() truncates
+                                           # 0.57*100 -> 56 and mislabels
         )
     return df.groupBy(*group_cols).agg(*aggs)
 
@@ -554,21 +556,18 @@ def tfidf_topk(
         F.countDistinct("doc_id").alias("df")
     )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
+    # decimal(38,18) per-term cast: order-independent sum (cross-engine
+    # rule; see unigram_logprob)
+    term = (
+        F.col("tf")
+        * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0))
+    ).cast("decimal(38,18)")
     scored = (
         tf.join(F.broadcast(df_counts), "tok")
         .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("tf")
-                    * (
-                        F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
-                        + F.lit(1.0)
-                    )
-                ),
-                6,
-            ).alias("tfidf")
+            F.round(F.sum(term).cast("double"), 6).alias("tfidf")
         )
     )
     return (

@@ -108,7 +108,19 @@ def range_join(
     w = int(bucket_secs)
     if w <= 0:
         raise ValueError("bucket_secs must be positive")
-    lb = F.floor(F.unix_timestamp(F.col(ts_col)) / w)
+    # bucket on MICROSECOND epochs: unix_timestamp truncates to whole
+    # seconds, and truncating the exclusive end before the `-1` would
+    # drop the interval's final bucket for sub-second end timestamps
+    # (e.g. end 00:10:00.4 with w=300 covers bucket 2, but trunc(600)-1
+    # stops at bucket 1 and the join silently loses matches)
+    wus = w * 1_000_000
+
+    def _us(c):
+        # unix_micros rejects TIMESTAMP_NTZ (the parquet default); the
+        # cast is a no-op for TIMESTAMP and pins NTZ to the session zone
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    lb = F.floor(_us(ts_col) / wus)
     payload_cols = [
         c for c in right.columns
         if c not in set(key_cols) | {start_col, end_col}
@@ -120,8 +132,8 @@ def range_join(
         *payload_cols,
         F.explode(
             F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_col)) / w),
-                F.floor((F.unix_timestamp(F.col(end_col)) - 1) / w),
+                F.floor(_us(start_col) / wus),
+                F.floor((_us(end_col) - 1) / wus),
             )
         ).alias("_bucket"),
     )

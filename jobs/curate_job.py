@@ -36,8 +36,21 @@ def curate(
     ngram_n: int = 4,
     strata_cols: list[str] | None = None,
     per_stratum_cap: int | None = None,
+    drop_benchmark_ids: bool = False,
 ):
-    """The composed curation DataFrame (shared by the job and tests)."""
+    """The composed curation DataFrame (shared by the job and tests).
+
+    ``drop_benchmark_ids`` anti-joins the benchmark's ids out of the
+    result — required when the benchmark is a subset of ``df`` itself
+    (benchmark-source mode): n-gram self-contamination alone misses
+    benchmark docs shorter than ``ngram_n`` tokens, which have no grams.
+    """
+    if (per_stratum_cap is None) != (not strata_cols):
+        raise ValueError(
+            "per_stratum_cap and strata_cols must be given together "
+            "(a cap without strata, or strata without a cap, would "
+            "silently skip the capping stage)"
+        )
     from fuzzymatch_spark.operators.corpus import (
         decontaminate_ngrams,
         repetition_stats,
@@ -56,6 +69,10 @@ def curate(
         .filter((F.col("repetition_pass") == 1) & (F.col("contaminated") == 0))
         .drop("repetition_pass", "contaminated")
     )
+    if drop_benchmark_ids:
+        gated = gated.join(
+            benchmark_df.select(id_col), id_col, "left_anti"
+        )
     keyed = gated.withColumn("_k", F.md5(F.col(text_col).cast("binary")))
     minid = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
     survivors = keyed.join(minid, ["_k", id_col]).drop("_k")
@@ -120,6 +137,10 @@ def main() -> None:
         ngram_n=args.ngram_n,
         strata_cols=args.strata.split(",") if args.strata else None,
         per_stratum_cap=args.cap,
+        # benchmark-source mode: the benchmark rows live inside --input;
+        # drop them by id too, since sub-ngram_n benchmark docs have no
+        # grams and would pass the self-contamination gate
+        drop_benchmark_ids=bool(args.benchmark_source),
     )
     parts = args.partition_by.split(",") if args.partition_by else []
     write_curated(spark, out, args.output, parts)

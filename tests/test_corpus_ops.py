@@ -394,3 +394,58 @@ def test_unigram_logprob_ranks_rare_docs_higher(spark):
     )
     # the doc containing a rare token scores strictly higher
     assert got[2]["mean_neg_logprob"] > got[1]["mean_neg_logprob"]
+
+
+def test_kmeans_survives_zero_vectors(spark):
+    # regression: an all-zero vector (hash_vectorize of an empty doc)
+    # used to divide by zero under ANSI mode; it must land in the lowest
+    # label with cos 0 instead
+    from fuzzymatch_spark.operators.ann import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in
+           kmeans_lloyd(df, "embedding", k=2, iters=2).collect()}
+    assert got[2]["cluster"] == 0 and got[2]["cos"] == 0.0
+
+
+def test_curate_rejects_half_specified_cap(spark, documents):
+    import pytest as _pytest
+
+    from jobs.curate_job import curate
+
+    docs = documents.select("doc_id", "lang", "source", "text")
+    bench = docs.filter(F.col("source") == "src0")
+    with _pytest.raises(ValueError):
+        curate(docs, "doc_id", "text", bench, per_stratum_cap=5)
+    with _pytest.raises(ValueError):
+        curate(docs, "doc_id", "text", bench, strata_cols=["lang"])
+
+
+def test_curate_drops_short_benchmark_docs_by_id(spark):
+    # a benchmark doc with fewer tokens than ngram_n has no grams and
+    # passes the self-contamination gate; benchmark-source mode must
+    # drop it by id
+    from jobs.curate_job import curate
+
+    docs = spark.createDataFrame(
+        [
+            # 6 distinct tokens: passes the repetition gate (top
+            # unigram 1/6, top 2-gram 1/5 = 0.20 at the boundary) but
+            # has no 7-grams, so self-contamination can't catch it
+            (1, "en", "bench", "small eval question answer pair one"),
+            (2, "en", "train",
+             "a perfectly normal training document with many words here"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    bench = docs.filter(F.col("source") == "bench")
+    kept_without = {r["doc_id"] for r in
+                    curate(docs, "doc_id", "text", bench, ngram_n=7).collect()}
+    assert 1 in kept_without  # the documented leak without the id drop
+    kept_with = {r["doc_id"] for r in
+                 curate(docs, "doc_id", "text", bench, ngram_n=7,
+                        drop_benchmark_ids=True).collect()}
+    assert 1 not in kept_with and 2 in kept_with

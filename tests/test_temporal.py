@@ -155,3 +155,24 @@ def test_range_join_plan_is_equi_join(spark):
     # bucketized: a hash equi-join on (key, bucket), never a nested-loop
     # or cartesian fallback
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_range_join_subsecond_end_not_truncated(spark):
+    # regression: unix_timestamp truncation used to drop the interval's
+    # final bucket when end had sub-second precision
+    from datetime import timedelta
+
+    from fuzzymatch_spark.operators.temporal import range_join
+
+    end = _t(10) + timedelta(milliseconds=400)
+    ev_ts = _t(10) + timedelta(milliseconds=200)
+    left = spark.createDataFrame(
+        [(1, "k", ev_ts)], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", _t(0), end, 7)],
+        "user_id string, start_ts timestamp, end_ts timestamp, iv long",
+    )
+    rows = range_join(left, right, ["user_id"], "ts",
+                      "start_ts", "end_ts", bucket_secs=300).collect()
+    assert [(r["event_id"], r["iv"]) for r in rows] == [(1, 7)]
