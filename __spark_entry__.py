@@ -767,6 +767,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_windowed_stats"] = windowed_events_q
 
+    def session_windows_q(spark, sf):
+        # session-window aggregation in batch form; the oracle uses the
+        # independent gaps-and-islands formulation
+        from fuzzymatch_spark.streaming.windowed import session_window_stats
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return session_window_stats(ev, gap="6 hours", exact_sums=True)
+
+    q["events_session_windows"] = session_windows_q
+
     # ---- similarity search ----
     def ann_topk(spark, sf):
         emb = _emb(spark, sf)
@@ -2106,6 +2116,29 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS mean_neg_logprob
             FROM toks JOIN freq USING (token), totals
             GROUP BY doc_id
+        """,
+        "events_session_windows": """
+            WITH m AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 6 HOUR AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE),
+                         6) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
         "doc_length_quantiles": """
             SELECT lang,

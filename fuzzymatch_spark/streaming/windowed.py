@@ -97,6 +97,44 @@ def run_windowed_events(
     q.awaitTermination()
 
 
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    exact_sums: bool = False,
+) -> DataFrame:
+    """Per-key session windows (sessions close after ``gap`` of
+    inactivity) with count/sum aggregates — ``F.session_window``, which
+    runs identically on batch and streaming input (with a watermark, in
+    streaming).  Session end is last-event + gap, Spark's definition.
+
+    Batch form doubles as an oracle entry: the DuckDB cross-check uses
+    the independent gaps-and-islands formulation (lag + running sum of
+    session starts), so agreement pins Spark's merge semantics, not an
+    echo of them.  ``exact_sums`` routes the value sum through
+    decimal(38,6) for order-independence (the cross-check path).
+    """
+    val = (
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6)
+        if exact_sums
+        else F.round(F.sum("value"), 6)
+    )
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count("*").cast("long").alias("n_events"), val.alias("sum_value"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 _TOTALS_OUT = "user_id long, n_events long, total_value double"
 _TOTALS_STATE = "n long, total double"
 

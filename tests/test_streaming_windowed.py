@@ -125,3 +125,78 @@ def test_running_user_totals_state_across_passes(spark, tmp_path):
     # user 2 had no new events: update mode re-emitted nothing, so their
     # newest row is still the first pass's total
     assert got2[2] == (1, 5.0)
+
+
+def test_session_windows_batch_golden(spark):
+    from fuzzymatch_spark.streaming.windowed import session_window_stats
+
+    events = spark.createDataFrame(
+        [
+            # user 1: two events 10 min apart (one session with gap 30m),
+            # then one event 2h later (second session)
+            (_ts(0), 1, "view", 1.0),
+            (_ts(10), 1, "view", 2.0),
+            (datetime(2026, 1, 1, 12, 0), 1, "view", 4.0),
+            # user 2: single event
+            (_ts(5), 2, "click", 8.0),
+        ],
+        SCHEMA,
+    )
+    rows = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in session_window_stats(events, gap="30 minutes").collect()
+    )
+    assert rows == [
+        (1, _ts(0), 2, 3.0),
+        (1, datetime(2026, 1, 1, 12, 0), 1, 4.0),
+        (2, _ts(5), 1, 8.0),
+    ]
+    # session end = last event + gap
+    ends = {(r["user_id"], r["session_start"]): r["session_end"]
+            for r in session_window_stats(events, gap="30 minutes").collect()}
+    assert ends[(1, _ts(0))] == _ts(40)
+
+
+def test_session_windows_streaming_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.streaming.windowed import session_window_stats
+
+    inp = str(tmp_path / "landing")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch = [
+        (_ts(0), 1, "view", 1.0),
+        (_ts(10), 1, "view", 2.0),
+        (_ts(3), 2, "click", 8.0),
+    ]
+    _write(spark, inp, batch)
+    # far-future sentinel closes every session once the watermark passes
+    _write(spark, inp, [(_ts(59), 9, "view", 0.0)])
+
+    stream = spark.readStream.schema(SCHEMA).parquet(inp)
+    agg = session_window_stats(
+        stream.withWatermark("ts", "5 minutes"), gap="30 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in session_window_stats(
+            spark.createDataFrame(batch, SCHEMA), gap="30 minutes"
+        ).collect()
+    )
+    assert got == want  # closed streaming sessions == batch sessions

@@ -176,3 +176,38 @@ def test_range_join_subsecond_end_not_truncated(spark):
     rows = range_join(left, right, ["user_id"], "ts",
                       "start_ts", "end_ts", bucket_secs=300).collect()
     assert [(r["event_id"], r["iv"]) for r in rows] == [(1, 7)]
+
+
+def test_asof_join_matches_bruteforce(spark):
+    # fixed-seed randomized parity vs the naive
+    # join-then-max-prior-state reference
+    import random
+
+    rng = random.Random(7)
+    left_rows = [
+        (i, f"u{rng.randrange(5)}", _t(rng.randrange(60)))
+        for i in range(150)
+    ]
+    right_rows = [
+        (f"u{rng.randrange(5)}", _t(rng.randrange(60)), float(i))
+        for i in range(60)
+    ]
+    # as-of requires unique (key, ts) on the right
+    seen = set()
+    right_rows = [r for r in right_rows
+                  if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+    left = spark.createDataFrame(
+        left_rows, "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        right_rows, "user_id string, ts timestamp, rate double"
+    )
+    got = {r["event_id"]: r["asof_rate"]
+           for r in asof_join(left, right, ["user_id"], "ts", ["rate"]).collect()}
+    by_key = {}
+    for k, ts, v in right_rows:
+        by_key.setdefault(k, []).append((ts, v))
+    for i, k, ts in left_rows:
+        prior = [(t, v) for t, v in by_key.get(k, []) if t <= ts]
+        want = max(prior)[1] if prior else None
+        assert got[i] == want, (i, k, ts)
