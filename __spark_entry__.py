@@ -1053,6 +1053,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_phash_pairs"] = image_phash_pairs
 
+    def datasource_phash_pairs(spark, sf):
+        # rows-only by nature: the input is the Spark 4 Python DataSource
+        # (custom partition-parallel source — no DuckDB analog), feeding
+        # the same Hamming combo-join as the parquet paths.  Twin rows
+        # planted by the source's dup_fraction guarantee a non-trivial
+        # pair set; determinism comes from the seeded synthesis.
+        from fuzzymatch_spark.sources.datasource import (
+            SyntheticImagesDataSource,
+        )
+
+        spark.dataSource.register(SyntheticImagesDataSource)
+        images = (
+            spark.read.format("fuzzy_synth_images")
+            .option("rows", "300").option("partitions", "8")
+            .option("dup_fraction", "0.3").load()
+        )
+        return phash_band_edges(
+            images.select(F.col("image_id").alias("doc_id"), "phash"),
+            CFG, id_col="doc_id", phash_col="phash",
+        ).orderBy("a_id", "b_id")
+
+    q["datasource_phash_pairs"] = datasource_phash_pairs
+
     def audio_fingerprint_pairs(spark, sf):  # stub codec: rows-only
         # full audio near-dup pipeline: synth+encode -> decode ->
         # RHP band-energy fingerprint -> Hamming band join -> signal-level
