@@ -1366,7 +1366,9 @@ _KMEANS_CTES_TMPL = """nums AS (SELECT unnest(range(1, 65)) AS i),
             ),
             c1 AS (
               SELECT a0.cell AS cid, n.i AS dim,
-                     round(avg(CAST(e.embedding[n.i] AS DOUBLE)), 6) AS v
+                     round(CAST(sum(CAST(CAST(e.embedding[n.i] AS DOUBLE)
+                                         AS DECIMAL(38,18))) AS DOUBLE)
+                           / count(*), 6) AS v
               FROM __SRC__ e JOIN a0 USING (vec_id), nums n
               WHERE n.i <= len(e.embedding)
               GROUP BY a0.cell, n.i
@@ -2342,12 +2344,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(n_items AS BIGINT) AS n_items,
                    CAST(s AS BIGINT) AS agree_both,
-                   round((n_items * (n_items - 1) / 2.0 + 2 * s - sa - sb)
-                         / (n_items * (n_items - 1) / 2.0), 6) AS rand_index,
-                   round((s - sa * sb / (n_items * (n_items - 1) / 2.0))
-                         / ((sa + sb) / 2
-                            - sa * sb / (n_items * (n_items - 1) / 2.0)),
-                         6) AS adjusted_rand
+                   -- degenerate-case conventions pinned to match the
+                   -- operator: n<2 -> 1.0; zero ARI denominator -> 1.0
+                   CASE WHEN n_items < 2 THEN 1.0
+                        ELSE round((n_items * (n_items - 1) / 2.0 + 2 * s
+                                    - sa - sb)
+                                   / (n_items * (n_items - 1) / 2.0), 6)
+                   END AS rand_index,
+                   CASE WHEN n_items < 2 THEN 1.0
+                        WHEN (sa + sb) / 2
+                             - sa * sb / (n_items * (n_items - 1) / 2.0) = 0
+                          THEN 1.0
+                        ELSE round(
+                          (s - sa * sb / (n_items * (n_items - 1) / 2.0))
+                          / ((sa + sb) / 2
+                             - sa * sb / (n_items * (n_items - 1) / 2.0)),
+                          6)
+                   END AS adjusted_rand
             FROM stats, sa, sb
         """,
         "suffix_run_pairs": f"""

@@ -360,6 +360,15 @@ def _assign_labeled(cmat: np.ndarray, labels: list[int], vec):
     vnorm = F.when(raw_norm == 0, F.lit(1.0)).otherwise(raw_norm)
     cands = []
     for row, lab in zip(np.asarray(cmat, dtype=np.float64), labels):
+        if not row.any():
+            # zero centroid (e.g. the first-k init hit an empty/whitespace
+            # document in the hash_vectorize path, or an update produced an
+            # all-zero cell): _norm(arr) == 0 would trip the same ANSI
+            # divide-by-zero as the vnorm guard above.  cmat is driver-side,
+            # so the guard is a driver-side constant: cos := 0.
+            cands.append(F.struct(F.lit(0.0).alias("cos"),
+                                  F.lit(-int(lab)).alias("neg")))
+            continue
         arr = F.array(*[F.lit(float(x)) for x in row])
         cos = F.round(_dot(vec, arr) / (vnorm * _norm(arr)), 6)
         cands.append(F.struct(cos.alias("cos"),
@@ -386,11 +395,11 @@ def kmeans_lloyd(
         codebook), unit-normalized;
       * assignment = max 6-dp-rounded cosine, ties to the lower centroid
         label;
-      * update = per-dimension arithmetic mean of the raw (double-cast)
-        member components, each mean rounded to 6 decimals — the rounding
-        absorbs cross-engine summation-order drift (~1e-15) so a DuckDB
-        oracle reproduces every iteration bit-for-bit at the comparison
-        granularity;
+      * update = per-dimension arithmetic mean of the member components,
+        summed exactly in decimal(38,18) then divided in double and
+        rounded to 6 decimals — the exact sum makes the mean
+        order-independent, so a DuckDB oracle reproduces every iteration
+        bit-for-bit (not just within fp drift of the 6-dp boundary);
       * ``iters`` assignment rounds with an update between consecutive
         rounds (iters=2: assign -> update -> assign -> emit); empty cells
         simply drop out of the next round's codebook.
@@ -422,7 +431,19 @@ def kmeans_lloyd(
                 F.posexplode(vec_col).alias("dim", "val"),
             )
             .groupBy("cell", "dim")
-            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("v"))
+            # exact decimal(38,18) sum then one double divide: the mean is
+            # order-independent, so a 6-dp value within fp drift of a
+            # rounding boundary cannot flip between engines (CLAUDE.md
+            # cross-engine rule; mirrored in the oracle's c1 CTE)
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("val").cast("double").cast("decimal(38,18)")
+                    ).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("v")
+            )
             .collect()  # O(k * dim) rows — codebook-sized by construction
         )
         bycell: dict[int, dict[int, float]] = {}

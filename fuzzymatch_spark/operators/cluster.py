@@ -264,16 +264,23 @@ def cluster_agreement(
     )
     j = stats.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
     t = c2(F.col("n_items"))
-    expected = F.col("sa") * F.col("sb") / t
+    # Degenerate inputs make the textbook formulas 0/0 — Spark would emit
+    # NULL (or abort under ANSI) while DuckDB floats give NaN, so the two
+    # engines diverge exactly when the metric is undefined.  Pin the
+    # standard conventions explicitly, on BOTH the operator and the
+    # oracle: n < 2 items -> both indices 1.0; ARI denominator 0 (e.g.
+    # both clusterings all-singletons or all-one-cluster) -> ARI 1.0.
+    expected = F.col("sa") * F.col("sb") / F.when(t == 0, F.lit(1.0)).otherwise(t)
+    denom = (F.col("sa") + F.col("sb")) / 2 - expected
+    rand_ix = F.when(t == 0, F.lit(1.0)).otherwise(
+        F.round((t + 2 * F.col("s") - F.col("sa") - F.col("sb")) / t, 6)
+    )
+    ari = F.when((t == 0) | (denom == 0), F.lit(1.0)).otherwise(
+        F.round((F.col("s") - expected) / denom, 6)
+    )
     return j.select(
         "n_items",
         F.col("s").cast("long").alias("agree_both"),
-        F.round(
-            (t + 2 * F.col("s") - F.col("sa") - F.col("sb")) / t, 6
-        ).alias("rand_index"),
-        F.round(
-            (F.col("s") - expected)
-            / ((F.col("sa") + F.col("sb")) / 2 - expected),
-            6,
-        ).alias("adjusted_rand"),
+        rand_ix.alias("rand_index"),
+        ari.alias("adjusted_rand"),
     )

@@ -6,20 +6,30 @@ Design points for the 100 TB read path:
 * **Schema is mandatory.**  Schema inference is a full extra pass over
   the data before the real read; at corpus scale that doubles the scan
   bill.  Callers pass the DDL string / StructType they expect.
-* **PERMISSIVE + quarantine, never DROPMALFORMED.**  Malformed lines are
-  captured in a corrupt-record column and split into a quarantine
-  DataFrame so the pipeline can account for them (bad-row rate is a
-  data-quality signal; silently dropping rows hides upstream breakage).
-  Spark disallows filtering on the corrupt column straight off the raw
-  scan (SPARK-21610), so the split reads through a cached projection.
+* **Parse-as-expression, never cache.**  Instead of the PERMISSIVE
+  ``spark.read.json`` scan (whose corrupt column cannot be filtered
+  without materializing an intermediate — SPARK-21610, which forced a
+  full-corpus ``.cache()`` in an earlier revision), we read raw lines
+  with ``spark.read.text`` and parse them with ``from_json``.  The
+  corrupt column is then an ordinary computed expression, filters on it
+  push straight down onto the text scan's output, and no cache of the
+  corpus is ever taken.  The JSON parse runs JVM-side (Jackson) inside
+  whole-stage codegen either way.
+* **Quarantine, never DROPMALFORMED.**  Malformed lines are split into a
+  quarantine DataFrame so the pipeline can account for them (bad-row
+  rate is a data-quality signal; silently dropping rows hides upstream
+  breakage).
 * The good-rows output carries only the declared columns — downstream
   operators never see the quarantine column.
+* The caller's ``StructType`` is never mutated (``StructType.add``
+  mutates in place and returns ``self``); the parse schema is a fresh
+  object built from a copy of the caller's fields.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StringType, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -34,6 +44,12 @@ def read_jsonl(
     Returns ``(good, quarantine)``: ``good`` has exactly the declared
     columns (malformed lines excluded); ``quarantine`` has one ``raw``
     string column holding each malformed line verbatim.
+
+    Both outputs are independent lazy plans over the same text scan; a
+    caller consuming both pays two scans of the source (cheap columnar
+    line reads) rather than a full-corpus cache — at 100 TB the second
+    scan is the right trade against caching the corpus to executor
+    disks.
     """
     if isinstance(schema, str):
         struct = StructType.fromDDL(schema)
@@ -41,19 +57,29 @@ def read_jsonl(
         struct = schema
     if CORRUPT_COL in struct.fieldNames():
         raise ValueError(f"schema must not declare {CORRUPT_COL!r}")
-    full = struct.add(CORRUPT_COL, StringType())
-
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-        .cache()  # SPARK-21610: corrupt-col-only filters need a
-        # materialized intermediate, not the raw scan
+    # Fresh StructType: StructType.add() mutates the caller's object.
+    full = StructType(
+        list(struct.fields) + [StructField(CORRUPT_COL, StringType())]
     )
-    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+    lines = spark.read.text(path).select(F.col("value").alias("raw"))
+    # Blank lines are not records (trailing-newline artifacts), skip them
+    # before parsing so they land in neither output.
+    lines = lines.filter(F.length(F.trim("raw")) > 0)
+    parsed = lines.select(
+        "raw",
+        F.from_json(
+            "raw",
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("rec"),
+    )
+    good = (
+        parsed.filter(F.col(f"rec.{CORRUPT_COL}").isNull())
+        .select(*[F.col(f"rec.{f.name}").alias(f.name) for f in struct.fields])
+    )
     quarantine = (
-        df.filter(F.col(CORRUPT_COL).isNotNull())
-        .select(F.col(CORRUPT_COL).alias("raw"))
+        parsed.filter(F.col(f"rec.{CORRUPT_COL}").isNotNull())
+        .select("raw")
     )
     return good, quarantine

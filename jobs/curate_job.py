@@ -51,6 +51,8 @@ def curate(
             "(a cap without strata, or strata without a cap, would "
             "silently skip the capping stage)"
         )
+    if per_stratum_cap is not None and per_stratum_cap < 1:
+        raise ValueError("per_stratum_cap must be >= 1")
     from fuzzymatch_spark.operators.corpus import (
         decontaminate_ngrams,
         repetition_stats,
@@ -76,7 +78,7 @@ def curate(
     keyed = gated.withColumn("_k", F.md5(F.col(text_col).cast("binary")))
     minid = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
     survivors = keyed.join(minid, ["_k", id_col]).drop("_k")
-    if per_stratum_cap and strata_cols:
+    if per_stratum_cap is not None and strata_cols:
         capped_ids = stratified_sample(
             survivors, strata_cols, id_col, per_stratum_cap
         ).select(F.col("doc_id").alias(id_col))

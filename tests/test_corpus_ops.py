@@ -449,3 +449,50 @@ def test_curate_drops_short_benchmark_docs_by_id(spark):
                  curate(docs, "doc_id", "text", bench, ngram_n=7,
                         drop_benchmark_ids=True).collect()}
     assert 1 not in kept_with and 2 in kept_with
+
+
+def test_cluster_agreement_degenerate_conventions(spark):
+    from fuzzymatch_spark.operators.cluster import cluster_agreement
+
+    # both clusterings all-singletons: s = sa = sb = 0, so the ARI
+    # denominator is 0 — pinned to 1.0 (standard convention), never
+    # NULL/NaN or an ANSI divide abort
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "id long, cluster int"
+    )
+    row = cluster_agreement(a, a).collect()[0].asDict()
+    assert row["rand_index"] == 1.0 and row["adjusted_rand"] == 1.0
+
+    # both all-one-cluster: denominator also 0 -> 1.0
+    b = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "id long, cluster int"
+    )
+    row = cluster_agreement(b, b).collect()[0].asDict()
+    assert row["rand_index"] == 1.0 and row["adjusted_rand"] == 1.0
+
+    # a single item: T = C(1,2) = 0 -> both indices pinned to 1.0
+    one = spark.createDataFrame([(1, 0)], "id long, cluster int")
+    row = cluster_agreement(one, one).collect()[0].asDict()
+    assert row["rand_index"] == 1.0 and row["adjusted_rand"] == 1.0
+
+
+def test_kmeans_zero_centroid_guard(spark):
+    from fuzzymatch_spark.operators.ann import kmeans_lloyd
+
+    # first-k init includes an all-zero vector (an empty document through
+    # hash_vectorize): the zero CENTROID must not divide by zero, in the
+    # init round or after an update that reproduces the zero cell
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [1.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cluster"]
+           for r in kmeans_lloyd(df, "embedding", k=3, iters=2).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    # the zero vector scores cos 0 against every centroid and takes the
+    # lowest label through the tie-break
+    assert out[0] == 0

@@ -43,3 +43,15 @@ def test_write_curated_marker_and_partition_pruning(spark, documents, tmp_path):
     # the lang filter must prune partitions at the source, not scan+filter
     assert "PartitionFilters: [isnotnull(lang" in plan, plan
     assert back.count() == out.filter(F.col("lang") == "en").count()
+
+
+def test_curate_rejects_zero_cap(spark, documents):
+    import pytest
+
+    docs = documents.select("doc_id", "lang", "source", "text")
+    bench = docs.filter(F.col("source") == "src0")
+    # cap=0 used to pass validation (0 is not None) and then silently
+    # skip the capping stage via `if per_stratum_cap and ...`
+    with pytest.raises(ValueError, match="per_stratum_cap"):
+        curate(docs, "doc_id", "text", bench,
+               strata_cols=["lang"], per_stratum_cap=0)

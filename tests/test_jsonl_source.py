@@ -40,3 +40,29 @@ def test_read_jsonl_split(spark, jsonl_path):
 def test_read_jsonl_rejects_reserved_column(spark, jsonl_path):
     with pytest.raises(ValueError):
         read_jsonl(spark, jsonl_path, "_corrupt_record string, a int")
+
+
+def test_read_jsonl_does_not_mutate_schema(spark, jsonl_path):
+    from pyspark.sql.types import StructType
+
+    struct = StructType.fromDDL(SCHEMA)
+    before = [f.name for f in struct.fields]
+    read_jsonl(spark, jsonl_path, struct)
+    # the caller's StructType must come back untouched (StructType.add
+    # mutates in place — the parse schema is built fresh)
+    assert [f.name for f in struct.fields] == before
+    # and a second call with the SAME object must not trip the
+    # reserved-column check or carry a stray corrupt column
+    good, _ = read_jsonl(spark, jsonl_path, struct)
+    assert good.columns == ["doc_id", "text", "lang"]
+    assert good.count() == 3
+
+
+def test_read_jsonl_plan_has_no_cache(spark, jsonl_path):
+    good, bad = read_jsonl(spark, jsonl_path, SCHEMA)
+    # 100 TB read path: neither output may hang a full-corpus cache off
+    # the scan (the SPARK-21610 workaround this source used to need)
+    for df in (good, bad):
+        plan = df._jdf.queryExecution().toString()
+        assert "InMemoryRelation" not in plan
+        assert "InMemoryTableScan" not in plan
