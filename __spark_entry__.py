@@ -160,16 +160,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["smith_waterman_topk"] = sw_topk
 
     # ---- normalization / signatures (oracle-checked) ----
-    def doc_normalize(spark, sf):
-        return _sig(spark, sf).select(
-            F.col("id").alias("doc_id"), "caption_norm"
-        )
-
-    q["doc_normalize"] = doc_normalize
-
     def doc_signature_stats(spark, sf):
+        # wide entry: normalized caption + signature stats in one row set
+        # (absorbed the former doc_normalize entry — same doc grain, one
+        # driver CORRECTNESS slot instead of two)
         return _sig(spark, sf).select(
             F.col("id").alias("doc_id"),
+            "caption_norm",
             F.length("caption_norm").cast("long").alias("n_chars_norm"),
             F.col("n_shingles").cast("long").alias("n_shingles"),
             F.col("char_mask"),
@@ -260,11 +257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_envelope_verify"] = audio_envelope_verify
 
-    def jaccard_pairs(spark, sf):
-        return ngram_jaccard_pairs(_sig(spark, sf), threshold_pct=JACCARD_PCT)
-
-    q["ngram_jaccard_pairs"] = jaccard_pairs
-
     def jaccard_prefix_pairs(spark, sf):
         # ORACLE-CHECKED PPJoin prefix-filtered exact Jaccard join: same
         # pair set as ngram_jaccard_pairs by the prefix principle (100%
@@ -348,16 +340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_pairs"] = simhash_pairs
 
-    def simhash_tokens_q(spark, sf):
-        # ORACLE-CHECKED token-level SimHash: md5 token fingerprints ->
-        # per-bit majority -> 60-bit signature, all column expressions
-        # (the cross-engine twin of the seeded-blake2b UDF SimHash).
-        from fuzzymatch_spark.operators.textstats import simhash64_tokens
-
-        return simhash64_tokens(_docs(spark, sf), "doc_id", "text")
-
-    q["simhash_tokens"] = simhash_tokens_q
-
     def simhash_token_pairs(spark, sf):
         # ORACLE-CHECKED SimHash near-dup pairs end-to-end: relational
         # SimHash signatures -> Manku Hamming band join (recall-complete,
@@ -424,67 +406,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fuzzy_token_join"] = fuzzy_token_join_q
 
     # ---- fingerprints / band decomposition (oracle-checked) ----
-    def doc_fingerprint(spark, sf):
-        return _docs(spark, sf).select(
-            "doc_id", md5_fingerprint64("text").alias("fp")
-        )
-
-    q["doc_fingerprint"] = doc_fingerprint
-
     def fp_bands(spark, sf):
-        return fingerprint_bands(_docs(spark, sf), "doc_id", "text")
+        # wide entry: each (doc, band, key) row also carries the full
+        # 60-bit md5 fingerprint (absorbed the former doc_fingerprint
+        # entry — the fp column is value-checked on every band row)
+        docs = _docs(spark, sf)
+        fps = docs.select("doc_id", md5_fingerprint64("text").alias("fp"))
+        return fingerprint_bands(docs, "doc_id", "text").join(fps, "doc_id")
 
     q["fingerprint_bands"] = fp_bands
 
     # ---- text analysis (oracle-checked) ----
-    def bpe_stats(spark, sf):
-        from fuzzymatch_spark.operators.textstats import bpe_token_stats
-
-        # plant mixed-content rows (contractions, digits, punctuation) so
-        # the regex's interesting branches are value-checked, not just the
-        # all-lowercase corpus shape
-        docs = _docs(spark, sf).select("doc_id", "text")
-        planted = docs.filter(F.col("doc_id") < 10).select(
-            (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
-            F.concat(F.lit("It's 42 degrees... "), F.col("text")).alias("text"),
-        )
-        return bpe_token_stats(docs.unionByName(planted), "doc_id", "text")
-
-    q["bpe_token_stats"] = bpe_stats
-
-    q["token_stats"] = lambda spark, sf: token_stats(_docs(spark, sf), "doc_id", "text")
-    def quality_q(spark, sf):
-        # plant punctuation/stopword-bearing rows so the new ratio columns
-        # are value-checked on non-zero values (the corpus is bare
-        # lowercase words)
+    def text_quality_wide(spark, sf):
+        # ONE wide doc-grain entry for the three read-only text-analysis
+        # operators (token_stats + quality_score + lang_id) — same
+        # coverage, one driver CORRECTNESS slot instead of three.  Planted
+        # rows carry punctuation, stopwords, and uppercase so every ratio
+        # column and the language markers are value-checked on non-trivial
+        # values (the corpus is bare lowercase words).
         docs = _docs(spark, sf).select("doc_id", "text")
         planted = docs.filter(F.col("doc_id") < 10).select(
             (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
             F.concat(F.lit("The quick, brown fox!!! It is "), F.col("text"))
             .alias("text"),
         )
-        return quality_score(docs.unionByName(planted), "doc_id", "text")
+        allrows = docs.unionByName(planted)
+        ts = token_stats(allrows, "doc_id", "text")
+        qs = quality_score(allrows, "doc_id", "text")
+        li = lang_id(allrows, "doc_id", "text")
+        return ts.join(qs, "doc_id").join(li, "doc_id")
 
-    q["quality_score"] = quality_q
-    q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf), "doc_id", "text")
+    q["text_quality_wide"] = text_quality_wide
 
-    def mask_pii_q(spark, sf):
-        from fuzzymatch_spark.operators.textstats import mask_pii
+    def text_tokens_wide(spark, sf):
+        # ONE wide doc-grain entry for BPE pre-tokenization counts +
+        # PII masking (absorbed the former bpe_token_stats and mask_pii
+        # entries).  The shared planted prefix exercises contractions,
+        # digit runs, punctuation runs, AND all three masking branches
+        # (email / URL / long number) on the same rows.
+        from fuzzymatch_spark.operators.textstats import (
+            bpe_token_stats,
+            mask_pii,
+        )
 
-        # plant email/URL/long-number rows (the corpus is bare words) so
-        # every masking branch is value-checked
         docs = _docs(spark, sf).select("doc_id", "text")
         planted = docs.filter(F.col("doc_id") < 10).select(
-            (F.col("doc_id") + F.lit(40_000_000)).alias("doc_id"),
+            (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
             F.concat(
-                F.lit("mail bob.smith+x@example.co.uk or "
-                      "https://ex.org/a?id=99 card 4111222233334444 "),
+                F.lit("It's 42 degrees... mail bob.smith+x@example.co.uk "
+                      "or https://ex.org/a?id=99 card 4111222233334444 "),
                 F.col("text"),
             ).alias("text"),
         )
-        return mask_pii(docs.unionByName(planted), "doc_id", "text")
+        allrows = docs.unionByName(planted)
+        bpe = bpe_token_stats(allrows, "doc_id", "text")
+        masked = mask_pii(allrows, "doc_id", "text")
+        return bpe.join(masked, "doc_id")
 
-    q["mask_pii"] = mask_pii_q
+    q["text_tokens_wide"] = text_tokens_wide
 
     # ---- corpus curation (oracle-checked; operators/corpus.py) ----
     def repetition_q(spark, sf):
@@ -575,13 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_pair_eval"] = pair_eval_q
 
-    def kmeans_q(spark, sf):
-        from fuzzymatch_spark.operators.ann import kmeans_lloyd
-
-        return kmeans_lloyd(_emb(spark, sf), "embedding", k=8, iters=2)
-
-    q["kmeans_clusters"] = kmeans_q
-
+    # (the former kmeans_clusters entry was folded out: the same operator
+    # is oracle-checked end-to-end by text_kmeans_clusters, and BOTH its
+    # iterations on the embeddings table by cluster_agreement_ari's a0/a1)
     def vocab_q(spark, sf):
         from fuzzymatch_spark.operators.corpus import vocab_top_tokens
 
@@ -1261,7 +1236,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_topk_per_user"] = events_topk_per_user
 
-    return q
+    # ---- registration-order repack (driver CORRECTNESS window) ----
+    # The driver validates the FIRST 50 registrations against oracle_sql()
+    # at sf0.01.  Rows-only entries (stub codecs, seeded hashes, non-SQL
+    # kernels) produce `no_oracle` wherever they sit, so every
+    # oracle-backed entry must come first — and there must be at most 50
+    # of them, which the assertion pins so a future entry can't silently
+    # push an oracle-backed one past the cap again (round-4 verdict).
+    oracle_keys = set(oracle_sql())
+    missing = oracle_keys - set(q)
+    assert not missing, f"oracle_sql keys without queries(): {missing}"
+    checked = [k for k in q if k in oracle_keys]
+    assert len(checked) <= 50, (
+        f"{len(checked)} oracle-backed entries exceed the driver's "
+        "50-entry CORRECTNESS window — consolidate before adding more"
+    )
+    rows_only = [k for k in q if k not in oracle_keys]
+    return {k: q[k] for k in checked + rows_only}
 
 
 # --------------------------------------------------------------------------
@@ -1617,10 +1608,6 @@ def oracle_sql() -> dict[str, str]:
               FROM votes
             )"""
 
-    simhash_tokens_sql = (
-        _simhash_sql("srows AS (SELECT doc_id, text FROM documents)")
-        + "\n            SELECT doc_id, simhash FROM sigs"
-    )
     simhash_pairs_sql = (
         _simhash_sql("""srows AS (
               SELECT doc_id, text FROM documents
@@ -1639,15 +1626,11 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "winnow_fingerprints": winnow_sql,
-        "simhash_tokens": simhash_tokens_sql,
         "simhash_token_pairs": simhash_pairs_sql,
         "phash_hamming_pairs": phash_pairs_sql,
         "video_containment_pairs": video_containment_sql,
         "multimodal_dedup_clusters_relational": multimodal_rel_sql,
         "minhash_lsh_pairs": minhash_lsh_sql,
-        "doc_normalize": """
-            SELECT doc_id, lower(text) AS caption_norm FROM documents
-        """,
         "doc_signature_stats": f"""
             WITH {_GRAMS},
             chars AS (
@@ -1662,6 +1645,7 @@ def oracle_sql() -> dict[str, str]:
               FROM chars GROUP BY doc_id
             )
             SELECT d.doc_id,
+                   lower(d.text) AS caption_norm,
                    CAST(len(d.text) AS BIGINT) AS n_chars_norm,
                    CAST(COALESCE(s.n, 0) AS BIGINT) AS n_shingles,
                    m.char_mask
@@ -1690,15 +1674,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM allrows)
             GROUP BY key HAVING count(*) > 1
         """,
-        "ngram_jaccard_pairs": f"""
-            {_JACCARD_EDGES}
-            SELECT a_id, b_id, CAST(c AS BIGINT) AS inter,
-                   CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
-            FROM edges
-        """,
-        # identical oracle by design: prefix filtering is recall-complete
-        # and the verify is exact, so the output equals the full
-        # inverted-index join's
+        # this oracle is the full inverted-index join: prefix filtering is
+        # recall-complete and the verify is exact, so the PPJoin output
+        # must EQUAL the unfiltered join's pair set (the hash check pins
+        # that the prefix filter loses nothing)
         "ngram_jaccard_prefix_pairs": f"""
             {_JACCARD_EDGES}
             SELECT a_id, b_id, CAST(c AS BIGINT) AS inter,
@@ -1844,15 +1823,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_id, b_id, round(rel, 6) AS rel_rms
             FROM m WHERE rel <= 0.1
         """,
-        "mask_pii": """
+        # wide entry: BPE pre-tokenization counts + PII masking over ONE
+        # shared planted set (contractions/digits/punct + all 3 masking
+        # branches on the same rows)
+        "text_tokens_wide": """
             WITH allrows AS (
               SELECT doc_id, text FROM documents
               UNION ALL
-              SELECT doc_id + 40000000 AS doc_id,
-                     'mail bob.smith+x@example.co.uk or '
-                     || 'https://ex.org/a?id=99 card 4111222233334444 '
+              SELECT doc_id + 20000000 AS doc_id,
+                     'It''s 42 degrees... mail bob.smith+x@example.co.uk '
+                     || 'or https://ex.org/a?id=99 card 4111222233334444 '
                      || text AS text
               FROM documents WHERE doc_id < 10
+            ),
+            toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +',
+                       0) AS ts
+              FROM allrows
+            ),
+            bpe AS (
+              SELECT doc_id,
+                     CAST(len(ts) AS BIGINT) AS n_bpe_pieces,
+                     CAST(len(list_filter(ts,
+                          x -> regexp_matches(x, '^ ?[A-Za-z]+$')))
+                       AS BIGINT) AS n_alpha_pieces,
+                     CAST(len(list_filter(ts,
+                          x -> regexp_matches(x, '^ ?[0-9]+$')))
+                       AS BIGINT) AS n_digit_pieces
+              FROM toks
             ),
             s1 AS (
               SELECT doc_id, text,
@@ -1870,13 +1870,19 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_url,
                      regexp_replace(t1, 'https?://[^ ]+', '<URL>', 'g') AS t2
               FROM s1
+            ),
+            s3 AS (
+              SELECT doc_id, n_email, n_url,
+                     CAST(len(regexp_extract_all(t2, '[0-9]{7,}', 0))
+                       AS BIGINT) AS n_longnum,
+                     regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g')
+                       AS masked_text
+              FROM s2
             )
-            SELECT doc_id, n_email, n_url,
-                   CAST(len(regexp_extract_all(t2, '[0-9]{7,}', 0))
-                     AS BIGINT) AS n_longnum,
-                   regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g')
-                     AS masked_text
-            FROM s2
+            SELECT bpe.doc_id, bpe.n_bpe_pieces, bpe.n_alpha_pieces,
+                   bpe.n_digit_pieces, s3.n_email, s3.n_url, s3.n_longnum,
+                   s3.masked_text
+            FROM bpe JOIN s3 USING (doc_id)
         """,
         # independent relational formulation (unnest + GROUP BY) of the
         # Spark side's within-row array-fold computation
@@ -2096,13 +2102,6 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value
             FROM events
             GROUP BY 1, 2, 3
-        """,
-        # two unrolled Lloyd iterations; every comparison happens on
-        # 6-dp-rounded values so summation-order drift cannot flip an
-        # assignment between engines
-        "kmeans_clusters": f"""
-            WITH {_kmeans_ctes("embeddings")}
-            SELECT vec_id, CAST(cluster AS INT) AS cluster, cos FROM a1
         """,
         "vocab_top_tokens": """
             WITH toks AS (
@@ -2404,11 +2403,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, token ASC
             LIMIT 10
         """,
-        "doc_fingerprint": """
-            SELECT doc_id,
-                   CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp
-            FROM documents
-        """,
         "fingerprint_bands": """
             WITH fps AS (
               SELECT doc_id,
@@ -2416,49 +2410,31 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), bands AS (SELECT unnest(range(0, 4)) AS band)
             SELECT doc_id, CAST(band AS INT) AS band,
-                   CAST((fp >> (band * 15)) & 32767 AS BIGINT) AS key
+                   CAST((fp >> (band * 15)) & 32767 AS BIGINT) AS key,
+                   fp
             FROM fps, bands
         """,
-        "bpe_token_stats": """
-            WITH allrows AS (
-              SELECT doc_id, text FROM documents
-              UNION ALL
-              SELECT doc_id + 20000000 AS doc_id,
-                     'It''s 42 degrees... ' || text AS text
-              FROM documents WHERE doc_id < 10
-            ),
-            toks AS (
-              SELECT doc_id,
-                     regexp_extract_all(text,
-                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +',
-                       0) AS ts
-              FROM allrows
-            )
-            SELECT doc_id,
-                   CAST(len(ts) AS BIGINT) AS n_bpe_pieces,
-                   CAST(len(list_filter(ts, x -> regexp_matches(x, '^ ?[A-Za-z]+$')))
-                     AS BIGINT) AS n_alpha_pieces,
-                   CAST(len(list_filter(ts, x -> regexp_matches(x, '^ ?[0-9]+$')))
-                     AS BIGINT) AS n_digit_pieces
-            FROM toks
-        """,
-        "token_stats": """
-            SELECT doc_id,
-                   CAST(len(text) AS BIGINT) AS n_chars,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-                     AS n_distinct_tokens,
-                   round(len(list_distinct(string_split(text, ' '))) * 1.0
-                         / len(string_split(text, ' ')), 6) AS type_token_ratio
-            FROM documents
-        """,
-        "quality_score": """
+        # wide entry: token_stats + quality_score + lang_id over ONE
+        # shared planted set (punctuation, stopwords, uppercase) — same
+        # coverage as the former three entries in a single slot
+        "text_quality_wide": """
             WITH allrows AS (
               SELECT doc_id, text FROM documents
               UNION ALL
               SELECT doc_id + 30000000 AS doc_id,
                      'The quick, brown fox!!! It is ' || text AS text
               FROM documents WHERE doc_id < 10
+            ),
+            ts AS (
+              SELECT doc_id,
+                     CAST(len(text) AS BIGINT) AS n_chars,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS n_distinct_tokens,
+                     round(len(list_distinct(string_split(text, ' '))) * 1.0
+                           / len(string_split(text, ' ')), 6)
+                       AS type_token_ratio
+              FROM allrows
             ),
             t AS (
               SELECT doc_id, text, len(text) AS nc,
@@ -2470,36 +2446,40 @@ def oracle_sql() -> dict[str, str]:
                          x -> lower(x) IN ('the','and','of','is','to','a',
                                            'in','it','that'))) AS ns
               FROM allrows
-            )
-            SELECT doc_id,
-                   round(nd * 1.0 / nt, 6) AS ttr,
-                   round((nc - nt + 1) * 1.0 / nt, 6) AS mean_token_len,
-                   round(np * 1.0 / greatest(nc, 1), 6) AS punct_ratio,
-                   round(ns * 1.0 / nt, 6) AS stopword_ratio,
-                   CAST(CASE WHEN nc >= 20 AND nc <= 10000
-                             AND nd * 1.0 / nt >= 0.2
-                        THEN 1 ELSE 0 END AS INT) AS quality_pass
-            FROM t
-        """,
-        "lang_id": """
-            WITH t AS (
+            ),
+            qs AS (
+              SELECT doc_id,
+                     round(nd * 1.0 / nt, 6) AS ttr,
+                     round((nc - nt + 1) * 1.0 / nt, 6) AS mean_token_len,
+                     round(np * 1.0 / greatest(nc, 1), 6) AS punct_ratio,
+                     round(ns * 1.0 / nt, 6) AS stopword_ratio,
+                     CAST(CASE WHEN nc >= 20 AND nc <= 10000
+                               AND nd * 1.0 / nt >= 0.2
+                          THEN 1 ELSE 0 END AS INT) AS quality_pass
+              FROM t
+            ),
+            lt AS (
               SELECT doc_id, string_split(lower(text), ' ') AS toks
-              FROM documents
-            ), s AS (
+              FROM allrows
+            ), ls AS (
               SELECT doc_id,
                 CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','to'))) AS BIGINT) AS score_en,
                 CAST(len(list_filter(toks, x -> x IN ('el','la','los','que','de'))) AS BIGINT) AS score_es,
                 CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS score_de,
                 CAST(len(list_filter(toks, x -> x IN ('le','les','des','est','une'))) AS BIGINT) AS score_fr
-              FROM t
+              FROM lt
             )
-            SELECT doc_id, score_en, score_es, score_de, score_fr,
+            SELECT ts.doc_id, ts.n_chars, ts.n_tokens, ts.n_distinct_tokens,
+                   ts.type_token_ratio,
+                   qs.ttr, qs.mean_token_len, qs.punct_ratio,
+                   qs.stopword_ratio, qs.quality_pass,
+                   ls.score_en, ls.score_es, ls.score_de, ls.score_fr,
                    CASE WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'und'
                         WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
                         WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
                         WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
                         ELSE 'fr' END AS pred_lang
-            FROM s
+            FROM ts JOIN qs USING (doc_id) JOIN ls USING (doc_id)
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
