@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from fuzzymatch_spark.config import DedupConfig
 from fuzzymatch_spark.functions.udfs import make_dl_udf, make_signature_udf
+from fuzzymatch_spark.plans.parallelism import ensure_min_partitions
 
 
 def compute_signatures(
@@ -49,10 +50,7 @@ def compute_signatures(
     default parallelism when the input has fewer partitions than that.
     """
     cfg = cfg or DedupConfig()
-    if min_partitions is None:
-        min_partitions = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_partitions:
-        df = df.repartition(min_partitions)
+    df = ensure_min_partitions(df, min_partitions)
     sig = make_signature_udf(cfg)
     out = df.select(
         F.col(id_col).alias("id"),
@@ -242,13 +240,20 @@ def hamming_band_keys(
     hash_col: str,
     n_bands: int,
     max_hamming: int,
+    split_band_key: bool = True,
 ) -> DataFrame:
     """(id, hash, band, key) Manku combination-key decomposition of a
     64-bit hash column — the shared banding for the batch self-join and
     the incremental (streaming) new-vs-existing join.  Keys are pure
     integer column expressions (28 shift/or ops per row for m=8, k=6), so
     history can be re-keyed in-task from stored hashes — no band table to
-    persist."""
+    persist.
+
+    With ``split_band_key=False`` the band index stays folded into the
+    key's high bits and the output is (id, hash, bk) with ONE int64
+    bucket column — the batch self-join groups on that directly, so the
+    big exchange shuffles a single 8-byte key instead of a 12-byte
+    (band, key) struct per band row."""
     import itertools
 
     assert 64 % n_bands == 0
@@ -263,22 +268,34 @@ def hamming_band_keys(
             F.lit(mask)
         )
 
-    key_structs = []
+    key_width = c * width  # bits of the concatenated-block key
+    combined = []
     for ci, combo in enumerate(itertools.combinations(range(m), c)):
         key = F.lit(0).cast("long")
         for j, blk in enumerate(combo):
             key = key.bitwiseOR(F.shiftleft(block(blk), j * width))
-        key_structs.append(
-            F.struct(F.lit(ci).alias("band"), key.alias("key"))
-        )
+        # fold the combo index into the SAME long above the key bits: one
+        # narrow int64 shuffle column instead of a (band, key) struct —
+        # injective because key < 2^key_width (c < m, so there is room;
+        # at c == m there is a single combo and ci == 0 ORs to a no-op)
+        if ci:
+            key = key.bitwiseOR(F.lit(ci << key_width).cast("long"))
+        combined.append(key)
 
-    return df.select(
+    out = df.select(
         F.col(id_col).alias("id"),
         F.col(hash_col),
-        F.explode(F.array(*key_structs)).alias("bk"),
-    ).select(
-        "id", hash_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        F.explode(F.array(*combined)).alias("bk"),
     )
+    if split_band_key:
+        key_mask = (1 << key_width) - 1 if key_width < 64 else -1
+        out = out.select(
+            "id",
+            hash_col,
+            F.shiftrightunsigned("bk", key_width).cast("int").alias("band"),
+            F.col("bk").bitwiseAND(F.lit(key_mask)).alias("key"),
+        )
+    return out
 
 
 def _hamming_band_edges(
@@ -305,7 +322,9 @@ def _hamming_band_edges(
     Verification is JVM-side ``bit_count(a ^ b) <= k`` — no Python.
     """
     k = min(max_hamming, n_bands - 1)
-    bands = hamming_band_keys(df, id_col, hash_col, n_bands, max_hamming)
+    bands = hamming_band_keys(
+        df, id_col, hash_col, n_bands, max_hamming, split_band_key=False
+    )
 
     # Pair generation: ONE exchange (groupBy band,key) collecting each
     # bucket's members, then in-task pair expansion via a double explode.
@@ -322,7 +341,7 @@ def _hamming_band_edges(
     # measured at parity on wall time but loses pairs whose canonical
     # bucket is cap-dropped — rejected; the pair-dedup exchange is tiny.)
     grouped = (
-        bands.groupBy("band", "key")
+        bands.groupBy("bk")
         .agg(F.collect_list(F.struct("id", hash_col)).alias("ms"))
         .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
     )

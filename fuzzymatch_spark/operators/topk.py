@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from fuzzymatch_spark.config import MatchConfig
 from fuzzymatch_spark.functions.udfs import make_score_udf
 from fuzzymatch_spark.kernels.scoring import prepare_query
+from fuzzymatch_spark.plans.parallelism import ensure_min_partitions
 
 
 def _signed64(x: int) -> int:
@@ -68,9 +69,7 @@ def score_candidates(
     filtered = prefilter_columns(df, text_col, q, mask_col=mask_col)
     # the score UDF is CPU-bound: never let an under-partitioned input
     # (single-row-group parquet) serialize it onto one core
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if filtered.rdd.getNumPartitions() < par:
-        filtered = filtered.repartition(par)
+    filtered = ensure_min_partitions(filtered)
     # asNondeterministic blocks Catalyst from pushing the isNotNull filter
     # (and a duplicate UDF evaluation) below the repartition exchange
     score_udf = make_score_udf(q).asNondeterministic()
@@ -141,9 +140,7 @@ def top_matches_levenshtein(
         bitmask_tolerance=0,
     )
     filtered = prefilter_columns(df, text_col, shim, mask_col=None)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if filtered.rdd.getNumPartitions() < par:
-        filtered = filtered.repartition(par)
+    filtered = ensure_min_partitions(filtered)
 
     s = float(min_score)
 
@@ -239,9 +236,7 @@ def top_matches_bulk(
                 )
         return pd.Series(rows)
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = ensure_min_partitions(df)
 
     qdf = df.sparkSession.createDataFrame(
         list(enumerate(queries)), "qi int, query string"
@@ -292,9 +287,7 @@ def top_matches_fields(
     q = prepare_query(query_text, config)
     score_udf = make_score_udf(q).asNondeterministic()
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = ensure_min_partitions(df)
 
     scored = df
     for c in field_cols:
@@ -394,9 +387,7 @@ def top_matches_fields_bulk(
                 )
         return pd.Series(rows)
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = ensure_min_partitions(df)
 
     qdf = df.sparkSession.createDataFrame(
         list(enumerate(queries)), "qi int, query string"

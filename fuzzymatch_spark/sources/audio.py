@@ -36,6 +36,7 @@ import struct
 import zlib
 
 import numpy as np
+from fuzzymatch_spark.plans.parallelism import ensure_min_partitions
 
 _MAGIC_AUD = b"FAUD"
 
@@ -190,9 +191,7 @@ def build_audio_df(
         "clip_id string, bytes binary, sample_rate int, n_samples int, "
         "fingerprint long, envelope array<float>"
     )
-    par = spark.sparkContext.defaultParallelism
-    if docs_df.rdd.getNumPartitions() < par:
-        docs_df = docs_df.repartition(par)
+    docs_df = ensure_min_partitions(docs_df)
 
     def gen(batches):
         for pdf in batches:

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType
 
 from fuzzymatch_spark.kernels.phash import phash64
+from fuzzymatch_spark.plans.parallelism import ensure_min_partitions
 
 try:  # pragma: no cover - not present in this container
     from PIL import Image  # noqa: F401
@@ -151,9 +152,7 @@ def build_images_df(
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long"
     )
-    par = spark.sparkContext.defaultParallelism
-    if docs_df.rdd.getNumPartitions() < par:
-        docs_df = docs_df.repartition(par)
+    docs_df = ensure_min_partitions(docs_df)
 
     def gen(batches):
         cols = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
@@ -187,9 +186,7 @@ def build_phash_df(
     saturates memory bandwidth at high core counts (the 8->32 scaling of
     the dedup job improves when this builder replaces the full table).
     """
-    par = spark.sparkContext.defaultParallelism
-    if docs_df.rdd.getNumPartitions() < par:
-        docs_df = docs_df.repartition(par)
+    docs_df = ensure_min_partitions(docs_df)
 
     def gen(batches):
         for pdf in batches:

@@ -243,3 +243,20 @@ def test_kmeans_assignment_plan_is_jvm_only(spark, embeddings):
     # Catalyst's UDF extraction into interpreted eval)
     assert "EvalPython" not in plan, plan
     assert "Exchange" not in plan, plan  # final assignment pass is map-only
+
+
+def test_no_python_rdd_probes_in_source():
+    """Hot API paths must not build Python conversion RDDs: the only
+    allowed partition probe is the cached JVM one in plans/parallelism."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "fuzzymatch_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        if p.name == "parallelism.py":
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if re.search(r"\.rdd\b", line) and not line.lstrip().startswith("#"):
+                offenders.append(f"{p}:{i}: {line.strip()}")
+    assert not offenders, offenders
