@@ -103,6 +103,7 @@ def session_window_stats(
     ts_col: str = "ts",
     key_col: str = "user_id",
     exact_sums: bool = False,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Per-key session windows (sessions close after ``gap`` of
     inactivity) with count/sum aggregates — ``F.session_window``, which
@@ -120,6 +121,8 @@ def session_window_stats(
         if exact_sums
         else F.round(F.sum("value"), 6)
     )
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
     return (
         events.groupBy(
             F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
@@ -133,6 +136,35 @@ def session_window_stats(
             "sum_value",
         )
     )
+
+
+def run_session_windows(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str | StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "5 minutes",
+) -> None:
+    """One synchronous AvailableNow pass of the SESSION-window
+    aggregation: new landing files -> watermarked per-key session merge
+    -> parquet append.  In append mode a session is emitted exactly once,
+    when the watermark passes its end (last event + gap) — so a session
+    whose events arrive across SEPARATE passes stays in the state store,
+    merges, and surfaces as one final row only after a later pass moves
+    the watermark beyond it.  State is O(open sessions x keys)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = session_window_stats(stream, gap=gap, watermark=watermark)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 _TOTALS_OUT = "user_id long, n_events long, total_value double"

