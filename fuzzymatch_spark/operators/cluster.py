@@ -59,17 +59,70 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _batch_contract(edges: DataFrame) -> DataFrame:
+    """Batch-local union-find contraction: each Arrow batch of edges is
+    collapsed to its spanning forest (node -> batch-root), bounding the
+    edge volume entering the first star round at ~|distinct nodes per
+    batch| instead of |E|.  Connectivity is preserved exactly (a
+    per-batch forest plus the cross-batch unions the star rounds do), so
+    the final min-id labels are identical with or without the pre-pass.
+
+    Adopt when FIRST-ROUND SHUFFLE VOLUME dominates (dense near-dup
+    corpora at cluster scale); at sf0.1 CC is round-latency-bound and the
+    pass is neutral (A/B in BENCH.md, r4/r5)."""
+    import pandas as pd
+
+    schema = edges.schema
+
+    def contract(batches):
+        for pdf in batches:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # deterministic orientation: larger root under smaller
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            out_a, out_b = [], []
+            for n in list(parent):
+                r = find(n)
+                if r != n:
+                    out_a.append(n)
+                    out_b.append(r)
+            yield pd.DataFrame(
+                {schema[0].name: out_a, schema[1].name: out_b}
+            )
+
+    return edges.mapInPandas(contract, schema)
+
+
 def connected_components(
     edges_df: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 50,
     checkpoint_fn=None,
+    precontract: bool = False,
 ) -> DataFrame:
     """Returns (node, cluster_id) with cluster_id = min node id in component.
 
     ``checkpoint_fn(df, iteration) -> df`` optionally replaces
     localCheckpoint (e.g. writing a parquet stage checkpoint for resume).
+
+    ``precontract`` runs the batch-local union-find spanning-forest pass
+    before the star rounds (see ``_batch_contract``) — label-identical
+    output, worthwhile when first-round edge volume, not round count,
+    dominates.
 
     Thread-safety note: once the edge set collapses, the remaining rounds
     run under operator-scoped session conf (size-first AQE coalescing + a
@@ -84,6 +137,8 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if precontract:
+        edges = _batch_contract(edges)
     # Two-regime conf strategy (A/B-measured at sf0.1, 948k edges):
     # the FIRST round carries the full edge volume and wants the session's
     # parallelism-first AQE coalescing + full shuffle fanout; the star

@@ -260,3 +260,28 @@ def test_prefix_filtered_jaccard_equals_full_join(spark):
     pairs = {(a, b) for a, b, *_ in pref}
     assert all((i, 100000 + i) in pairs for i in range(20))
     sig.unpersist()
+
+
+def test_cc_precontract_label_identical(spark):
+    """The batch-local union-find pre-pass must not change labels: same
+    components, same min-id cluster ids, on a graph with chains, stars,
+    and singleton-free structure across partition boundaries."""
+    import random
+
+    from fuzzymatch_spark.operators.cluster import connected_components
+
+    rng = random.Random(11)
+    edges = []
+    # 40 chains of length 6 + extra random intra-chain links
+    for c in range(40):
+        base = c * 100
+        for i in range(5):
+            edges.append((base + i, base + i + 1))
+        edges.append((base + rng.randint(0, 5), base + rng.randint(0, 5)))
+    df = spark.createDataFrame(edges, "a_id long, b_id long").repartition(8)
+    plain = {(r["node"], r["cluster_id"])
+             for r in connected_components(df).collect()}
+    pre = {(r["node"], r["cluster_id"])
+           for r in connected_components(df, precontract=True).collect()}
+    assert plain == pre
+    assert len({c for _, c in plain}) == 40
