@@ -197,15 +197,141 @@ def connected_components(
     )
 
 
+def label_prop_components(
+    edges_df: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 12,
+    copartition: bool = False,
+) -> DataFrame:
+    """Min-label propagation CC — the LOW-DIAMETER fast path.
+
+    Star rounds (``connected_components``) reshuffle the full EDGE SET
+    every round; on a dedup graph (near-cliques, diameter ~2-8) that is
+    the whole cost.  Label propagation instead persists the
+    bidirectional edge table ONCE, then each iteration moves only
+    labels: join labels to edges, groupBy the destination with a
+    map-side-combined ``min`` — per-iteration exchange volume is
+    O(distinct dst per map partition), not O(E).  Labels start as node
+    ids and monotonically decrease to the component minimum, so
+    convergence is an exact one-aggregate check (the decimal-summed
+    label total stops decreasing — no join needed).
+
+    ``copartition`` pre-shuffles the edge table by source so every
+    iteration's join reuses that exchange — pay one O(E) shuffle to make
+    iterations exchange-free on the edge side.  Worth it ONLY where the
+    label table is too big for a broadcast join (very large V on a real
+    cluster); locally AQE broadcasts the labels and the upfront shuffle
+    is pure waste (A/B at sf1: 12.5 s vs 16.7 s, BENCH.md).  Pointer
+    jumping (label(v) <- label(label(v))) was also A/B'd: it cuts
+    iterations 8 -> 6 but the extra per-iteration join costs more than
+    the rounds it saves (19.0 s vs 12.6 s) — rejected, recorded.
+
+    Propagation moves one hop per iteration, so diameter-D components
+    need ~D iterations; if ``max_iter`` is hit, the remaining (rare,
+    high-diameter) structure is finished EXACTLY by handing the
+    label-contracted edge set to the star rounds and composing the
+    mappings — output is identical to ``connected_components`` for every
+    input, fallback or not (min label of a component is unique).
+
+    At cluster scale this is the bandwidth winner for dedup graphs: the
+    edge table crosses the network once; iterations ship label tables
+    (O(V)) instead of edge sets (O(E), with E >> V on near-clique dedup
+    output).  Returns (node, cluster_id), same contract as
+    ``connected_components``.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        edges_df.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+    )
+    bid = edges.unionAll(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    if copartition:
+        bid = bid.repartition("s")
+    bid = bid.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = bid.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+
+    def label_sum(lab: DataFrame) -> int:
+        # labels only ever decrease per node, so a stable exact sum means
+        # a fixed point; decimal(38,0) keeps the sum overflow-safe
+        return int(
+            lab.agg(
+                F.coalesce(
+                    F.sum(F.col("label").cast("decimal(38,0)")), F.lit(0)
+                ).alias("t")
+            ).collect()[0]["t"]
+        )
+
+    prev_sum = None
+    converged = False
+    for _ in range(max_iter):
+        prop = bid.join(labels, bid["s"] == labels["node"]).select(
+            F.col("d").alias("node"), "label"
+        )
+        labels = (
+            prop.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)  # cut the iterative lineage
+        )
+        cur = label_sum(labels)
+        if cur == prev_sum:
+            converged = True
+            break
+        prev_sum = cur
+
+    if not converged:
+        # exact finish: contract edges through the current labels and let
+        # the star rounds close the remaining high-diameter structure
+        la = labels.select(
+            F.col("node").alias("s"), F.col("label").alias("la")
+        )
+        lb = labels.select(
+            F.col("node").alias("d"), F.col("label").alias("lb")
+        )
+        contracted = (
+            edges.join(la, "s").join(lb, "d")
+            .select(F.col("la").alias("a_id"), F.col("lb").alias("b_id"))
+            .filter(F.col("a_id") != F.col("b_id"))
+            .distinct()
+        )
+        if contracted.limit(1).count() > 0:
+            super_labels = connected_components(contracted)
+            labels = (
+                labels.join(
+                    super_labels.withColumnRenamed("node", "label"),
+                    on="label",
+                    how="left",
+                )
+                .select(
+                    "node",
+                    F.coalesce("cluster_id", "label").alias("label"),
+                )
+            )
+    bid.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
 def cluster_assignments(
     verified_edges: DataFrame,
     all_ids: DataFrame,
     id_col: str = "id",
+    method: str = "star",
     **kwargs,
 ) -> DataFrame:
     """Cluster labels for every row: component min for linked nodes,
-    self-label for singletons."""
-    comps = connected_components(verified_edges, **kwargs)
+    self-label for singletons.  ``method``: 'star' (large/small star —
+    the O(log n)-round general path) or 'labelprop' (low-diameter fast
+    path, exact via star fallback)."""
+    if method == "labelprop":
+        comps = label_prop_components(verified_edges, **kwargs)
+    else:
+        comps = connected_components(verified_edges, **kwargs)
     return (
         all_ids.select(F.col(id_col).alias("node"))
         .join(comps, on="node", how="left")

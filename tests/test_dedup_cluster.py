@@ -285,3 +285,54 @@ def test_cc_precontract_label_identical(spark):
            for r in connected_components(df, precontract=True).collect()}
     assert plain == pre
     assert len({c for _, c in plain}) == 40
+
+
+def test_label_prop_components_matches_star(spark):
+    """labelprop is exact: identical (node, cluster_id) sets vs the star
+    rounds on cliques, chains, and a random graph — including when
+    max_iter forces the star-rounds fallback mid-propagation."""
+    import random
+
+    from fuzzymatch_spark.operators.cluster import (
+        connected_components,
+        label_prop_components,
+    )
+
+    rng = random.Random(5)
+    edges = []
+    # 10 cliques of 6 (diameter 1)
+    for c in range(10):
+        ids = [c * 50 + i for i in range(6)]
+        edges += [(x, y) for x in ids for y in ids if x < y]
+    # 5 chains of length 30 (diameter 29 — far beyond max_iter=3)
+    for c in range(5):
+        base = 10_000 + c * 100
+        edges += [(base + i, base + i + 1) for i in range(29)]
+    # random noise component
+    nodes = [50_000 + i for i in range(40)]
+    edges += [tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)]
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long").repartition(8)
+    star = {(r["node"], r["cluster_id"])
+            for r in connected_components(df).collect()}
+    for max_iter in (3, 12):  # 3 forces the fallback on the chains
+        lp = {(r["node"], r["cluster_id"])
+              for r in label_prop_components(df, max_iter=max_iter).collect()}
+        assert lp == star, f"max_iter={max_iter}"
+
+
+def test_cluster_assignments_labelprop_method(spark):
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.cluster import cluster_assignments
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "a_id long, b_id long"
+    )
+    ids = spark.range(12).select(F.col("id"))
+    a = sorted(tuple(r) for r in
+               cluster_assignments(edges, ids, id_col="id").collect())
+    b = sorted(tuple(r) for r in
+               cluster_assignments(edges, ids, id_col="id",
+                                   method="labelprop").collect())
+    assert a == b
