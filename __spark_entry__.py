@@ -271,10 +271,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_prefix_pairs"] = jaccard_prefix_pairs
 
     def dedup_clusters(spark, sf):
+        # method="labelprop" puts the r5 min-label-propagation CC strategy
+        # under the driver's oracle (the recursive-CTE oracle is
+        # engine-independent, so it checks either strategy); the star
+        # rounds stay driver-covered via dedup_canonical_corpus,
+        # corpus_curation_pipeline and multimodal_dedup_clusters_relational
         sig = _sig(spark, sf).persist()
         edges = ngram_jaccard_pairs(sig, threshold_pct=JACCARD_PCT)
         ids = sig.select(F.col("id").alias("doc_id"))
-        return cluster_assignments(edges, ids, id_col="doc_id").select(
+        return cluster_assignments(
+            edges, ids, id_col="doc_id", method="labelprop"
+        ).select(
             "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
         )
 

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """sf1 headline: the q1 dedup pipeline at 10x the driver bench scale
-(50k docs = sf0.1 documents x 10 near-dup variants), plus the CC
-contraction A/B that is neutral at sf0.1 but whose crossover only shows
-above it.  Run exclusively; results land in BENCH.md's sf1 table.
+(50k docs = sf0.1 documents x 10 isomorphic corpus copies), plus the CC
+strategy A/B (star rounds vs min-label propagation) whose crossover only
+shows above sf0.1.  Run exclusively; results land in BENCH.md's sf1
+table.  (The r5 contraction pre-pass A/B ran here too and lost at both
+scales — BENCH.md; the precontract flag is still accepted by run_q1.)
 
 Corpus construction: rep r applies a per-rep ALPHABET ROTATION to the
 text (a -> chr((ord(a)-97+r) % 26 + 97)).  Within a rep, trigram overlap
@@ -52,7 +54,7 @@ def build_corpus(spark):
     return out.repartition(CORES * 4)
 
 
-def run_q1(spark, docs, precontract: bool):
+def run_q1(spark, docs, precontract: bool = False, method: str = "star"):
     from fuzzymatch_spark.config import DedupConfig
     from fuzzymatch_spark.operators.cluster import cluster_assignments
     from fuzzymatch_spark.operators.dedup import (
@@ -69,8 +71,9 @@ def run_q1(spark, docs, precontract: bool):
     verified = verify_edges(candidate_edges(sig, cfg), sig, cfg).persist()
     n_edges = verified.count()
     t_ver = time.time()
+    kwargs = {"precontract": precontract} if method == "star" else {}
     clusters = cluster_assignments(
-        verified, sig.select("id"), id_col="id", precontract=precontract
+        verified, sig.select("id"), id_col="id", method=method, **kwargs
     ).persist()
     n_clusters = clusters.select("cluster_id").distinct().count()
     t_cc = time.time()
@@ -103,11 +106,15 @@ def main() -> None:
     docs = build_corpus(spark).persist()
     docs.count()
 
-    results: dict[str, list[dict]] = {"plain": [], "precontract": []}
+    variants = (
+        ("plain", {"precontract": False}),
+        ("labelprop", {"method": "labelprop"}),
+    )
+    results: dict[str, list[dict]] = {name: [] for name, _ in variants}
     label_sets = {}
     for rnd in range(ROUNDS):
-        for name, pc in (("plain", False), ("precontract", True)):
-            clusters, stats = run_q1(spark, docs, pc)
+        for name, kw in variants:
+            clusters, stats = run_q1(spark, docs, **kw)
             results[name].append(stats)
             if rnd == 0:
                 label_sets[name] = clusters
@@ -117,7 +124,7 @@ def main() -> None:
             print(f"round={rnd} {name}: {stats}", flush=True)
 
     # label-identical assertion between the two variants (exact rows)
-    a, b = label_sets["plain"], label_sets["precontract"]
+    a, b = label_sets["plain"], label_sets["labelprop"]
     diff = a.exceptAll(b).count() + b.exceptAll(a).count()
     print(json.dumps({
         "sf": 1.0,
@@ -125,17 +132,17 @@ def main() -> None:
         "cores": CORES,
         "label_diff_rows": diff,
         "plain": results["plain"],
-        "precontract": results["precontract"],
+        "labelprop": results["labelprop"],
         "min_total_plain": min(s["wall_total"] for s in results["plain"]),
-        "min_total_precontract": min(
-            s["wall_total"] for s in results["precontract"]
+        "min_total_labelprop": min(
+            s["wall_total"] for s in results["labelprop"]
         ),
         "min_cc_plain": min(s["wall_cc"] for s in results["plain"]),
-        "min_cc_precontract": min(
-            s["wall_cc"] for s in results["precontract"]
+        "min_cc_labelprop": min(
+            s["wall_cc"] for s in results["labelprop"]
         ),
     }), flush=True)
-    assert diff == 0, "contraction changed labels!"
+    assert diff == 0, "labelprop changed labels!"
     spark.stop()
 
 
