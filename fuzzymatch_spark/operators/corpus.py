@@ -211,6 +211,129 @@ def decontaminate_ngrams(
     )
 
 
+def decontaminate_ngrams_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    expected_grams: int = 1_000_000,
+    bits_per_gram: int = 10,
+) -> DataFrame:
+    """``decontaminate_ngrams`` with a Bloom-bounded broadcast — EXACT
+    output (bit-identical to the plain operator), built for the regime
+    where the benchmark gram set is too large to broadcast as strings.
+
+    Two stages:
+
+    1. **Bloom probe, in-task.**  The benchmark grams fold into one
+       Bloom filter row (``bloom_filter_agg`` over ``xxhash64(gram)``,
+       ~``bits_per_gram``/8 bytes per gram — 10x smaller than the gram
+       strings, so it broadcasts where the exact set cannot).  Corpus
+       gram rows stream through ``might_contain`` and ~all clean grams
+       drop where they were produced — no shuffle of clean data.
+    2. **Exact residual join.**  Bloom false positives (~0.8% at 10
+       bits/gram) plus true hits — a tiny stream — shuffle-join against
+       the true gram set, so the output is exactly the plain operator's:
+       (doc_id, n_gram_hits, contaminated).
+
+    At 100 TB this is the decontamination shape that survives a large
+    eval registry: broadcast O(bits), shuffle O(hits + fp), never
+    O(corpus grams).
+
+    The filter itself is an engine-owned column-expression Bloom filter
+    (Spark does not expose ``bloom_filter_agg`` as a SQL routine): k
+    double-hashed probe positions (Kirsch-Mitzenmacher, h1 + i*h2 over
+    two ``xxhash64`` seeds), built distributed as a ``bit_or`` packed
+    ``array<long>`` aggregation with one O(n_bits/64) driver collect,
+    probed JVM-side via ``forall`` bit tests against the array literal —
+    whole-stage codegen, no Python anywhere.
+    """
+    def gram_rows(df, out_id):
+        toks = F.split(F.col(text_col), " ")
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(_grams(toks, n))).alias("gram"),
+        )
+
+    bench_grams = benchmark.select(
+        F.explode(
+            F.array_distinct(_grams(F.split(F.col(text_col), " "), n))
+        ).alias("gram")
+    ).distinct()
+
+    n_bits = max(64, int(expected_grams) * int(bits_per_gram))
+    n_words = (n_bits + 63) // 64
+    k = max(1, int(round(0.7 * bits_per_gram)))
+
+    def positions(gram_col):
+        # reduce each hash mod n_bits BEFORE combining: i*h2 on raw
+        # 64-bit hashes overflows under ANSI mode; the double-hash scheme
+        # is equivalent taken mod n_bits throughout
+        h1 = F.pmod(F.xxhash64(gram_col), F.lit(n_bits))
+        h2 = F.pmod(F.xxhash64(gram_col, F.lit(41)), F.lit(n_bits))
+        return [
+            F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)).cast("long")
+            for i in range(k)
+        ]
+
+    # shiftleft takes only a literal shift amount, so single-bit masks
+    # come from a 64-long literal lookup instead (index = pos % 64);
+    # 1<<63 is written in its signed-long form
+    _MASKS = F.lit([(1 << i) if i < 63 else -(1 << 63) for i in range(64)])
+
+    def bit_mask(pos):
+        return F.element_at(_MASKS, (pos % 64).cast("int") + 1)
+
+    # distributed build: every probe position becomes (word, bit mask),
+    # bit_or-folded per word — the exchange carries at most n_words rows
+    sparse = (
+        bench_grams.select(
+            F.explode(F.array(*positions(F.col("gram")))).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            bit_mask(F.col("pos")).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in sparse:
+        words[int(r["word"])] = int(r["bits"])
+    bf = F.lit(words)  # single array<long> literal, ships with the plan
+
+    def might_contain(gram_col):
+        return F.forall(
+            F.array(*positions(gram_col)),
+            lambda pos: (
+                F.element_at(bf, (pos / 64).cast("int") + 1)
+                .bitwiseAND(bit_mask(pos))
+                != 0
+            ),
+        )
+
+    maybe = gram_rows(docs, "doc_id").filter(might_contain(F.col("gram")))
+    hits = (
+        maybe.join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_gram_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_gram_hits", F.lit(0)).alias("n_gram_hits"),
+            F.when(F.coalesce("n_gram_hits", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic stratified sampling
 # --------------------------------------------------------------------------

@@ -496,3 +496,31 @@ def test_kmeans_zero_centroid_guard(spark):
     # the zero vector scores cos 0 against every centroid and takes the
     # lowest label through the tie-break
     assert out[0] == 0
+
+
+def test_decontaminate_bloom_matches_exact(documents):
+    """The Bloom-bounded variant must be EXACT: bit-identical rows to the
+    plain broadcast-join operator (false positives removed by the
+    residual join), while the bloom probe prunes ~all clean grams."""
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.corpus import (
+        decontaminate_ngrams,
+        decontaminate_ngrams_bloom,
+    )
+
+    docs = documents.select("doc_id", "source", "text")
+    bench = docs.filter(F.col("source") == "src0").drop("source")
+    plain = sorted(
+        tuple(r)
+        for r in decontaminate_ngrams(docs, bench, "doc_id", "text", n=4)
+        .collect()
+    )
+    bloom = sorted(
+        tuple(r)
+        for r in decontaminate_ngrams_bloom(
+            docs, bench, "doc_id", "text", n=4, expected_grams=100_000
+        ).collect()
+    )
+    assert bloom == plain
+    assert any(r[2] == 1 for r in bloom)  # benchmark self-hits flagged
