@@ -502,8 +502,14 @@ def verify_edges(
        (`Trigrams.swift:161-177`) admits a distance within budget.  Strings
        are joined in for just this subset.
 
-    At 10^12 rows tier 2 typically touches <1% of candidates, so the verify
-    stage is effectively a JVM-only hash join + array intersect.
+    The tier-2 fraction is THRESHOLD-DEPENDENT (measured at sf0.1 on the
+    dense corpus): 639 of 2.0M candidates (0.03%) under the web_dense
+    profile (min_score 0.9 — the tight q-gram budget closes the gate),
+    but 1.89M of 10.6M (18%) under the recall-oriented default
+    (min_score 0.75, where 3*max_ed approaches the shingle count and the
+    bound admits most band-colliding pairs).  Profile choice, not the
+    kernel, decides whether verify is JVM-bound or Python-bound — size
+    Python worker capacity accordingly when lowering min_score.
     """
     cfg = cfg or DedupConfig()
     thr = float(cfg.min_score)
