@@ -260,3 +260,21 @@ def test_no_python_rdd_probes_in_source():
             if re.search(r"\.rdd\b", line) and not line.lstrip().startswith("#"):
                 offenders.append(f"{p}:{i}: {line.strip()}")
     assert not offenders, offenders
+
+
+def test_bloom_decontamination_is_jvm_only(spark, documents):
+    """The Bloom build and probe must stay in whole-stage codegen — no
+    Python stage anywhere in either plan (the filter is a column
+    expression, not a UDF)."""
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.corpus import decontaminate_ngrams_bloom
+
+    docs = documents.select("doc_id", "source", "text")
+    bench = docs.filter(F.col("source") == "src0").drop("source")
+    out = decontaminate_ngrams_bloom(
+        docs, bench, "doc_id", "text", n=4, expected_grams=100_000
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan          # no Arrow/Batch Python stages
+    assert "PythonUDF" not in plan
