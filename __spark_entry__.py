@@ -497,14 +497,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_ngrams"] = decontaminate_q
 
-    def stratified_q(spark, sf):
-        from fuzzymatch_spark.operators.corpus import stratified_sample
-
-        return stratified_sample(
-            _docs(spark, sf), ["lang", "source"], "doc_id", k=3
+    def splits_sampling_q(spark, sf):
+        # wide doc-grain entry: deterministic hash train/val/test split +
+        # exact-k stratified sample rank (0 = not sampled) in one slot
+        # (the former stratified_sample entry, widened r5)
+        from fuzzymatch_spark.operators.corpus import (
+            split_by_hash,
+            stratified_sample,
         )
 
-    q["stratified_sample"] = stratified_q
+        docs = _docs(spark, sf)
+        splits = split_by_hash(docs, "doc_id")
+        samp = stratified_sample(
+            docs, ["lang", "source"], "doc_id", k=3
+        ).select("doc_id", "sample_rank")
+        return (
+            docs.select("doc_id", "lang", "source")
+            .join(splits, "doc_id")
+            .join(samp, "doc_id", "left")
+            .select(
+                "doc_id", "lang", "source", "split",
+                F.coalesce("sample_rank", F.lit(0)).cast("int")
+                .alias("sample_rank"),
+            )
+        )
+
+    q["corpus_splits_sampling"] = splits_sampling_q
 
     def tfidf_q(spark, sf):
         from fuzzymatch_spark.operators.corpus import tfidf_topk
@@ -516,11 +534,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_topk"] = tfidf_q
 
     def chunk_q(spark, sf):
-        from fuzzymatch_spark.operators.corpus import chunk_documents
-
-        return chunk_documents(
-            _docs(spark, sf), "doc_id", "text", chunk_tokens=32, overlap=8
+        # chunking + concat-and-cut sequence packing in one entry: every
+        # chunk also carries the training bin where it starts when its
+        # source shard is packed at a 128-token budget (r5)
+        from fuzzymatch_spark.operators.corpus import (
+            chunk_documents,
+            pack_chunks,
         )
+
+        docs = _docs(spark, sf)
+        chunks = chunk_documents(
+            docs, "doc_id", "text", chunk_tokens=32, overlap=8
+        ).join(docs.select("doc_id", "source"), "doc_id")
+        return pack_chunks(chunks, ["source"], budget=128)
 
     q["chunk_documents"] = chunk_q
 
@@ -1982,17 +2008,29 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS contaminated
             FROM documents d LEFT JOIN hits USING (doc_id)
         """,
-        "stratified_sample": """
-            SELECT doc_id, lang, source,
-                   CAST(sample_rank AS INT) AS sample_rank
-            FROM (
+        "corpus_splits_sampling": """
+            WITH fr AS (
               SELECT doc_id, lang, source,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 12)) AS BIGINT)
+                       / 281474976710656.0 AS f
+              FROM documents
+            ),
+            ranks AS (
+              SELECT doc_id,
                      row_number() OVER (
                        PARTITION BY lang, source
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                     ) AS sample_rank
+                     ) AS r
               FROM documents
-            ) WHERE sample_rank <= 3
+            )
+            SELECT fr.doc_id, fr.lang, fr.source,
+                   CASE WHEN f < 0.8 THEN 'train'
+                        WHEN f < 0.9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(CASE WHEN r <= 3 THEN r ELSE 0 END AS INT)
+                     AS sample_rank
+            FROM fr JOIN ranks USING (doc_id)
         """,
         "tfidf_topk": """
             WITH tok AS (
@@ -2028,16 +2066,27 @@ def oracle_sql() -> dict[str, str]:
                           ELSE (len(toks) - 32 + 23) // 24 + 1
                      END AS k
               FROM t
+            ),
+            ch AS (
+              SELECT doc_id,
+                     CAST(i AS INT) AS chunk_id,
+                     CAST(i * 24 AS BIGINT) AS start_token,
+                     CAST(len(list_slice(toks, i * 24 + 1, i * 24 + 32))
+                       AS BIGINT) AS n_chunk_tokens,
+                     array_to_string(
+                       list_slice(toks, i * 24 + 1, i * 24 + 32), ' '
+                     ) AS chunk_text
+              FROM c, unnest(range(0, k)) AS r(i)
             )
-            SELECT doc_id,
-                   CAST(i AS INT) AS chunk_id,
-                   CAST(i * 24 AS BIGINT) AS start_token,
-                   CAST(len(list_slice(toks, i * 24 + 1, i * 24 + 32))
-                     AS BIGINT) AS n_chunk_tokens,
-                   array_to_string(
-                     list_slice(toks, i * 24 + 1, i * 24 + 32), ' '
-                   ) AS chunk_text
-            FROM c, unnest(range(0, k)) AS r(i)
+            SELECT ch.doc_id, ch.chunk_id, ch.start_token,
+                   ch.n_chunk_tokens, ch.chunk_text, d.source,
+                   CAST(floor(COALESCE(SUM(ch.n_chunk_tokens) OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5(CAST(ch.doc_id AS VARCHAR)),
+                                ch.doc_id, ch.chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) / 128) AS BIGINT) AS bin_id
+            FROM ch JOIN documents d USING (doc_id)
         """,
         "dedup_pair_eval": f"""
             WITH allrows AS (

@@ -334,6 +334,101 @@ def decontaminate_ngrams_bloom(
     )
 
 
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash — the split
+    every training pipeline needs, as a ZERO-SHUFFLE map.
+
+    The split fraction is the first 12 hex digits of ``md5(str(id))``
+    over 16^12 — bit-identical across engines (same digest text in Spark
+    and DuckDB), so membership is reproducible run-to-run, stable under
+    corpus growth (a doc's split never changes when other docs are added
+    — the property rand()-based splitting lacks), and oracle-checkable.
+    Returns (doc_id, split).
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    if any(w <= 0 for _, w in splits):
+        raise ValueError("split weights must be positive")
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.col(id_col).cast("string").cast("binary")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    frac = h / F.lit(float(16**12))
+    expr = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        # 12-dp rounding keeps each threshold the EXACT double a SQL
+        # literal like 0.9 parses to (0.8 + 0.1 accumulates to
+        # 0.9000000000000001 otherwise) — cross-engine boundary safety
+        cum = round(cum + w, 12)
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = splits[-1][0]
+    split_col = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.select(F.col(id_col).alias("doc_id"), split_col.alias("split"))
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    part_cols: list[str],
+    doc_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    token_col: str = "n_chunk_tokens",
+    budget: int = 128,
+) -> DataFrame:
+    """Concat-and-cut sequence packing: assign every chunk the training
+    bin where it STARTS when chunks are concatenated in a deterministic
+    order and cut every ``budget`` tokens — the standard pretraining
+    packing shape (bin_id = floor(preceding token total / budget)).
+
+    Packing is inherently sequential, so it runs per ``part_cols``
+    partition (writer shards / language / source) — one window shuffle
+    on the partition key, never a global sort: at 100 TB a single global
+    packing order would serialize the job, and per-shard packing is what
+    real pipelines do anyway.  Order within a partition is
+    (md5(doc id), doc id, chunk id): deterministic, engine-portable, and
+    it decorrelates adjacent bins from crawl order.
+
+    Returns the input columns + ``bin_id`` (long).
+    """
+    if not part_cols:
+        raise ValueError(
+            "part_cols is required: packing without a partition key is a "
+            "global sequential sort — pick the writer-shard column(s)"
+        )
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    w = Window.partitionBy(*part_cols).orderBy(
+        F.md5(F.col(doc_col).cast("string").cast("binary")),
+        F.col(doc_col),
+        F.col(chunk_col),
+    )
+    prev = F.coalesce(
+        F.sum(F.col(token_col).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return chunks.withColumn(
+        "bin_id", F.floor(prev / F.lit(budget)).cast("long")
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic stratified sampling
 # --------------------------------------------------------------------------

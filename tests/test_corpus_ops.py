@@ -524,3 +524,67 @@ def test_decontaminate_bloom_matches_exact(documents):
     )
     assert bloom == plain
     assert any(r[2] == 1 for r in bloom)  # benchmark self-hits flagged
+
+
+def test_split_by_hash_deterministic_and_stable(documents):
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.corpus import split_by_hash
+
+    docs = documents.select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in split_by_hash(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in split_by_hash(docs, "doc_id").collect()}
+    assert a == b                                    # deterministic
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.7 < frac_train < 0.9                    # ~weights respected
+    assert set(a.values()) == {"train", "val", "test"}
+    # growth stability: membership doesn't change when the corpus shrinks
+    half = {r["doc_id"]: r["split"]
+            for r in split_by_hash(
+                docs.filter(F.col("doc_id") % 2 == 0), "doc_id"
+            ).collect()}
+    assert all(a[k] == v for k, v in half.items())
+
+
+def test_split_by_hash_validates_weights(documents):
+    import pytest
+
+    from fuzzymatch_spark.operators.corpus import split_by_hash
+
+    docs = documents.select("doc_id")
+    with pytest.raises(ValueError):
+        split_by_hash(docs, "doc_id", (("a", 0.5), ("b", 0.4)))
+    with pytest.raises(ValueError):
+        split_by_hash(docs, "doc_id", (("a", 1.5), ("b", -0.5)))
+
+
+def test_pack_chunks_bins_are_contiguous_budgeted(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.corpus import pack_chunks
+
+    rows = [("s1", i, 0, 30) for i in range(20)] + \
+           [("s2", i, 0, 50) for i in range(7)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, chunk_id int, n_chunk_tokens long"
+    )
+    out = pack_chunks(df, ["source"], budget=100)
+    got = [(r["source"], r["doc_id"], r["bin_id"])
+           for r in out.orderBy("source", "bin_id", "doc_id").collect()]
+    # per-source: bin = floor(preceding cumsum / 100); s1 chunks are 30
+    # tokens -> bins hold starts at 0,30,60,90 | 120.. etc.
+    for src, size, count in (("s1", 30, 20), ("s2", 50, 7)):
+        bins = [b for s, _, b in got if s == src]
+        assert bins == sorted(bins)
+        # reconstruct expected from the definition
+        exp, cum = [], 0
+        for _ in range(count):
+            exp.append(cum // 100)
+            cum += size
+        assert sorted(bins) == sorted(exp)
+    with pytest.raises(ValueError):
+        pack_chunks(df, [], budget=100)
+    with pytest.raises(ValueError):
+        pack_chunks(df, ["source"], budget=0)
