@@ -225,11 +225,20 @@ def minhash_band_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     on the 64-bit band key with triangle-block salting for hot buckets
     (boilerplate captions create mega-buckets; see
     ``_salted_self_join_pairs``).
+
+    The band index is ALREADY folded into the key (``minhash_bands`` hashes
+    ``xxhash64(band_i, slice)``), so the self-join groups on the single
+    64-bit ``key`` — the 4-byte ``band`` column never enters the exchange
+    (same fused-key shape as ``hamming_band_keys(split_band_key=False)``,
+    which measured −30%/−23% join wall at 8/32 cores).  Cross-band bucket
+    merges require an xxhash64 collision — the same (negligible) risk the
+    within-band join already carries, and a collision only ADDS a candidate
+    pair that downstream verification scores anyway; recall is unaffected.
     """
-    bands = minhash_bands(sig_df, cfg)
+    bands = minhash_bands(sig_df, cfg).select("id", "key")
 
     pairs = _salted_self_join_pairs(
-        bands, ["band", "key"], shard_target=cfg.max_bucket_size, seed=cfg.seed
+        bands, ["key"], shard_target=cfg.max_bucket_size, seed=cfg.seed
     )
     return pairs.withColumn("source", F.lit("minhash"))
 
@@ -269,6 +278,14 @@ def hamming_band_keys(
         )
 
     key_width = c * width  # bits of the concatenated-block key
+    n_combos = sum(1 for _ in itertools.combinations(range(m), c))
+    # the fused encoding folds the combo index ABOVE the key bits into one
+    # signed int64 — it must fit (key_width == 64 means a single combo and
+    # nothing to fold, see below)
+    assert key_width >= 64 or (n_combos - 1) << key_width <= (1 << 63) - 1, (
+        f"fused band key overflows int64: {n_combos} combos above "
+        f"{key_width} key bits"
+    )
     combined = []
     for ci, combo in enumerate(itertools.combinations(range(m), c)):
         key = F.lit(0).cast("long")
@@ -288,13 +305,25 @@ def hamming_band_keys(
         F.explode(F.array(*combined)).alias("bk"),
     )
     if split_band_key:
-        key_mask = (1 << key_width) - 1 if key_width < 64 else -1
-        out = out.select(
-            "id",
-            hash_col,
-            F.shiftrightunsigned("bk", key_width).cast("int").alias("band"),
-            F.col("bk").bitwiseAND(F.lit(key_mask)).alias("key"),
-        )
+        if key_width >= 64:
+            # max_hamming == 0 -> a single full-width combo.  JVM long
+            # shifts mask the amount mod 64, so shiftrightunsigned(bk, 64)
+            # would be an identity, NOT 0 — special-case the (band, key)
+            # contract: band is constantly 0, the key IS the hash.
+            out = out.select(
+                "id",
+                hash_col,
+                F.lit(0).alias("band"),
+                F.col("bk").alias("key"),
+            )
+        else:
+            key_mask = (1 << key_width) - 1
+            out = out.select(
+                "id",
+                hash_col,
+                F.shiftrightunsigned("bk", key_width).cast("int").alias("band"),
+                F.col("bk").bitwiseAND(F.lit(key_mask)).alias("key"),
+            )
     return out
 
 

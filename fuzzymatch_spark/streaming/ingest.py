@@ -180,9 +180,13 @@ def make_dedup_sink(
             old_bands = spark.read.parquet(
                 *[f"{bands_dir}/batch={b}" for b in history]
             )
+            # the band index is folded into the 64-bit key
+            # (minhash_bands hashes xxhash64(band_i, slice)), so the
+            # incremental join equi-joins on the single key column — the
+            # band column is pruned from both scans and the exchange
             cross = (
-                new_bands.alias("n")
-                .join(old_bands.alias("o"), on=["band", "key"])
+                new_bands.select("id", "key").alias("n")
+                .join(old_bands.select("id", "key").alias("o"), on=["key"])
                 .filter(F.col("n.id") != F.col("o.id"))
                 .select(
                     F.least("n.id", "o.id").alias("a_id"),

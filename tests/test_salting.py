@@ -34,6 +34,23 @@ def test_multiple_buckets_no_cross_pairs(spark):
     assert len(pairs) == 10 + 10
 
 
+def test_hamming_band_keys_zero_hamming_split_contract(spark):
+    # max_hamming=0 -> c == m, key_width == 64: the JVM masks long shift
+    # amounts mod 64, so the generic split would emit band = low bits of
+    # bk instead of 0 — the special case must keep the documented
+    # (id, hash, band, key) contract: band constantly 0, key == hash.
+    from fuzzymatch_spark.operators.dedup import hamming_band_keys
+
+    rows = [("a", 7), ("b", 7), ("c", -12345678901234567)]
+    df = spark.createDataFrame(rows, "id string, h long")
+    out = hamming_band_keys(df, "id", "h", 8, 0, split_band_key=True).collect()
+    assert len(out) == 3  # single combo per row
+    assert all(r["band"] == 0 for r in out)
+    assert {(r["id"], r["key"]) for r in out} == {
+        ("a", 7), ("b", 7), ("c", -12345678901234567)
+    }
+
+
 def test_over_hard_cap_dropped(spark):
     rows = [(f"x{i}", 0, 7) for i in range(50)]
     bands = spark.createDataFrame(rows, "id string, band int, key long")
