@@ -317,21 +317,64 @@ def label_prop_components(
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
+# Measured star-vs-labelprop crossover (BENCH.md sf1 table): star wins at
+# sf0.1's 948k edges (round latency dominates), labelprop wins 12.5s vs
+# 16.3s at sf1's 9.2M edges (per-round edge reshuffling dominates).  Both
+# are exact; the threshold sits between the two measured regimes.
+LABELPROP_MIN_EDGES = 2_000_000
+
+
+def pick_cc_method(n_edges: int, threshold: int = LABELPROP_MIN_EDGES) -> str:
+    """The auto-selection rule, factored out so it is directly testable:
+    star rounds below the measured crossover, min-label propagation above
+    (iterations ship O(V) labels instead of reshuffling O(E) edges)."""
+    return "labelprop" if n_edges >= threshold else "star"
+
+
 def cluster_assignments(
     verified_edges: DataFrame,
     all_ids: DataFrame,
     id_col: str = "id",
-    method: str = "star",
+    method: str = "auto",
+    labelprop_min_edges: int = LABELPROP_MIN_EDGES,
     **kwargs,
 ) -> DataFrame:
     """Cluster labels for every row: component min for linked nodes,
-    self-label for singletons.  ``method``: 'star' (large/small star —
-    the O(log n)-round general path) or 'labelprop' (low-diameter fast
-    path, exact via star fallback)."""
-    if method == "labelprop":
-        comps = label_prop_components(verified_edges, **kwargs)
-    else:
-        comps = connected_components(verified_edges, **kwargs)
+    self-label for singletons.
+
+    ``method``: 'auto' (default) counts the candidate edges and picks the
+    strategy from the measured crossover — a user running the pipeline at
+    an unknown scale gets the regime winner without a flag; 'star'
+    (large/small star — the O(log n)-round general path) or 'labelprop'
+    (low-diameter fast path, exact via star fallback) force a strategy.
+
+    Auto mode persists the narrow (a_id, b_id) projection before counting
+    so the decision never re-executes the caller's candidate-generation
+    DAG: both CC strategies iterate over the edges anyway (and cut their
+    lineage with per-round checkpoints), so the persist is reused by the
+    first round and released before returning.  Output labels are
+    identical for every method on every input (min id of a component is
+    unique), so the choice is purely a performance decision.
+    """
+    persisted = None
+    if method == "auto":
+        from pyspark import StorageLevel
+
+        persisted = verified_edges.select(
+            kwargs.get("a_col", "a_id"), kwargs.get("b_col", "b_id")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        method = pick_cc_method(persisted.count(), labelprop_min_edges)
+        verified_edges = persisted
+    try:
+        if method == "labelprop":
+            comps = label_prop_components(verified_edges, **kwargs)
+        else:
+            comps = connected_components(verified_edges, **kwargs)
+    finally:
+        # both strategies have materialized their per-round checkpoints by
+        # the time they return, so the input projection is no longer needed
+        if persisted is not None:
+            persisted.unpersist()
     return (
         all_ids.select(F.col(id_col).alias("node"))
         .join(comps, on="node", how="left")

@@ -44,7 +44,10 @@ def build_corpus(spark):
         rot = alpha[r:] + alpha[:r]
         parts.append(
             docs.select(
-                (F.col("doc_id") * 16 + F.lit(r)).alias("doc_id"),
+                # doc_id * REPS + r keeps ids injective for ANY rep count
+                # (doc_id * 16 collided rep r with rep r-16 of doc_id+1
+                # whenever REPS > 16, silently merging corpus copies)
+                (F.col("doc_id") * REPS + F.lit(r)).alias("doc_id"),
                 F.translate("text", alpha, rot).alias("text"),
             )
         )
@@ -109,6 +112,8 @@ def main() -> None:
     variants = (
         ("plain", {"precontract": False}),
         ("labelprop", {"method": "labelprop"}),
+        # default method="auto" must pick labelprop at sf1's ~9M edges
+        ("auto", {"method": "auto"}),
     )
     results: dict[str, list[dict]] = {name: [] for name, _ in variants}
     label_sets = {}
@@ -123,26 +128,26 @@ def main() -> None:
                 clusters.unpersist()
             print(f"round={rnd} {name}: {stats}", flush=True)
 
-    # label-identical assertion between the two variants (exact rows)
-    a, b = label_sets["plain"], label_sets["labelprop"]
-    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
-    print(json.dumps({
+    # label-identical assertion across ALL variants (exact rows)
+    a = label_sets["plain"]
+    diff = 0
+    for name in label_sets:
+        if name == "plain":
+            continue
+        b = label_sets[name]
+        diff += a.exceptAll(b).count() + b.exceptAll(a).count()
+    out = {
         "sf": 1.0,
         "reps": REPS,
         "cores": CORES,
         "label_diff_rows": diff,
-        "plain": results["plain"],
-        "labelprop": results["labelprop"],
-        "min_total_plain": min(s["wall_total"] for s in results["plain"]),
-        "min_total_labelprop": min(
-            s["wall_total"] for s in results["labelprop"]
-        ),
-        "min_cc_plain": min(s["wall_cc"] for s in results["plain"]),
-        "min_cc_labelprop": min(
-            s["wall_cc"] for s in results["labelprop"]
-        ),
-    }), flush=True)
-    assert diff == 0, "labelprop changed labels!"
+    }
+    for name, _ in variants:
+        out[name] = results[name]
+        out[f"min_total_{name}"] = min(s["wall_total"] for s in results[name])
+        out[f"min_cc_{name}"] = min(s["wall_cc"] for s in results[name])
+    print(json.dumps(out), flush=True)
+    assert diff == 0, "CC variants disagree on labels!"
     spark.stop()
 
 

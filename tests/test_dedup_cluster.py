@@ -336,3 +336,36 @@ def test_cluster_assignments_labelprop_method(spark):
                cluster_assignments(edges, ids, id_col="id",
                                    method="labelprop").collect())
     assert a == b
+
+
+def test_cluster_assignments_auto_selection(spark):
+    """Auto mode picks the regime from the measured crossover (star below,
+    labelprop above) and is label-identical either way."""
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.cluster import (
+        cluster_assignments,
+        pick_cc_method,
+    )
+
+    # the decision rule itself, at the measured crossover
+    assert pick_cc_method(948_000) == "star"  # sf0.1 regime
+    assert pick_cc_method(9_200_000) == "labelprop"  # sf1 regime
+    assert pick_cc_method(2_000_000) == "labelprop"  # threshold inclusive
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 5)], "a_id long, b_id long"
+    )
+    ids = spark.range(12).select(F.col("id"))
+    star = sorted(tuple(r) for r in
+                  cluster_assignments(edges, ids, id_col="id",
+                                      method="star").collect())
+    # default threshold: 4 edges -> star path
+    auto = sorted(tuple(r) for r in
+                  cluster_assignments(edges, ids, id_col="id").collect())
+    assert auto == star
+    # threshold 1: auto routes through labelprop, labels identical
+    auto_lp = sorted(tuple(r) for r in
+                     cluster_assignments(edges, ids, id_col="id",
+                                         labelprop_min_edges=1).collect())
+    assert auto_lp == star
