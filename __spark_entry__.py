@@ -1368,14 +1368,24 @@ _KMEANS_CTES_TMPL = """nums AS (SELECT unnest(range(1, 65)) AS i),
               WHERE vec_id < 8
             ),
             p0 AS (
+              -- zero-norm convention mirrors operators/ann.py
+              -- _assign_labeled: a zero vector or zero centroid pins
+              -- cos := 0 (not NULL/NaN), so both engines agree by
+              -- construction on degenerate inputs
               SELECT e.vec_id, c.cid,
+                     CASE WHEN sum(CAST(e.embedding[n.i] AS DOUBLE)
+                                   * CAST(e.embedding[n.i] AS DOUBLE)) = 0
+                            OR sum(CAST(c.embedding[n.i] AS DOUBLE)
+                                   * CAST(c.embedding[n.i] AS DOUBLE)) = 0
+                          THEN 0.0
+                          ELSE
                      round(sum(CAST(e.embedding[n.i] AS DOUBLE)
                                * CAST(c.embedding[n.i] AS DOUBLE))
                            / (sqrt(sum(CAST(e.embedding[n.i] AS DOUBLE)
                                        * CAST(e.embedding[n.i] AS DOUBLE)))
                               * sqrt(sum(CAST(c.embedding[n.i] AS DOUBLE)
                                          * CAST(c.embedding[n.i] AS DOUBLE)))),
-                           6) AS cos
+                           6) END AS cos
               FROM __SRC__ e, cents0 c, nums n
               WHERE n.i <= len(e.embedding)
               GROUP BY e.vec_id, c.cid
@@ -1398,11 +1408,17 @@ _KMEANS_CTES_TMPL = """nums AS (SELECT unnest(range(1, 65)) AS i),
               GROUP BY a0.cell, n.i
             ),
             p1 AS (
+              -- same zero-norm convention as p0 (cos := 0)
               SELECT e.vec_id, c1.cid,
+                     CASE WHEN sum(CAST(e.embedding[c1.dim] AS DOUBLE)
+                                   * CAST(e.embedding[c1.dim] AS DOUBLE)) = 0
+                            OR sum(c1.v * c1.v) = 0
+                          THEN 0.0
+                          ELSE
                      round(sum(CAST(e.embedding[c1.dim] AS DOUBLE) * c1.v)
                            / (sqrt(sum(CAST(e.embedding[c1.dim] AS DOUBLE)
                                        * CAST(e.embedding[c1.dim] AS DOUBLE)))
-                              * sqrt(sum(c1.v * c1.v))), 6) AS cos
+                              * sqrt(sum(c1.v * c1.v))), 6) END AS cos
               FROM __SRC__ e, c1
               WHERE c1.dim <= len(e.embedding)
               GROUP BY e.vec_id, c1.cid
