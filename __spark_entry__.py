@@ -271,37 +271,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_prefix_pairs"] = jaccard_prefix_pairs
 
     def dedup_clusters(spark, sf):
-        # method="labelprop" puts the r5 min-label-propagation CC strategy
-        # under the driver's oracle (the recursive-CTE oracle is
-        # engine-independent, so it checks either strategy); the star
-        # rounds stay driver-covered via dedup_canonical_corpus,
-        # corpus_curation_pipeline and multimodal_dedup_clusters_relational
-        sig = _sig(spark, sf).persist()
-        edges = ngram_jaccard_pairs(sig, threshold_pct=JACCARD_PCT)
-        ids = sig.select(F.col("id").alias("doc_id"))
-        return cluster_assignments(
-            edges, ids, id_col="doc_id", method="labelprop"
-        ).select(
-            "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
-        )
-
-    q["dedup_clusters"] = dedup_clusters
-
-    def dedup_canonical(spark, sf):
-        # the pipeline's END PRODUCT: corpus filtered to one representative
-        # per duplicate cluster (survivor = row whose id == cluster min)
+        # WIDENED grain (r6, oracle-slot consolidation): per-doc cluster
+        # label + survivor flag + n_chars — absorbs the former
+        # dedup_canonical_corpus entry, whose survivor selection is still
+        # exercised THROUGH canonical_corpus (the flag comes from its
+        # output, not a re-derivation).  method="labelprop" keeps the
+        # min-label-propagation CC strategy under the driver's oracle (the
+        # recursive-CTE oracle is engine-independent, so it checks either
+        # strategy); the star rounds stay driver-covered via
+        # corpus_curation_pipeline and multimodal_dedup_clusters_relational.
         from fuzzymatch_spark.operators.cluster import canonical_corpus
 
         sig = _sig(spark, sf).persist()
         edges = ngram_jaccard_pairs(sig, threshold_pct=JACCARD_PCT)
         ids = sig.select(F.col("id").alias("doc_id"))
-        clusters = cluster_assignments(edges, ids, id_col="doc_id")
+        clusters = cluster_assignments(
+            edges, ids, id_col="doc_id", method="labelprop"
+        )
         docs = _docs(spark, sf).select(
             "doc_id", F.length("text").cast("long").alias("n_chars")
         )
-        return canonical_corpus(docs, clusters)
+        canon = canonical_corpus(docs, clusters).select(
+            "doc_id", F.lit(1).alias("_surv")
+        )
+        return (
+            clusters.join(docs, "doc_id")
+            .join(canon, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("cluster_id").cast("long").alias("cluster_id"),
+                F.coalesce(F.col("_surv"), F.lit(0)).cast("long")
+                .alias("is_survivor"),
+                "n_chars",
+            )
+        )
 
-    q["dedup_canonical_corpus"] = dedup_canonical
+    q["dedup_clusters"] = dedup_clusters
 
     def dedup_cluster_stats(spark, sf):
         # the dedup REPORT: duplicate-cluster size distribution over the
@@ -1191,16 +1196,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q3_topk"] = tpch_q3
 
-    def events_user_agg(spark, sf):
+    def events_user_profile(spark, sf):
+        # ONE user-grain entry (r6, oracle-slot consolidation): per-user
+        # aggregates (the former events_user_agg) + session-gap window
+        # counts (the former events_session_gaps) over the same groupBy —
+        # identical column coverage, one driver CORRECTNESS slot
+        from pyspark.sql import Window
+
         ev = spark.read.parquet(f"{sf}/events.parquet")
-        return ev.groupBy("user_id").agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4)
-            .alias("sum_value"),
-            F.countDistinct("event_type").cast("long").alias("n_types"),
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ep = F.col("ts").cast("timestamp").cast("long")
+        gap = ep - F.lag(ep).over(w)
+        return (
+            ev.withColumn("gap_s", gap)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
+                ).alias("sum_value"),
+                F.countDistinct("event_type").cast("long").alias("n_types"),
+                F.sum((F.col("gap_s") > 3600).cast("int")).cast("long")
+                .alias("n_session_breaks"),
+            )
         )
 
-    q["events_user_agg"] = events_user_agg
+    q["events_user_profile"] = events_user_profile
 
     def broadcast_dim_join(spark, sf):
         sup = spark.read.parquet(f"{sf}/supplier.parquet")
@@ -1235,25 +1256,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["part_topk_by_brand"] = part_topk_by_brand
-
-    def events_session_gaps(spark, sf):
-        from pyspark.sql import Window
-
-        ev = spark.read.parquet(f"{sf}/events.parquet")
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        ep = F.col("ts").cast("timestamp").cast("long")
-        gap = ep - F.lag(ep).over(w)
-        return (
-            ev.withColumn("gap_s", gap)
-            .groupBy("user_id")
-            .agg(
-                F.count("*").cast("long").alias("n_events"),
-                F.sum((F.col("gap_s") > 3600).cast("int")).cast("long")
-                .alias("n_session_breaks"),
-            )
-        )
-
-    q["events_session_gaps"] = events_session_gaps
 
     def events_topk_per_user(spark, sf):
         from pyspark.sql import Window
@@ -1769,11 +1771,19 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT w.u, e.v FROM walk w JOIN bi e ON w.v = e.u
             ),
-            mins AS (SELECT u, min(v) AS m FROM walk GROUP BY u)
-            SELECT d.doc_id,
-                   CAST(COALESCE(least(d.doc_id, r.m), d.doc_id) AS BIGINT)
-                     AS cluster_id
-            FROM documents d LEFT JOIN mins r ON r.u = d.doc_id
+            mins AS (SELECT u, min(v) AS m FROM walk GROUP BY u),
+            labels AS (
+              SELECT d.doc_id,
+                     COALESCE(least(d.doc_id, r.m), d.doc_id) AS cluster_id,
+                     CAST(len(d.text) AS BIGINT) AS n_chars
+              FROM documents d LEFT JOIN mins r ON r.u = d.doc_id
+            )
+            SELECT doc_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_survivor,
+                   n_chars
+            FROM labels
         """,
         "dedup_cluster_stats": "WITH RECURSIVE " + f"""
             {_JACCARD_EDGES_BODY},
@@ -1800,22 +1810,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_clusters,
                    CAST(sum(cluster_size) AS BIGINT) AS n_docs
             FROM csizes GROUP BY cluster_size
-        """,
-        "dedup_canonical_corpus": "WITH RECURSIVE " + f"""
-            {_JACCARD_EDGES_BODY},
-            bi AS (
-              SELECT a_id AS u, b_id AS v FROM edges
-              UNION SELECT b_id, a_id FROM edges
-            ),
-            walk(u, v) AS (
-              SELECT u, v FROM bi
-              UNION
-              SELECT w.u, e.v FROM walk w JOIN bi e ON w.v = e.u
-            ),
-            mins AS (SELECT u, min(v) AS m FROM walk GROUP BY u)
-            SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars
-            FROM documents d LEFT JOIN mins r ON r.u = d.doc_id
-            WHERE COALESCE(least(d.doc_id, r.m), d.doc_id) = d.doc_id
         """,
         "exact_dup_star_edges": """
             WITH allrows AS (
@@ -2673,26 +2667,21 @@ def oracle_sql() -> dict[str, str]:
               FROM part
             ) WHERE rn <= 2
         """,
-        "events_session_gaps": """
+        "events_user_profile": """
             WITH g AS (
-              SELECT user_id, event_id,
+              SELECT user_id, event_id, value, event_type,
                      epoch(ts) - lag(epoch(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
               FROM events
             )
             SELECT user_id,
                    CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+                     AS sum_value,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
                    CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_session_breaks
             FROM g GROUP BY user_id
-        """,
-        "events_user_agg": """
-            SELECT user_id,
-                   CAST(count(*) AS BIGINT) AS n_events,
-                   round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
-                     AS sum_value,
-                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
-            FROM events GROUP BY user_id
         """,
         "cosine_dup_pairs": """
             WITH allv AS (
