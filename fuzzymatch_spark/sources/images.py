@@ -4,20 +4,24 @@
     images(image_id string, bytes binary, w int, h int, fmt string,
            caption string, phash long)
 
-STUB NOTICE — real image codecs (libjpeg/PIL/opencv) are NOT available in
-this environment.  ``encode_image``/``decode_image`` implement a
-deterministic stand-in codec with the *same contract* a real codec has:
+CODEC STATUS:
 
-* fmt='png'  : lossless (zlib over raw pixels) — decoded pixels are
-  byte-exact (PSNR = inf).
-* fmt='jpeg' : lossy (uniform quantization with a quality-derived step,
-  then zlib) — decoded pixels satisfy PSNR >= 40 dB for quality >= 85,
-  matching the input_hint's per-row invariant.
+* fmt='png'  : REAL — a pure-stdlib PNG codec (``sources/png.py``:
+  zlib deflate, adaptive scanline filtering, full filter-type 0-4
+  reconstruction, CRC-checked chunks).  Bytes are standard PNG any
+  decoder can read; decoded pixels are byte-exact (PSNR = inf).
+* fmt='jpeg' : STUB — libjpeg/PIL are not available in this
+  environment, so a deterministic stand-in (uniform quantization with
+  a quality-derived step, then zlib in an FJPG container) keeps the
+  lossy contract: decoded pixels satisfy PSNR >= 40 dB for
+  quality >= 85, matching the input_hint's per-row invariant.  Real
+  JPEG bytes decode through Pillow when it is installed.
 
 All Spark-side plumbing — binary column schema, Arrow batch shape,
 ``mapInPandas`` decode, the ``phash_from_bytes`` pandas UDF, partitioning —
-is real and tested; swapping in PIL is a two-line change inside
-``decode_image``/``encode_image`` (guarded by the import-try below).
+is real and tested; swapping in PIL for the lossy leg is a two-line
+change inside ``decode_image``/``encode_image`` (guarded by the
+import-try below).
 """
 
 from __future__ import annotations
@@ -33,6 +37,12 @@ from pyspark.sql.types import LongType
 
 from fuzzymatch_spark.kernels.phash import phash64
 from fuzzymatch_spark.plans.parallelism import ensure_min_partitions
+from fuzzymatch_spark.sources.png import (
+    PNG_SIGNATURE,
+    png_decode,
+    png_encode,
+    rgb_to_grey,
+)
 
 try:  # pragma: no cover - not present in this container
     from PIL import Image  # noqa: F401
@@ -51,10 +61,11 @@ def _quant_step(quality: int) -> int:
 
 
 def encode_image(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
-    """Encode a 2-D uint8 grayscale array. See STUB NOTICE above."""
-    h, w = pixels.shape
+    """Encode a uint8 grayscale (h,w) or RGB (h,w,3) array.  PNG output
+    is real standard PNG (see CODEC STATUS above); JPEG is the stub."""
     if fmt == "png":
-        return _MAGIC_PNG + struct.pack("<HH", w, h) + zlib.compress(pixels.tobytes(), 6)
+        return png_encode(pixels)
+    h, w = pixels.shape
     if fmt == "jpeg":
         step = _quant_step(quality)
         q = (pixels.astype(np.int32) // step) * step + step // 2
@@ -70,11 +81,16 @@ def encode_image(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
 def decode_image(data: bytes) -> np.ndarray:
     """Decode to a 2-D uint8 grayscale array. See STUB NOTICE above.
 
-    Containers the stand-in codec wrote decode byte-exactly; anything else
-    (real PNG/JPEG/WebP bytes) falls through to Pillow when it is
-    installed — that IS the production swap-in path, and it needs no code
-    change beyond `pip install pillow` (exercised by a mocked-PIL test in
-    tests/test_images_phash.py since the real library is absent here)."""
+    Real PNG bytes (from this codec or any conforming encoder) decode via
+    the pure-stdlib decoder in ``sources/png.py``; RGB PNGs are converted
+    to luma like Pillow's ``convert('L')``.  Legacy FPNG/FJPG stand-in
+    containers still decode byte-exactly.  Anything else (real JPEG/WebP
+    bytes) falls through to Pillow when it is installed — that swap-in
+    path needs no code change beyond `pip install pillow` (exercised by a
+    mocked-PIL test in tests/test_images_phash.py since the real library
+    is absent here)."""
+    if data[:8] == PNG_SIGNATURE:
+        return rgb_to_grey(png_decode(data))
     magic = data[:4]
     if magic == _MAGIC_PNG:
         w, h = struct.unpack("<HH", data[4:8])
@@ -91,7 +107,9 @@ def decode_image(data: bytes) -> np.ndarray:
 
         img = Image.open(io.BytesIO(data)).convert("L")
         return np.asarray(img, dtype=np.uint8)
-    raise NotImplementedError("unknown image container (real codecs stubbed)")
+    raise NotImplementedError(
+        "unknown image container (PNG decodes natively; lossy codecs need Pillow)"
+    )
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -142,18 +142,19 @@ def test_real_decoder_branch_via_mocked_pil(monkeypatch):
     )
     monkeypatch.setattr(images, "HAVE_PIL", True)
 
-    # real-world magic (PNG header), unknown to the stand-in codec
-    out = images.decode_image(b"\x89PNG\r\n\x1a\n...payload...")
+    # real-world lossy magic (JPEG SOI), unknown to the native codecs
+    out = images.decode_image(b"\xff\xd8\xff\xe0...payload...")
     assert out.dtype == np.uint8 and out.shape == (48, 48)
     assert np.array_equal(out, want)
     assert isinstance(phash64(out), int)
 
-    # and with PIL absent, unknown containers still fail loudly
+    # and with PIL absent, unknown lossy containers still fail loudly
+    # (PNG no longer hits this path — it decodes natively)
     monkeypatch.setattr(images, "HAVE_PIL", False)
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        images.decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+        images.decode_image(b"\xff\xd8\xff\xe0xxxx")
 
 
 def test_real_codec_roundtrip_when_pil_available():
