@@ -178,6 +178,25 @@ class DedupConfig:
     # MinHash under-covers.
     simhash_candidates: bool = False
     max_bucket_size: int = 2000  # salt/cap hot LSH buckets beyond this
+    # Density-adaptive control for the pHash Hamming edge stage: keep at
+    # most this many nearest neighbors (by Hamming distance, ties by id)
+    # per image; an edge survives if EITHER endpoint ranks it within the
+    # cap.  Bounds edge volume to cap*N — linear in corpus size — where a
+    # fixed radius grows quadratically on background near-collisions
+    # (measured ×7.1 edges for ×4 images at radius 6, BENCH.md).  Planted
+    # twins are their own nearest neighbors, so recall is unaffected at
+    # any sane cap.  None = pure radius semantics (the oracle default —
+    # `phash_hamming_pairs` stays hash-exact).
+    phash_degree_cap: int | None = None
+    # Tier-2 verify threshold on an independent digest (dhash64), active
+    # when phash_band_edges(verify_col=...) names a stored digest column.
+    # Measured on the synth corpus (histogram over all tier-1 pairs at
+    # 400k AND 1.6M images): planted twins (same pixels, lossy re-encode)
+    # max out at dHash distance 4; random pHash near-collisions center
+    # ~32 bits and only 9,139 of 462k fall <= 8 at 1.6M.  At 8 the edge
+    # growth for x4 images drops from the uncapped x7.12 to x4.08 —
+    # essentially linear — with twin recall 1.0 at both scales.
+    phash_verify_max_hamming: int = 8
     suffix_min_run: int = 20  # min shared-substring length for suffix stage
     seed: int = 42
 

@@ -64,5 +64,39 @@ def phash64(pixels: np.ndarray) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash: area-average resample to 8x9, bit k set
+    where block (r, c) is brighter than block (r, c+1) — row-wise
+    gradients, 8 rows x 8 comparisons (signed int).
+
+    Statistically INDEPENDENT of ``phash64`` on distinct images (spatial
+    gradients vs DCT low-frequency signs), which is the property the
+    tier-2 verify in ``phash_band_edges`` relies on: a genuine duplicate
+    (same pixels, lossy re-encode) stays close in BOTH digests, while a
+    random pHash near-collision has ~32-bit dHash distance and is killed.
+    """
+    h, w = pixels.shape
+    n_r, n_c = 8, 9
+    ys = (np.arange(n_r + 1) * h // n_r).astype(np.int64)
+    xs = (np.arange(n_c + 1) * w // n_c).astype(np.int64)
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(pixels.astype(np.float64), axis=0), axis=1)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    y1 = np.minimum(y1, h)
+    x1 = np.minimum(x1, w)
+    sums = (
+        ii[y1[:, None], x1[None, :]]
+        - ii[y0[:, None], x1[None, :]]
+        - ii[y1[:, None], x0[None, :]]
+        + ii[y0[:, None], x0[None, :]]
+    )
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    grid = sums / areas  # 8 x 9 block means
+    bits = (grid[:, :-1] > grid[:, 1:]).astype(np.uint64).flatten()
+    out = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

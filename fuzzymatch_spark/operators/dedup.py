@@ -28,7 +28,7 @@ Scale notes (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from fuzzymatch_spark.config import DedupConfig
 from fuzzymatch_spark.functions.udfs import make_dl_udf, make_signature_udf
@@ -250,6 +250,7 @@ def hamming_band_keys(
     n_bands: int,
     max_hamming: int,
     split_band_key: bool = True,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, hash, band, key) Manku combination-key decomposition of a
     64-bit hash column — the shared banding for the batch self-join and
@@ -299,9 +300,11 @@ def hamming_band_keys(
             key = key.bitwiseOR(F.lit(ci << key_width).cast("long"))
         combined.append(key)
 
+    carry = list(carry_cols or [])
     out = df.select(
         F.col(id_col).alias("id"),
         F.col(hash_col),
+        *carry,
         F.explode(F.array(*combined)).alias("bk"),
     )
     if split_band_key:
@@ -313,6 +316,7 @@ def hamming_band_keys(
             out = out.select(
                 "id",
                 hash_col,
+                *carry,
                 F.lit(0).alias("band"),
                 F.col("bk").alias("key"),
             )
@@ -321,10 +325,63 @@ def hamming_band_keys(
             out = out.select(
                 "id",
                 hash_col,
+                *carry,
                 F.shiftrightunsigned("bk", key_width).cast("int").alias("band"),
                 F.col("bk").bitwiseAND(F.lit(key_mask)).alias("key"),
             )
     return out
+
+
+def degree_cap_edges(
+    edges: DataFrame, cap: int, dist_col: str = "dist"
+) -> DataFrame:
+    """Sparsify an undirected similarity-edge set to each node's ``cap``
+    nearest neighbors (by ``dist_col`` ascending, ties by neighbor id); an
+    edge survives if EITHER endpoint ranks it inside its cap — the
+    union-of-kNN graph.
+
+    This is the density-adaptive scale control for fixed-radius Hamming
+    joins: a radius that is right for twin recall admits quadratically
+    growing background pairs as the corpus grows (birthday effect on
+    structured hashes — measured ×7.1 edges for ×4 images at radius 6,
+    BENCH.md sf1 image row), while the capped graph is ≤ cap·N edges by
+    construction.  Genuine duplicates are each other's nearest neighbors,
+    so they out-rank background pairs and survive; connectivity of
+    duplicate groups is preserved because every member keeps its closest
+    ``cap`` peers (ties broken deterministically by id).
+
+    Scope: this control linearizes the DENSE regime — true-dup cliques
+    (boilerplate / black images) whose members all pass any verify tier.
+    It does NOT bind on DIFFUSE background growth (measured: 782,033 of
+    782,048 edges survive cap=8 at 1.6M images, because mean degree is
+    ~1) — that regime is handled by the independent-digest tier-2 verify
+    (``phash_verify_max_hamming``), and the two compose.
+
+    Cost: one window sort over the DIRECTED edge list partitioned by node
+    (2·E rows — edge-set scale, far below corpus scale); survivors are
+    re-emitted from the directed list itself (all edge columns ride
+    along), so the input is referenced twice, never three times — callers
+    with an expensive upstream should persist/checkpoint it first
+    (``_hamming_band_edges`` does).
+    """
+    if cap < 1:
+        raise ValueError(f"degree cap must be >= 1, got {cap}")
+    fwd = edges.withColumn("node", F.col("a_id")).withColumn(
+        "other", F.col("b_id")
+    )
+    rev = edges.withColumn("node", F.col("b_id")).withColumn(
+        "other", F.col("a_id")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col(dist_col).asc(), F.col("other").asc()
+    )
+    return (
+        fwd.unionByName(rev)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("node", "other", "rn")
+        .dropDuplicates(["a_id", "b_id"])
+    )
 
 
 def _hamming_band_edges(
@@ -335,6 +392,8 @@ def _hamming_band_edges(
     max_hamming: int,
     source: str,
     max_bucket_size: int = 100_000,
+    degree_cap: int | None = None,
+    verify2: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Hamming similarity equi-join with guaranteed recall
     (Manku/Jain/Sarma-style permute-and-split, WWW'07 simhash dedup).
@@ -349,10 +408,21 @@ def _hamming_band_edges(
     size scales as |D| / 2^(64/m)).
 
     Verification is JVM-side ``bit_count(a ^ b) <= k`` — no Python.
+
+    ``verify2=(col, k2)`` adds a SECOND-tier verify on an independent
+    stored digest column: survivors must also satisfy
+    ``bit_count(a.col ^ b.col) <= k2``.  The 8-byte digest rides the same
+    bucket struct (no extra join, no extra exchange) — this is the
+    density control for DIFFUSE background growth at fixed radius: random
+    tier-1 near-collisions have ~32-bit distance on an independent digest
+    and die, so background edge volume goes from quadratic to ~zero while
+    true duplicates (close in every pixel-derived digest) keep passing.
     """
     k = min(max_hamming, n_bands - 1)
+    v2_col, v2_k = verify2 if verify2 is not None else (None, None)
     bands = hamming_band_keys(
-        df, id_col, hash_col, n_bands, max_hamming, split_band_key=False
+        df, id_col, hash_col, n_bands, max_hamming, split_band_key=False,
+        carry_cols=[v2_col] if v2_col else None,
     )
 
     # Pair generation: ONE exchange (groupBy band,key) collecting each
@@ -369,25 +439,46 @@ def _hamming_band_edges(
     # (A canonical-bucket emission that avoids the final dropDuplicates was
     # measured at parity on wall time but loses pairs whose canonical
     # bucket is cap-dropped — rejected; the pair-dedup exchange is tiny.)
+    member_cols = ["id", hash_col] + ([v2_col] if v2_col else [])
     grouped = (
         bands.groupBy("bk")
-        .agg(F.collect_list(F.struct("id", hash_col)).alias("ms"))
+        .agg(F.collect_list(F.struct(*member_cols)).alias("ms"))
         .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
     )
-    return (
+    pairs = (
         grouped.select(F.explode("ms").alias("a"), "ms")
         .select("a", F.explode("ms").alias("b"))
         .filter(F.col("a.id") < F.col("b.id"))
-        .filter(
+        .withColumn(
+            "dist",
             F.bit_count(
                 F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
-            )
-            <= F.lit(k)
+            ),
         )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-        .withColumn("source", F.lit(source))
+        .filter(F.col("dist") <= F.lit(k))
     )
+    if v2_col:
+        pairs = pairs.filter(
+            F.bit_count(
+                F.col(f"a.{v2_col}").bitwiseXOR(F.col(f"b.{v2_col}"))
+            )
+            <= F.lit(v2_k)
+        )
+    pairs = (
+        pairs.select(
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), "dist"
+        )
+        # dist is a pure function of the pair's two hashes, so keeping it
+        # through the pair-dedup stays deterministic across band buckets
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    if degree_cap is not None:
+        # the capped pass reads the edge set twice (forward + reverse
+        # direction); cut the lineage so the band join runs ONCE
+        pairs = degree_cap_edges(
+            pairs.localCheckpoint(eager=False), degree_cap, "dist"
+        )
+    return pairs.drop("dist").withColumn("source", F.lit(source))
 
 
 def simhash_band_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -401,13 +492,27 @@ def simhash_band_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def phash_band_edges(
     images_df: DataFrame, cfg: DedupConfig, id_col: str = "image_id",
-    phash_col: str = "phash",
+    phash_col: str = "phash", verify_col: str | None = None,
 ) -> DataFrame:
     """8 blocks, c = 8-k block combos per key: guaranteed recall for
-    Hamming <= cfg.phash_max_hamming (default 6 -> C(8,2)=28 16-bit keys)."""
+    Hamming <= cfg.phash_max_hamming (default 6 -> C(8,2)=28 16-bit keys).
+
+    Two composable density controls for the fixed-radius scale problem
+    (background edges measured ×7.1 for ×4 images, BENCH.md):
+
+    * ``verify_col`` — an independent stored digest column (``dhash64``);
+      pairs must also be within ``cfg.phash_verify_max_hamming`` on it.
+      Kills DIFFUSE random near-collisions (the dominant regime).
+    * ``cfg.phash_degree_cap`` — nearest-neighbor sparsification; bounds
+      DENSE true-dup cliques that pass every digest (boilerplate).
+
+    Both default off: the bare radius semantics stay the oracle path
+    (`phash_hamming_pairs` hash-exact)."""
     return _hamming_band_edges(
         images_df, id_col, phash_col, 8, cfg.phash_max_hamming, "phash",
-        cfg.max_bucket_size,
+        cfg.max_bucket_size, degree_cap=cfg.phash_degree_cap,
+        verify2=(verify_col, cfg.phash_verify_max_hamming)
+        if verify_col else None,
     )
 
 

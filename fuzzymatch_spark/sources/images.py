@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType
 
-from fuzzymatch_spark.kernels.phash import phash64
+from fuzzymatch_spark.kernels.phash import dhash64, phash64
 from fuzzymatch_spark.plans.parallelism import ensure_min_partitions
 from fuzzymatch_spark.sources.png import (
     PNG_SIGNATURE,
@@ -133,7 +133,9 @@ def synth_pixels(image_id: str, w: int = 48, h: int = 48) -> np.ndarray:
 def _iter_images(rid: str, caption, seed: int, dup_fraction: float):
     """Deterministic per-doc image rows (+ optional near-dup twin): the
     single source of truth for both the full images table and the
-    signature-only extraction, so their pHashes agree bit-for-bit."""
+    signature-only extraction, so their pHashes agree bit-for-bit.  The
+    8th tuple slot is the tier-2 dHash digest — consumers of the 7-column
+    input_hint schema simply ignore it."""
     px = synth_pixels(rid)
     h0, w0 = px.shape
     rng = np.random.RandomState(
@@ -144,13 +146,18 @@ def _iter_images(rid: str, caption, seed: int, dup_fraction: float):
     )
     fmt = "png" if rng.rand() < 0.5 else "jpeg"
     data = encode_image(px, fmt, quality=95)
-    ph = phash64(decode_image(data))
-    yield (f"img_{rid}", data, w0, h0, fmt, caption, ph)
+    decoded = decode_image(data)
+    ph = phash64(decoded)
+    yield (f"img_{rid}", data, w0, h0, fmt, caption, ph, dhash64(decoded))
     if rng.rand() < dup_fraction:
         # near-dup twin: same pixels, lossy re-encode
         data2 = encode_image(px, "jpeg", quality=85)
-        ph2 = phash64(decode_image(data2))
-        yield (f"img_{rid}_dup", data2, w0, h0, "jpeg", caption, ph2)
+        decoded2 = decode_image(data2)
+        ph2 = phash64(decoded2)
+        yield (
+            f"img_{rid}_dup", data2, w0, h0, "jpeg", caption, ph2,
+            dhash64(decoded2),
+        )
 
 
 def build_images_df(
@@ -192,6 +199,7 @@ def build_phash_df(
     caption_col: str = "text",
     dup_fraction: float = 0.25,
     seed: int = 42,
+    with_dhash: bool = False,
 ) -> DataFrame:
     """Signature-only extraction: the SAME synth/encode/decode/pHash compute
     as ``build_images_df`` (shared row generator), emitting only
@@ -210,15 +218,22 @@ def build_phash_df(
         for pdf in batches:
             ids: list = []
             phs: list = []
+            dhs: list = []
             for rid, caption in zip(pdf[id_col].astype(str), pdf[caption_col]):
                 for row in _iter_images(rid, caption, seed, dup_fraction):
                     ids.append(row[0])
                     phs.append(row[6])
-            yield pd.DataFrame({"image_id": ids, "phash": phs})
+                    if with_dhash:
+                        dhs.append(row[7])
+            out = {"image_id": ids, "phash": phs}
+            if with_dhash:
+                out["dhash"] = dhs
+            yield pd.DataFrame(out)
 
-    return docs_df.select(id_col, caption_col).mapInPandas(
-        gen, schema="image_id string, phash long"
+    schema = "image_id string, phash long" + (
+        ", dhash long" if with_dhash else ""
     )
+    return docs_df.select(id_col, caption_col).mapInPandas(gen, schema=schema)
 
 
 def make_phash_udf():

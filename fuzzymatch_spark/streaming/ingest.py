@@ -74,6 +74,99 @@ def read_committed(spark: SparkSession, work_dir: str, table: str) -> DataFrame 
     return spark.read.parquet(*paths)
 
 
+def current_labels(
+    spark: SparkSession, work_dir: str, upto_batch: int | None = None
+) -> DataFrame | None:
+    """Latest-wins view over the incremental ``labels/`` delta table:
+    (id, label) with each id's row taken from the highest committed batch
+    that mentions it.  ``upto_batch`` restricts history to batches BELOW
+    it (the view a replaying sink must see).  None when nothing committed.
+
+    The delta table is LSM-shaped: each batch writes only labels that
+    changed (new ids + members of touched components), so the view is a
+    single ``max_by`` aggregation over delta rows — compaction (rewriting
+    the folded view and truncating deltas) is a trivial maintenance job
+    when delta volume warrants it.
+    """
+    labels_dir = os.path.join(work_dir, "labels")
+    commits = committed_batches(spark, os.path.join(work_dir, "_commits"))
+    if upto_batch is not None:
+        commits = [b for b in commits if b < upto_batch]
+    paths = [os.path.join(labels_dir, f"batch={b}") for b in commits]
+    paths = [p for p in paths if os.path.isdir(p) or _hdfs_exists(spark, p)]
+    if not paths:
+        return None
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", labels_dir).parquet(*paths)
+    return df.groupBy("id").agg(F.max_by("label", "batch").alias("label"))
+
+
+def _hdfs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p, _ = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def label_merge_delta(
+    new_edges: DataFrame,
+    cur_labels: DataFrame | None,
+    new_ids: DataFrame,
+) -> DataFrame:
+    """Localized incremental connected-components maintenance: given this
+    batch's verified edges, the accumulated label view, and this batch's
+    new ids, return the label DELTA (id, label) — rows for every new id
+    plus every existing node whose component label changed.
+
+    The merge runs on the LABEL graph, not the node graph: each edge
+    (a, b) becomes an edge between label(a) and label(b) (a node's label
+    defaulting to its own id).  Since every stored label is the min id of
+    its component, CC over this contracted graph — which is micro-batch
+    sized, NOT corpus sized — yields exactly the min id of each merged
+    component, so the maintained labels are identical to a from-scratch
+    CC over the union of all committed edges (pinned by
+    tests/test_streaming_ingest.py::test_incremental_labels_match_full_cc).
+    Untouched components never appear in the remap and are never
+    rewritten; the only corpus-scale work is one equi-join of the label
+    view against the (tiny) remap table.
+    """
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.cluster import connected_components
+
+    e = new_edges.select("a_id", "b_id")
+    if cur_labels is None:
+        lg = e.select(F.col("a_id").alias("x"), F.col("b_id").alias("y"))
+        cur = None
+    else:
+        cur = cur_labels
+        cur_a = cur.select(F.col("id").alias("a_id"), F.col("label").alias("la"))
+        cur_b = cur.select(F.col("id").alias("b_id"), F.col("label").alias("lb"))
+        lg = (
+            e.join(cur_a, "a_id", "left")
+            .join(cur_b, "b_id", "left")
+            .select(
+                F.coalesce("la", F.col("a_id")).alias("x"),
+                F.coalesce("lb", F.col("b_id")).alias("y"),
+            )
+        )
+    lg = lg.filter(F.col("x") != F.col("y"))
+    merged = connected_components(lg, "x", "y")
+    remap = merged.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("old_label"), F.col("cluster_id").alias("new_label")
+    )
+    delta_new = (
+        new_ids.select("id")
+        .join(remap, F.col("id") == F.col("old_label"), "left")
+        .select("id", F.coalesce("new_label", F.col("id")).alias("label"))
+    )
+    if cur is None:
+        return delta_new
+    delta_old = cur.join(
+        remap, cur["label"] == remap["old_label"]
+    ).select("id", F.col("new_label").alias("label"))
+    return delta_new.unionByName(delta_old)
+
+
 def incremental_signatures(
     spark: SparkSession,
     input_dir: str,
@@ -123,6 +216,7 @@ def make_dedup_sink(
     text_col: str,
     cfg: DedupConfig | None = None,
     on_before_commit=None,
+    maintain_labels: bool = True,
 ):
     """The incremental-dedup ``foreachBatch`` sink, exposed as a factory so
     at-least-once replay (same batch_id, same rows) is directly testable.
@@ -137,9 +231,15 @@ def make_dedup_sink(
                              rows are stored, never recomputed)
            exact           — hash-join on (xxhash64(norm), len) new vs all
       3. two-tier verify (same verify_edges)
-      4. write edges/signatures/bands to ``<table>/batch=<id>`` partitions
-         (mode overwrite — a replay rewrites identical content), then
-         create the ``_commits/<id>`` marker LAST.
+      4. with ``maintain_labels`` (default): incremental cluster-label
+         maintenance — the verified edges merge into the accumulated
+         ``labels/`` delta table via localized CC over the CONTRACTED
+         label graph (``label_merge_delta``), so cluster ids stay current
+         across batches without ever re-running CC over the full edge
+         union; ``current_labels`` is the latest-wins view.
+      5. write edges/signatures/bands/labels to ``<table>/batch=<id>``
+         partitions (mode overwrite — a replay rewrites identical
+         content), then create the ``_commits/<id>`` marker LAST.
 
     History is strictly the committed batches BELOW the current id, so a
     replay after a post-marker crash sees exactly the pre-batch corpus and
@@ -228,6 +328,15 @@ def make_dedup_sink(
         new_bands.write.mode("overwrite").parquet(
             f"{bands_dir}/batch={batch_id}"
         )
+        if maintain_labels:
+            delta = label_merge_delta(
+                spark.read.parquet(f"{edges_dir}/batch={batch_id}"),
+                current_labels(spark, work_dir, upto_batch=batch_id),
+                new_sig.select("id"),
+            )
+            delta.write.mode("overwrite").parquet(
+                f"{work_dir}/labels/batch={batch_id}"
+            )
         if on_before_commit is not None:
             on_before_commit(batch_id)
         _write_commit_marker(spark, commits_dir, batch_id)
@@ -245,6 +354,7 @@ def make_phash_dedup_sink(
     n_bands: int = 8,
     max_hamming: int = 6,
     on_before_commit=None,
+    maintain_labels: bool = True,
 ):
     """Image-side incremental near-dup sink — the pHash half of the north
     rule's image+caption table, mirroring ``make_dedup_sink``'s idempotency
@@ -312,6 +422,15 @@ def make_phash_dedup_sink(
         new.select(
             F.col("id").alias(id_col), F.col("ph").alias(phash_col)
         ).write.mode("overwrite").parquet(f"{ph_dir}/batch={batch_id}")
+        if maintain_labels:
+            delta = label_merge_delta(
+                spark.read.parquet(f"{edges_dir}/batch={batch_id}"),
+                current_labels(spark, work_dir, upto_batch=batch_id),
+                new.select("id"),
+            )
+            delta.write.mode("overwrite").parquet(
+                f"{work_dir}/labels/batch={batch_id}"
+            )
         if on_before_commit is not None:
             on_before_commit(batch_id)
         _write_commit_marker(spark, commits_dir, batch_id)

@@ -44,6 +44,19 @@ class TestPhash:
             h2 = phash64(decode_image(encode_image(px, "jpeg", quality=85)))
             assert hamming64(h1, h2) <= 6, i
 
+    def test_dhash_stable_under_lossy_reencode(self):
+        # measured margin: twin dhash max 4 over 319,671 planted twins at
+        # 1.6M images (histogram in BENCH.md) — inside the tier-2
+        # threshold (8) with 2x headroom; independence from phash is
+        # what makes the second digest kill random collisions
+        from fuzzymatch_spark.kernels.phash import dhash64
+
+        for i in range(20):
+            px = synth_pixels(f"img_{i:06d}")
+            d1 = dhash64(decode_image(encode_image(px, "png")))
+            d2 = dhash64(decode_image(encode_image(px, "jpeg", quality=85)))
+            assert hamming64(d1, d2) <= 4, i
+
     def test_distinct_images_far_apart(self):
         hashes = [phash64(synth_pixels(f"img_{i:06d}")) for i in range(30)]
         close = sum(
@@ -87,6 +100,136 @@ class TestSparkImages:
         assert planted, "fixture should plant twins"
         recall = len(planted & got) / len(planted)
         assert recall >= 0.99, f"phash recall {recall}"
+
+
+class TestTier2Verify:
+    """Independent-digest tier-2 verify: the diffuse-background density
+    control (`phash_band_edges(verify_col=...)`)."""
+
+    def test_background_collision_killed_twin_kept(self, spark):
+        rows = [
+            # planted twin: close in BOTH digests
+            ("t1", 0x00, 0x10), ("t1_dup", 0x01, 0x11),
+            # background collision: phash within 6, dhash ~32 bits apart
+            ("b1", 0x00, 0x0000FFFF0000FFFF),
+            ("b2", 0x03, 0x00FF00FF00FF00FF),
+        ]
+        df = spark.createDataFrame(
+            rows, "image_id string, phash long, dhash long"
+        )
+        base = {
+            tuple(sorted((r["a_id"], r["b_id"])))
+            for r in phash_band_edges(df, DedupConfig()).collect()
+        }
+        tier2 = {
+            tuple(sorted((r["a_id"], r["b_id"])))
+            for r in phash_band_edges(
+                df, DedupConfig(), verify_col="dhash"
+            ).collect()
+        }
+        assert ("b1", "b2") in base  # tier-1 admits the collision
+        assert ("b1", "b2") not in tier2  # tier-2 kills it
+        assert ("t1", "t1_dup") in tier2  # twin survives
+        assert tier2 <= base
+
+    def test_synth_corpus_full_twin_recall_under_tier2(self, spark, documents):
+        from fuzzymatch_spark.sources.images import build_phash_df
+
+        narrow = build_phash_df(
+            spark, documents.limit(300), "doc_id", "text", with_dhash=True
+        ).cache()
+        edges = phash_band_edges(
+            narrow, DedupConfig(), verify_col="dhash"
+        ).collect()
+        got = {tuple(sorted((r["a_id"], r["b_id"]))) for r in edges}
+        planted = {
+            tuple(sorted((r["image_id"].rsplit("_dup", 1)[0], r["image_id"])))
+            for r in narrow.filter(
+                F.col("image_id").endswith("_dup")
+            ).collect()
+        }
+        assert planted
+        recall = len(planted & got) / len(planted)
+        assert recall >= 0.99, f"tier-2 twin recall {recall}"
+        narrow.unpersist()
+
+
+class TestDegreeCap:
+    """Density-adaptive pHash control (`degree_cap_edges`): edge volume
+    must go linear in corpus size while planted twins survive."""
+
+    def test_capped_is_subset_with_full_twin_recall(self, spark, documents):
+        docs = documents.limit(200)
+        images = build_images_df(spark, docs, "doc_id", "text").cache()
+        base = phash_band_edges(images, DedupConfig())
+        capped = phash_band_edges(
+            images, DedupConfig(phash_degree_cap=4)
+        )
+        base_set = {(r["a_id"], r["b_id"]) for r in base.collect()}
+        cap_set = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+        assert cap_set <= base_set
+        planted = {
+            tuple(sorted((r["image_id"].rsplit("_dup", 1)[0], r["image_id"])))
+            for r in images.filter(
+                F.col("image_id").endswith("_dup")
+            ).collect()
+        }
+        assert planted
+        got = {tuple(sorted(p)) for p in cap_set}
+        recall = len(planted & got) / len(planted)
+        assert recall >= 0.99, f"capped twin recall {recall}"
+        images.unpersist()
+
+    def test_dense_clique_goes_linear_but_stays_connected(self, spark):
+        # 120 identical hashes: radius semantics give C(120,2)=7140 edges;
+        # the cap must bound volume near cap*N while keeping ONE component
+        n, cap = 120, 4
+        rows = [(f"img_{i:04d}", 0x0123456789ABCDEF) for i in range(n)]
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        base = phash_band_edges(df, DedupConfig())
+        assert base.count() == n * (n - 1) // 2
+        capped = phash_band_edges(
+            df, DedupConfig(phash_degree_cap=cap)
+        ).collect()
+        assert len(capped) <= n * cap  # linear bound (union-of-kNN)
+        parent = {f"img_{i:04d}": f"img_{i:04d}" for i in range(n)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in capped:
+            parent[find(r["a_id"])] = find(r["b_id"])
+        assert len({find(k) for k in parent}) == 1  # still one component
+
+    def test_default_none_is_pure_radius_semantics(self, spark):
+        # the oracle default must remain byte-identical radius output
+        rows = [
+            ("a", 0x00), ("b", 0x01), ("c", 0x03), ("d", 0x07),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in phash_band_edges(df, DedupConfig()).collect()
+        }
+        want = {  # all pairs within Hamming 6 of each other: the full set
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+        }
+        assert got == want
+
+    def test_cap_validation(self, spark):
+        import pytest as _pytest
+
+        from fuzzymatch_spark.operators.dedup import degree_cap_edges
+
+        df = spark.createDataFrame(
+            [("a", "b", 1)], "a_id string, b_id string, dist int"
+        )
+        with _pytest.raises(ValueError, match="cap"):
+            degree_cap_edges(df, 0)
 
 
 def test_build_phash_df_matches_full_table(spark, documents):

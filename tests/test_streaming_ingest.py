@@ -236,3 +236,95 @@ def test_incremental_phash_dedup_cross_batch(spark, tmp_path):
     again = {(r["a_id"], r["b_id"])
              for r in spark.read.parquet(f"{work}/edges").collect()}
     assert again == got
+
+
+def test_incremental_labels_match_full_cc(spark, tmp_path):
+    """Incremental cluster maintenance (VERDICT r5 item 6): after EVERY
+    micro-batch, the maintained label view must equal a from-scratch CC
+    re-run over the union of committed edges — including the batch where
+    two previously separate components merge through a bridging row."""
+    from fuzzymatch_spark.operators.cluster import cluster_assignments
+    from fuzzymatch_spark.streaming.ingest import (
+        current_labels,
+        make_phash_dedup_sink,
+        read_committed,
+    )
+
+    pschema = "image_id string, phash bigint"
+    work = str(tmp_path / "labwork")
+    sink = make_phash_dedup_sink(spark, work)
+
+    # batch0: a and b far apart (12 bits) -> two singletons
+    # batch1: c twin of a, d twin of b -> components {a,c} and {b,d}
+    # batch2: e within Hamming 6 of BOTH a and b -> merges everything
+    batches = [
+        [("a", 0x000), ("b", 0xFFF)],
+        [("c", 0x001), ("d", 0xFFE)],
+        [("e", 0x03F)],
+    ]
+    seen: list = []
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, pschema), i)
+        seen.extend(rows)
+
+        edges = read_committed(spark, work, "edges")
+        ids = spark.createDataFrame(seen, pschema).select("image_id")
+        full = {
+            r["image_id"]: r["cluster_id"]
+            for r in cluster_assignments(
+                edges, ids, id_col="image_id", method="star"
+            ).collect()
+        }
+        inc = {
+            r["id"]: r["label"]
+            for r in current_labels(spark, work).collect()
+        }
+        assert inc == full, (i, inc, full)
+
+    # the merge batch really did rewrite old components
+    assert inc == {k: "a" for k in ["a", "b", "c", "d", "e"]}
+
+    # replay of the merge batch under the same id: labels unchanged
+    sink(spark.createDataFrame(batches[2], pschema), 2)
+    again = {
+        r["id"]: r["label"] for r in current_labels(spark, work).collect()
+    }
+    assert again == inc
+
+
+def test_text_sink_labels_cross_batch(spark, tmp_path):
+    """Text-side label maintenance: near/exact dup landing later joins the
+    existing component, and the view matches a full CC re-run."""
+    from fuzzymatch_spark.config import DedupConfig
+    from fuzzymatch_spark.operators.cluster import cluster_assignments
+    from fuzzymatch_spark.streaming.ingest import (
+        current_labels,
+        make_dedup_sink,
+        read_committed,
+    )
+
+    cfg = DedupConfig(min_score=0.72)
+    work = str(tmp_path / "textlab")
+    sink = make_dedup_sink(spark, work, "doc_id", "text", cfg)
+    b0 = [(1, "spark shuffle partition join window"),
+          (2, "hash key order fast small")]
+    b1 = [(3, "spark shuffle partition join windoww"),
+          (4, "hash key order fast small")]
+    sink(spark.createDataFrame(b0, SCHEMA), 0)
+    sink(spark.createDataFrame(b1, SCHEMA), 1)
+
+    from pyspark.sql import functions as F
+
+    edges = read_committed(spark, work, "edges")
+    ids = spark.createDataFrame(b0 + b1, SCHEMA).select(
+        F.col("doc_id").alias("id")
+    )
+    full = {
+        r["id"]: r["cluster_id"]
+        for r in cluster_assignments(
+            edges, ids, id_col="id", method="star"
+        ).collect()
+    }
+    inc = {r["id"]: r["label"] for r in current_labels(spark, work).collect()}
+    assert inc == full
+    assert inc == {1: 1, 2: 2, 3: 1, 4: 2}
