@@ -317,17 +317,145 @@ def label_prop_components(
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
-# Measured star-vs-labelprop crossover (BENCH.md sf1 table): star wins at
+def _np_min_labels(ea, eb, n: int):
+    """Vectorized min-label propagation with pointer doubling over a
+    position-encoded edge list: labels are INDICES into the sorted node
+    array, start as self, and monotonically decrease to the component's
+    minimum position (= minimum id, since positions sort like ids).
+
+    Each sweep is O(E + V) in C (``np.minimum.at`` scatter + one
+    ``label[label]`` gather); hash-to-min with doubling converges in
+    O(log diameter) sweeps.  At a fixed point every edge has equal labels
+    at both ends and label == label[label], so the shared label is the
+    component min.  Exact for any graph; no Python-level loop over edges.
+    """
+    import numpy as np
+
+    label = np.arange(n, dtype=np.int64)
+    while True:
+        m = np.minimum(label[ea], label[eb])
+        new = label.copy()
+        np.minimum.at(new, ea, m)
+        np.minimum.at(new, eb, m)
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, label):
+            return label
+        label = new
+
+
+def _forest_contract(drop_roots: bool, out_cols: tuple[str, str]):
+    """mapInPandas kernel: contract ALL edges of a partition (accumulated
+    across its Arrow batches — unlike ``_batch_contract``, which is
+    per-batch) to the (node -> component-min) spanning mapping via
+    ``_np_min_labels``.  ``drop_roots`` omits self-labeled rows (forest
+    form, for the first level); keeping them yields the full label table
+    (final level).  Emits in 500k-row chunks to bound Arrow batch size."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        heads, tails = [], []
+        for pdf in batches:
+            heads.append(pdf.iloc[:, 0].to_numpy())
+            tails.append(pdf.iloc[:, 1].to_numpy())
+        if not heads:
+            return
+        a = np.concatenate(heads)
+        b = np.concatenate(tails)
+        if len(a) == 0:
+            return
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        label = _np_min_labels(inv[: len(a)], inv[len(a) :], len(nodes))
+        if drop_roots:
+            keep = label != np.arange(len(nodes), dtype=np.int64)
+            out = pd.DataFrame(
+                {out_cols[0]: nodes[keep], out_cols[1]: nodes[label[keep]]}
+            )
+        else:
+            out = pd.DataFrame({out_cols[0]: nodes, out_cols[1]: nodes[label]})
+        for i in range(0, len(out), 500_000):
+            yield out.iloc[i : i + 500_000]
+
+    return fn
+
+
+def fold_components(
+    edges_df: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    single_task_max_edges: int = 20_000_000,
+) -> DataFrame:
+    """Two-level spanning-forest fold CC — the LOW-ROUND-COUNT path.
+
+    Star rounds and label propagation both pay O(log n) driver-synchronized
+    rounds (each: shuffles + a convergence action); at sub-huge edge
+    volumes that ROUND LATENCY is the whole cost (measured: CC was 9.5 s of
+    q1's 12.4 s at sf0.1 — 73 Spark jobs for 948k edges among 5k nodes).
+    The fold does exactly two levels and ZERO convergence actions:
+
+      1. per-partition contraction (``mapInPandas``, no shuffle): each
+         task runs the vectorized min-label kernel over ITS edges and
+         emits its spanning forest (node -> partition-local component
+         min), size <= #distinct nodes in the partition — edge-set volume
+         collapses from O(E) to O(V) in one distributed pass;
+      2. the forest edges (every linked node appears: non-roots as
+         sources, roots as targets of their children) repartition(1) into
+         a single task that runs the same kernel once more — its output
+         IS the exact global (node, component-min) label table, because a
+         per-partition spanning forest plus shared nodes across
+         partitions preserves connectivity exactly.
+
+    The single-task finish is the deliberate scale tradeoff: level-2 input
+    is O(linked nodes), NOT O(E), and the kernel is C-speed numpy — fine
+    up to tens of millions of nodes.  Above ``single_task_max_edges``
+    (counted on the materialized forest — a cheap job on already-shrunk
+    data) the forest is handed to ``label_prop_components`` instead, whose
+    labels over the forest equal labels over the original graph (same
+    connectivity, same node set), so the operator is exact at EVERY scale
+    and merely degrades to the iterative strategy when the fold's
+    single-task assumption breaks.  Labels: cluster_id = min node id,
+    identical to ``connected_components`` for every input.
+    """
+    edges = edges_df.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    id_type = dict(edges.dtypes)["a"]
+    # eager checkpoint: level 1 materializes HERE (one job — work that is
+    # needed regardless), the guard count then runs on the stored blocks,
+    # and level 2 reads them without recomputing; lineage is cut so the
+    # caller's DAG is never re-executed
+    forest = edges.mapInPandas(
+        _forest_contract(True, ("a", "b")), schema=f"a {id_type}, b {id_type}"
+    ).localCheckpoint(eager=True)
+    if forest.count() > single_task_max_edges:
+        return label_prop_components(forest, a_col="a", b_col="b")
+    return forest.repartition(1).mapInPandas(
+        _forest_contract(False, ("node", "cluster_id")),
+        schema=f"node {id_type}, cluster_id {id_type}",
+    )
+
+
+# Measured ITERATIVE-strategy crossover (BENCH.md sf1 table): star wins at
 # sf0.1's 948k edges (round latency dominates), labelprop wins 12.5s vs
 # 16.3s at sf1's 9.2M edges (per-round edge reshuffling dominates).  Both
-# are exact; the threshold sits between the two measured regimes.
+# are exact; the threshold sits between the two measured regimes.  Since
+# r6 the DEFAULT strategy is the fold (measured 1.1s vs star's 6.3s at
+# 948k edges AND 5.8s vs labelprop's 26s at 9.2M edges, label-identical);
+# this crossover now governs only explicit iterative-method callers and
+# documents which iterative engine the fold's scale fallback should use
+# (labelprop — the forest it hands over is O(V), the labelprop-favoring
+# regime by construction).
 LABELPROP_MIN_EDGES = 2_000_000
 
 
 def pick_cc_method(n_edges: int, threshold: int = LABELPROP_MIN_EDGES) -> str:
-    """The auto-selection rule, factored out so it is directly testable:
-    star rounds below the measured crossover, min-label propagation above
-    (iterations ship O(V) labels instead of reshuffling O(E) edges)."""
+    """The iterative-strategy selection rule, factored out so it is
+    directly testable: star rounds below the measured crossover, min-label
+    propagation above (iterations ship O(V) labels instead of reshuffling
+    O(E) edges).  ``cluster_assignments(method='auto')`` no longer calls
+    this — the fold beats both iterative strategies at every measured
+    scale — but explicit pipelines that need an iterative engine (e.g.
+    durable per-round parquet checkpoints, plans/pipeline.py) still do."""
     return "labelprop" if n_edges >= threshold else "star"
 
 
@@ -342,39 +470,27 @@ def cluster_assignments(
     """Cluster labels for every row: component min for linked nodes,
     self-label for singletons.
 
-    ``method``: 'auto' (default) counts the candidate edges and picks the
-    strategy from the measured crossover — a user running the pipeline at
-    an unknown scale gets the regime winner without a flag; 'star'
-    (large/small star — the O(log n)-round general path) or 'labelprop'
-    (low-diameter fast path, exact via star fallback) force a strategy.
-
-    Auto mode persists the narrow (a_id, b_id) projection before counting
-    so the decision never re-executes the caller's candidate-generation
-    DAG: both CC strategies iterate over the edges anyway (and cut their
-    lineage with per-round checkpoints), so the persist is reused by the
-    first round and released before returning.  Output labels are
+    ``method``: 'auto' (default) runs the two-level spanning-forest fold
+    (``fold_components``) — measured fastest at EVERY probed scale
+    (1.1s vs star's 6.3s at 948k edges, 5.8s vs labelprop's 26s at 9.2M;
+    BENCH.md) and self-guarding at the scale where its single-task finish
+    would break (forest count > threshold -> exact labelprop fallback on
+    the contracted forest, which is O(V) — labelprop's favoring regime).
+    'star' (large/small star — the O(log n)-round general path),
+    'labelprop' (low-diameter iterative path), and 'fold' force a
+    strategy; ``labelprop_min_edges`` only parameterizes legacy callers
+    that still count-and-pick via ``pick_cc_method``.  Output labels are
     identical for every method on every input (min id of a component is
     unique), so the choice is purely a performance decision.
     """
-    persisted = None
     if method == "auto":
-        from pyspark import StorageLevel
-
-        persisted = verified_edges.select(
-            kwargs.get("a_col", "a_id"), kwargs.get("b_col", "b_id")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        method = pick_cc_method(persisted.count(), labelprop_min_edges)
-        verified_edges = persisted
-    try:
-        if method == "labelprop":
-            comps = label_prop_components(verified_edges, **kwargs)
-        else:
-            comps = connected_components(verified_edges, **kwargs)
-    finally:
-        # both strategies have materialized their per-round checkpoints by
-        # the time they return, so the input projection is no longer needed
-        if persisted is not None:
-            persisted.unpersist()
+        method = "fold"
+    if method == "labelprop":
+        comps = label_prop_components(verified_edges, **kwargs)
+    elif method == "fold":
+        comps = fold_components(verified_edges, **kwargs)
+    else:
+        comps = connected_components(verified_edges, **kwargs)
     return (
         all_ids.select(F.col(id_col).alias("node"))
         .join(comps, on="node", how="left")

@@ -112,7 +112,8 @@ def main() -> None:
     variants = (
         ("plain", {"precontract": False}),
         ("labelprop", {"method": "labelprop"}),
-        # default method="auto" must pick labelprop at sf1's ~9M edges
+        ("fold", {"method": "fold"}),
+        # default method="auto" must pick the measured sf1 regime winner
         ("auto", {"method": "auto"}),
     )
     results: dict[str, list[dict]] = {name: [] for name, _ in variants}

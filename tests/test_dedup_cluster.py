@@ -339,8 +339,9 @@ def test_cluster_assignments_labelprop_method(spark):
 
 
 def test_cluster_assignments_auto_selection(spark):
-    """Auto mode picks the regime from the measured crossover (star below,
-    labelprop above) and is label-identical either way."""
+    """Auto mode runs the fold (the every-measured-regime winner); the
+    iterative crossover rule stays testable for explicit callers; all
+    strategies are label-identical."""
     from pyspark.sql import functions as F
 
     from fuzzymatch_spark.operators.cluster import (
@@ -348,7 +349,7 @@ def test_cluster_assignments_auto_selection(spark):
         pick_cc_method,
     )
 
-    # the decision rule itself, at the measured crossover
+    # the iterative decision rule, at the measured crossover
     assert pick_cc_method(948_000) == "star"  # sf0.1 regime
     assert pick_cc_method(9_200_000) == "labelprop"  # sf1 regime
     assert pick_cc_method(2_000_000) == "labelprop"  # threshold inclusive
@@ -360,12 +361,68 @@ def test_cluster_assignments_auto_selection(spark):
     star = sorted(tuple(r) for r in
                   cluster_assignments(edges, ids, id_col="id",
                                       method="star").collect())
-    # default threshold: 4 edges -> star path
+    # auto == fold, label-identical to star
     auto = sorted(tuple(r) for r in
                   cluster_assignments(edges, ids, id_col="id").collect())
     assert auto == star
-    # threshold 1: auto routes through labelprop, labels identical
-    auto_lp = sorted(tuple(r) for r in
-                     cluster_assignments(edges, ids, id_col="id",
-                                         labelprop_min_edges=1).collect())
-    assert auto_lp == star
+    fold = sorted(tuple(r) for r in
+                  cluster_assignments(edges, ids, id_col="id",
+                                      method="fold").collect())
+    assert fold == star
+
+
+def test_fold_components_matches_star(spark):
+    """The two-level spanning-forest fold is exact: identical
+    (node, cluster_id) sets vs the star rounds on cliques, long chains
+    (high diameter), random graphs, and string ids — including when
+    ``single_task_max_edges`` forces the labelprop fallback on the
+    contracted forest."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.cluster import (
+        connected_components,
+        fold_components,
+    )
+
+    rng = random.Random(11)
+    edges = []
+    for c in range(10):  # cliques of 6
+        ids = [c * 50 + i for i in range(6)]
+        edges += [(x, y) for x in ids for y in ids if x < y]
+    for c in range(5):  # chains of length 30 — diameter 29
+        base = 10_000 + c * 100
+        edges += [(base + i, base + i + 1) for i in range(29)]
+    nodes = [50_000 + i for i in range(40)]
+    edges += [tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)]
+    # duplicate + reversed edges: fold must not depend on dedup/orientation
+    edges += [(b, a) for a, b in edges[:20]] + edges[:10]
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long").repartition(8)
+    star = {(r["node"], r["cluster_id"])
+            for r in connected_components(df).collect()}
+    fold = {(r["node"], r["cluster_id"])
+            for r in fold_components(df).collect()}
+    assert fold == star
+    # threshold 1: level-2 would exceed one task -> exact labelprop finish
+    fb = {(r["node"], r["cluster_id"])
+          for r in fold_components(df, single_task_max_edges=1).collect()}
+    assert fb == star
+
+    # string ids: min label is lexicographic, matching Spark's F.min
+    sdf = df.select(
+        F.concat(F.lit("n"),
+                 F.lpad(F.col("a_id").cast("string"), 6, "0")).alias("a_id"),
+        F.concat(F.lit("n"),
+                 F.lpad(F.col("b_id").cast("string"), 6, "0")).alias("b_id"),
+    )
+    star_s = {(r["node"], r["cluster_id"])
+              for r in connected_components(sdf).collect()}
+    fold_s = {(r["node"], r["cluster_id"])
+              for r in fold_components(sdf).collect()}
+    assert fold_s == star_s
+
+    # empty edge set
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    assert fold_components(empty).count() == 0
