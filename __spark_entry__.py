@@ -279,7 +279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # min-label-propagation CC strategy under the driver's oracle (the
         # recursive-CTE oracle is engine-independent, so it checks either
         # strategy); the star rounds stay driver-covered via
-        # corpus_curation_pipeline and multimodal_dedup_clusters_relational.
+        # dedup_cluster_stats (method="star"), the fold via the
+        # auto-default entries (multimodal_dedup_clusters*).
         from fuzzymatch_spark.operators.cluster import canonical_corpus
 
         sig = _sig(spark, sf).persist()
@@ -317,7 +318,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sig = _sig(spark, sf).persist()
         edges = ngram_jaccard_pairs(sig, threshold_pct=JACCARD_PCT)
         ids = sig.select(F.col("id").alias("doc_id"))
-        clusters = cluster_assignments(edges, ids, id_col="doc_id")
+        # method="star" keeps the large/small-star rounds driver-covered
+        # now that the auto default routes to the fold (the other two
+        # strategies are covered by dedup_clusters [labelprop] and the
+        # auto entries [fold]); all strategies are label-identical
+        clusters = cluster_assignments(edges, ids, id_col="doc_id", method="star")
         return cluster_size_histogram(clusters)
 
     q["dedup_cluster_stats"] = dedup_cluster_stats
