@@ -37,31 +37,35 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 def _filter_rows(img: np.ndarray) -> bytes:
     """Per-row adaptive filtering (None/Sub/Up by min sum-of-abs, the
     heuristic from the PNG spec's recommendations), returning the
-    filter-type-prefixed scanline stream ready for deflate."""
+    filter-type-prefixed scanline stream ready for deflate.
+
+    Fully vectorized over the whole image: the encoder-side filters
+    reference the RAW previous scanline (not the reconstruction), so all
+    three candidates and their costs are plain 2D array ops — no Python
+    loop over rows (the loop version cost 2.4 ms per 48x48 image and
+    dominated the image-build stage at 400k images).  Tie-break matches
+    the loop (first minimum: None < Sub < Up), so output bytes are
+    identical."""
     h = img.shape[0]
     flat = img.reshape(h, -1).astype(np.int16)  # rows of w*channels bytes
     bpp = img.shape[2] if img.ndim == 3 else 1
-    prev = np.zeros_like(flat[0])
-    out = bytearray()
-    for y in range(h):
-        row = flat[y]
-        left = np.zeros_like(row)
-        left[bpp:] = row[:-bpp]
-        cands = (
-            (0, row),
-            (1, (row - left) % 256),
-            (2, (row - prev) % 256),
-        )
-        best_t, best_b, best_cost = None, None, None
-        for t, fb in cands:
-            # signed interpretation of the filtered byte, per the spec
-            cost = int(np.abs(((fb + 128) % 256) - 128).sum())
-            if best_cost is None or cost < best_cost:
-                best_t, best_b, best_cost = t, fb, cost
-        out.append(best_t)
-        out.extend(best_b.astype(np.uint8).tobytes())
-        prev = row
-    return bytes(out)
+    stride = flat.shape[1]
+    left = np.zeros_like(flat)
+    left[:, bpp:] = flat[:, :-bpp]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    cands = np.stack(
+        [flat, (flat - left) % 256, (flat - up) % 256]
+    )  # (3, h, stride)
+    # signed interpretation of the filtered byte, per the spec
+    costs = np.abs(((cands + 128) % 256) - 128).sum(axis=2)  # (3, h)
+    choice = np.argmin(costs, axis=0)
+    out = np.empty((h, stride + 1), dtype=np.uint8)
+    out[:, 0] = choice
+    out[:, 1:] = np.take_along_axis(
+        cands, choice[None, :, None], axis=0
+    )[0].astype(np.uint8)
+    return out.tobytes()
 
 
 def png_encode(pixels: np.ndarray, level: int = 6) -> bytes:
