@@ -102,6 +102,42 @@ def _unfilter(raw: bytes, w: int, h: int, channels: int) -> np.ndarray:
     data = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = data[:, 0]
     rows = data[:, 1:].astype(np.int32)
+    if ftypes.size and ftypes.max() <= 2:
+        # fast path: None/Sub/Up only (everything our encoder emits).
+        # None and Sub rows depend on nothing above them — reconstruct all
+        # of them in batch; an Up row adds the reconstruction above it, so
+        # each maximal RUN of Up rows is one block cumsum on top of its
+        # anchor row.  Per-image work drops from h numpy dispatches to a
+        # handful (measured 0.33 -> ~0.05 ms on 48x48; decode sat beside
+        # the vectorized encoder as the image-build hot spot at 400k).
+        rec = rows.copy()
+        sub_rows = np.flatnonzero(ftypes == 1)
+        if sub_rows.size:
+            rec[sub_rows] = (
+                rows[sub_rows]
+                .reshape(sub_rows.size, w, channels)
+                .cumsum(axis=1)
+                .reshape(sub_rows.size, stride)
+                % 256
+            )
+        up_rows = np.flatnonzero(ftypes == 2)
+        if up_rows.size:
+            # maximal runs of consecutive Up rows
+            starts = up_rows[
+                np.flatnonzero(np.diff(up_rows, prepend=up_rows[0] - 2) > 1)
+            ]
+            for s in starts:
+                e = s
+                while e + 1 < h and ftypes[e + 1] == 2:
+                    e += 1
+                anchor = rec[s - 1] if s else np.zeros(stride, dtype=np.int32)
+                rec[s : e + 1] = (
+                    rows[s : e + 1].cumsum(axis=0) + anchor
+                ) % 256
+        img = rec.astype(np.uint8)
+        return (
+            img.reshape(h, w) if channels == 1 else img.reshape(h, w, channels)
+        )
     out = np.zeros((h, stride), dtype=np.int32)
     bpp = channels
     prev = np.zeros(stride, dtype=np.int32)
