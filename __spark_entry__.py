@@ -1028,6 +1028,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phash_hamming_pairs"] = phash_hamming_pairs
 
+    def phash_tier2_pairs(spark, sf):
+        # ORACLE-CHECKED tier-2 verify (r6 density control): pairs must be
+        # within Hamming 6 on the primary stored digest AND within 8 on an
+        # INDEPENDENT stored digest (the dhash role; here a salted md5
+        # fingerprint so both engines compute it).  Planted rows per base
+        # doc (doc_id < 30): a true twin (2 bits flipped in BOTH digests —
+        # must survive) and a tier-1-only collision (2 bits in the primary,
+        # ~22 bits in the secondary — tier-1 admits it, tier-2 must kill
+        # it).  The oracle is the brute-force two-digest join, so recall
+        # AND precision of the banded+carried-digest plan are value-checked.
+        d1 = md5_fingerprint64("text")
+        d2 = F.conv(
+            F.substring(F.md5(F.concat(F.lit("t2"), F.col("text"))), 1, 15),
+            16, 10,
+        ).cast("long")
+        docs = _docs(spark, sf).select("doc_id", "text")
+        rows = (
+            docs.select("doc_id", d1.alias("phash"), d2.alias("dhash"))
+            .unionByName(
+                docs.filter(F.col("doc_id") < 30).select(
+                    (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+                    d1.bitwiseXOR(F.lit(1025)).alias("phash"),
+                    d2.bitwiseXOR(F.lit(9)).alias("dhash"),
+                )
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") < 30).select(
+                    (F.col("doc_id") + F.lit(60_000_000)).alias("doc_id"),
+                    d1.bitwiseXOR(F.lit(18)).alias("phash"),
+                    d2.bitwiseXOR(F.lit(271644049215)).alias("dhash"),
+                )
+            )
+        )
+        return phash_band_edges(
+            rows, CFG, id_col="doc_id", phash_col="phash", verify_col="dhash"
+        ).orderBy("a_id", "b_id")
+
+    q["phash_tier2_pairs"] = phash_tier2_pairs
+
+    def phash_knn_capped_pairs(spark, sf):
+        # ORACLE-CHECKED degree cap (r6 density control): union-of-kNN
+        # sparsification of the Hamming pair graph, cap 2, distance =
+        # integer Hamming on the stored digest with ties by neighbor id —
+        # fully deterministic cross-engine.  Planted structure: doc_id<20
+        # get FOUR variants (2-bit masks 3/5/9/17), forming 5-cliques with
+        # uniform pairwise distance 2, so the cap provably binds (each
+        # member keeps its 2 smallest-id peers; high-id pairs drop) and
+        # the tie-break path is exercised on every planted edge.
+        from dataclasses import replace
+
+        d1 = md5_fingerprint64("text")
+        docs = _docs(spark, sf).select("doc_id", "text")
+        rows = docs.select("doc_id", d1.alias("phash"))
+        for off, mask in (
+            (60_000_000, 3), (70_000_000, 5), (80_000_000, 9),
+            (90_000_000, 17),
+        ):
+            rows = rows.unionByName(
+                docs.filter(F.col("doc_id") < 20).select(
+                    (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+                    d1.bitwiseXOR(F.lit(mask)).alias("phash"),
+                )
+            )
+        cfg = replace(CFG, phash_degree_cap=2)
+        return phash_band_edges(
+            rows, cfg, id_col="doc_id", phash_col="phash"
+        ).orderBy("a_id", "b_id")
+
+    q["phash_knn_capped_pairs"] = phash_knn_capped_pairs
+
     def multimodal_relational(spark, sf):
         # ORACLE-CHECKED north-star composite: the same union + CC
         # composition as multimodal_dedup_clusters, but over STORED phash
@@ -1523,6 +1593,66 @@ def oracle_sql() -> dict[str, str]:
             FROM fps a JOIN fps b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 6
     """
+    _fp2 = "CAST(('0x' || substr(md5('t2' || text), 1, 15)) AS BIGINT)"
+    # brute-force two-digest oracle for the tier-2 verify: primary radius
+    # 6 AND independent-digest radius 8 (cfg.phash_verify_max_hamming)
+    phash_tier2_sql = f"""
+            WITH t2rows AS (
+              SELECT doc_id, {_fp} AS phash, {_fp2} AS dhash FROM documents
+              UNION ALL
+              SELECT doc_id + 50000000 AS doc_id, xor({_fp}, 1025) AS phash,
+                     xor({_fp2}, 9) AS dhash
+              FROM documents WHERE doc_id < 30
+              UNION ALL
+              SELECT doc_id + 60000000 AS doc_id, xor({_fp}, 18) AS phash,
+                     xor({_fp2}, 271644049215) AS dhash
+              FROM documents WHERE doc_id < 30
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, 'phash' AS source
+            FROM t2rows a JOIN t2rows b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6
+              AND bit_count(xor(a.dhash, b.dhash)) <= 8
+            ORDER BY a_id, b_id
+    """
+    # union-of-kNN degree cap oracle: integer Hamming distance, ties by
+    # neighbor id, an edge survives if EITHER endpoint ranks it in its cap
+    phash_knn_sql = f"""
+            WITH knnrows AS (
+              SELECT doc_id, {_fp} AS phash FROM documents
+              UNION ALL
+              SELECT doc_id + 60000000 AS doc_id, xor({_fp}, 3) AS phash
+              FROM documents WHERE doc_id < 20
+              UNION ALL
+              SELECT doc_id + 70000000 AS doc_id, xor({_fp}, 5) AS phash
+              FROM documents WHERE doc_id < 20
+              UNION ALL
+              SELECT doc_id + 80000000 AS doc_id, xor({_fp}, 9) AS phash
+              FROM documents WHERE doc_id < 20
+              UNION ALL
+              SELECT doc_id + 90000000 AS doc_id, xor({_fp}, 17) AS phash
+              FROM documents WHERE doc_id < 20
+            ),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     bit_count(xor(a.phash, b.phash)) AS dist
+              FROM knnrows a JOIN knnrows b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 6
+            ),
+            directed AS (
+              SELECT a_id AS node, b_id AS other, a_id, b_id, dist FROM pairs
+              UNION ALL
+              SELECT b_id AS node, a_id AS other, a_id, b_id, dist FROM pairs
+            ),
+            ranked AS (
+              SELECT a_id, b_id,
+                     row_number() OVER (PARTITION BY node
+                                        ORDER BY dist, other) AS rn
+              FROM directed
+            )
+            SELECT DISTINCT a_id, b_id, 'phash' AS source FROM ranked
+            WHERE rn <= 2
+            ORDER BY a_id, b_id
+    """
     # north-star composite: caption jaccard edges UNION stored-phash
     # Hamming edges -> recursive-CTE connected components -> label all rows
     multimodal_rel_sql = f"""
@@ -1684,6 +1814,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": winnow_sql,
         "simhash_token_pairs": simhash_pairs_sql,
         "phash_hamming_pairs": phash_pairs_sql,
+        "phash_tier2_pairs": phash_tier2_sql,
+        "phash_knn_capped_pairs": phash_knn_sql,
         "video_containment_pairs": video_containment_sql,
         "multimodal_dedup_clusters_relational": multimodal_rel_sql,
         "minhash_lsh_pairs": minhash_lsh_sql,
