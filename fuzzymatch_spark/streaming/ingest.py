@@ -107,6 +107,40 @@ def _hdfs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def compact_labels(spark: SparkSession, work_dir: str) -> int:
+    """LSM maintenance for the incremental ``labels/`` delta table: fold
+    the latest-wins view into the HIGHEST committed batch partition and
+    drop the older deltas.  ``current_labels`` is unchanged by
+    construction (``max_by`` over one batch is the identity), so readers
+    before/after compaction see identical labels; the read-side cost drops
+    from O(sum of delta sizes) to O(distinct ids).
+
+    Crash-safe ordering: the folded view is written to a temp dir FIRST
+    (materializing it before any source delta is touched), then the old
+    batch dirs are removed and the temp dir renamed into place — a crash
+    between steps leaves either the original deltas or a superset of the
+    folded view, never a partial state.  Returns the number of delta
+    partitions removed (0 = nothing to compact).
+    """
+    commits = committed_batches(spark, os.path.join(work_dir, "_commits"))
+    labels_dir = os.path.join(work_dir, "labels")
+    live = [
+        b for b in commits
+        if _hdfs_exists(spark, os.path.join(labels_dir, f"batch={b}"))
+    ]
+    if len(live) <= 1:
+        return 0
+    view = current_labels(spark, work_dir)
+    tmp = os.path.join(work_dir, "_labels_compact_tmp")
+    view.select("id", "label").write.mode("overwrite").parquet(tmp)
+    fs, tmp_p, _ = _hadoop_fs(spark, tmp)
+    top = max(live)
+    for b in live:
+        fs.delete(_hadoop_fs(spark, os.path.join(labels_dir, f"batch={b}"))[1], True)
+    fs.rename(tmp_p, _hadoop_fs(spark, os.path.join(labels_dir, f"batch={top}"))[1])
+    return len(live) - 1
+
+
 def label_merge_delta(
     new_edges: DataFrame,
     cur_labels: DataFrame | None,
@@ -131,7 +165,7 @@ def label_merge_delta(
     """
     from pyspark.sql import functions as F
 
-    from fuzzymatch_spark.operators.cluster import connected_components
+    from fuzzymatch_spark.operators.cluster import fold_components
 
     e = new_edges.select("a_id", "b_id")
     if cur_labels is None:
@@ -150,7 +184,10 @@ def label_merge_delta(
             )
         )
     lg = lg.filter(F.col("x") != F.col("y"))
-    merged = connected_components(lg, "x", "y")
+    # fold CC: the contracted label graph is micro-batch sized, exactly
+    # the regime where the fold's two jobs beat the iterative strategies'
+    # per-round driver latency (labels identical — same min-id contract)
+    merged = fold_components(lg, "x", "y")
     remap = merged.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("old_label"), F.col("cluster_id").alias("new_label")
     )

@@ -292,6 +292,48 @@ def test_incremental_labels_match_full_cc(spark, tmp_path):
     assert again == inc
 
 
+def test_compact_labels_preserves_view(spark, tmp_path):
+    """LSM compaction: folding the label deltas into one partition leaves
+    ``current_labels`` identical, removes the older delta dirs, and later
+    batches keep merging correctly on top of the compacted table."""
+    import os
+
+    from fuzzymatch_spark.streaming.ingest import (
+        compact_labels,
+        current_labels,
+        make_phash_dedup_sink,
+    )
+
+    pschema = "image_id string, phash bigint"
+    work = str(tmp_path / "compactwork")
+    sink = make_phash_dedup_sink(spark, work)
+    batches = [
+        [("a", 0x000), ("b", 0xFFF)],
+        [("c", 0x001), ("d", 0xFFE)],
+    ]
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, pschema), i)
+    before = {
+        r["id"]: r["label"] for r in current_labels(spark, work).collect()
+    }
+    assert compact_labels(spark, work) == 1
+    after = {
+        r["id"]: r["label"] for r in current_labels(spark, work).collect()
+    }
+    assert after == before
+    dirs = sorted(os.listdir(os.path.join(work, "labels")))
+    assert dirs == ["batch=1"]
+    # nothing left to compact
+    assert compact_labels(spark, work) == 0
+
+    # a post-compaction merge batch still rewrites old components
+    sink(spark.createDataFrame([("e", 0x03F)], pschema), 2)
+    final = {
+        r["id"]: r["label"] for r in current_labels(spark, work).collect()
+    }
+    assert final == {k: "a" for k in ["a", "b", "c", "d", "e"]}
+
+
 def test_text_sink_labels_cross_batch(spark, tmp_path):
     """Text-side label maintenance: near/exact dup landing later joins the
     existing component, and the view matches a full CC re-run."""
