@@ -484,7 +484,14 @@ def cluster_assignments(
     unique), so the choice is purely a performance decision.
     """
     if method == "auto":
-        method = "fold"
+        # checkpoint_fn/precontract are star-round knobs (durable
+        # per-round resume points, plans/pipeline.py); their presence
+        # means the caller wants the iterative engine
+        method = (
+            "star"
+            if ("checkpoint_fn" in kwargs or "precontract" in kwargs)
+            else "fold"
+        )
     if method == "labelprop":
         comps = label_prop_components(verified_edges, **kwargs)
     elif method == "fold":
