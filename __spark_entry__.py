@@ -1141,6 +1141,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_phash_pairs"] = image_phash_pairs
 
+    def image_exact_dup_edges_q(spark, sf):
+        # rows-only (binary payloads aren't SQL-reproducible): tier-0 of
+        # the image ladder — byte-identical files as star edges, digest
+        # computed where the bytes live.  Planted copies: 25 images
+        # re-emitted under *_copy ids with IDENTICAL bytes; the synth
+        # corpus itself has no byte-exact pairs (pixels are id-seeded), so
+        # the output is exactly the planted star set — deterministic.
+        from fuzzymatch_spark.operators.dedup import image_exact_dup_edges
+        from fuzzymatch_spark.sources.images import build_images_df
+
+        images = build_images_df(spark, _docs(spark, sf), "doc_id", "text")
+        copies = images.filter(
+            F.col("image_id").isin([f"img_{i}" for i in range(25)])
+        ).select(
+            F.concat(F.col("image_id"), F.lit("_copy")).alias("image_id"),
+            "bytes", "w", "h", "fmt", "caption", "phash",
+        )
+        return image_exact_dup_edges(
+            images.unionByName(copies)
+        ).orderBy("a_id", "b_id")
+
+    q["image_exact_dup_edges"] = image_exact_dup_edges_q
+
     def datasource_phash_pairs(spark, sf):
         # rows-only by nature: the input is the Spark 4 Python DataSource
         # (custom partition-parallel source — no DuckDB analog), feeding

@@ -107,6 +107,48 @@ def exact_dup_edges(sig_df: DataFrame) -> DataFrame:
     )
 
 
+def image_exact_dup_edges(
+    images_df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Tier-0 of the image dedup ladder: byte-identical files (exact
+    re-uploads/mirror copies) as star edges (min_id -> other), before any
+    decode happens.
+
+    Same shape as ``exact_dup_edges``: digest groups + join-to-group-min,
+    so an n-copy file emits n-1 edges with constant aggregation state.
+    The md5 digest and octet length are computed WHERE THE BYTES LIVE
+    (JVM expressions over the binary column) and only (digest, length,
+    id) enter the exchange — payload bytes never shuffle (the invariant
+    tests/test_plan_quality.py enforces for every image operator).
+
+    At 10^12-row scale this tier runs FIRST: byte-exact copies are
+    deduped for the cost of one scan + a 28-byte-per-row exchange,
+    shrinking the decode + pHash workload to distinct files only.  Its
+    edges are a subset of the pHash tier's (identical bytes => identical
+    pHash), so correctness of the cluster output never depends on it —
+    it is purely the cheap early tier.
+    """
+    keyed = images_df.select(
+        F.md5(F.col(bytes_col)).alias("dg"),
+        F.octet_length(F.col(bytes_col)).alias("dlen"),
+        F.col(id_col).alias("id"),
+    )
+    mins = (
+        keyed.groupBy("dg", "dlen")
+        .agg(F.min("id").alias("a_id"), F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
+    return (
+        keyed.join(mins, on=["dg", "dlen"])
+        .filter(F.col("id") != F.col("a_id"))
+        .select("a_id", F.col("id").alias("b_id"))
+        .withColumn("source", F.lit("exact_bytes"))
+    )
+
+
 def _salted_self_join_pairs(
     bands: DataFrame,
     key_cols: list[str],

@@ -245,6 +245,44 @@ def test_kmeans_assignment_plan_is_jvm_only(spark, embeddings):
     assert "Exchange" not in plan, plan  # final assignment pass is map-only
 
 
+def test_image_exact_dup_edges_payload_below_exchange(spark):
+    """Tier-0 image dedup: the md5/length digest is computed below the
+    exchange (where the bytes live) and the binary payload never appears
+    above it — only (digest, length, id) shuffle."""
+    from fuzzymatch_spark.operators.dedup import image_exact_dup_edges
+
+    df = spark.createDataFrame(
+        [("i1", bytearray(b"x" * 64)), ("i2", bytearray(b"x" * 64)),
+         ("i3", bytearray(b"y" * 64))],
+        "image_id string, bytes binary",
+    )
+    out = image_exact_dup_edges(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    first_ex = plan.index("Exchange")
+    # md5 is computed in a child (printed below) of the first exchange
+    assert "md5" in plan[first_ex:], plan
+    # the payload column reference never rides above an exchange
+    # (attribute refs print as bytes#<id>; the 'exact_bytes' literal is fine)
+    assert "bytes#" not in plan[:first_ex], plan[:first_ex]
+    got = {(r["a_id"], r["b_id"], r["source"]) for r in out.collect()}
+    assert got == {("i1", "i2", "exact_bytes")}
+
+
+def test_fold_components_single_exchange(spark):
+    """The fold's returned plan is: checkpointed level-1 forest -> ONE
+    single-partition exchange -> level-2 kernel.  No other shuffle, no
+    iterative rounds."""
+    from fuzzymatch_spark.operators.cluster import fold_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "a_id long, b_id long"
+    )
+    out = fold_components(edges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" in plan, plan
+
+
 def test_no_python_rdd_probes_in_source():
     """Hot API paths must not build Python conversion RDDs: the only
     allowed partition probe is the cached JVM one in plans/parallelism."""
