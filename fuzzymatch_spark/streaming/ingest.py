@@ -92,13 +92,34 @@ def current_labels(
     commits = committed_batches(spark, os.path.join(work_dir, "_commits"))
     if upto_batch is not None:
         commits = [b for b in commits if b < upto_batch]
-    paths = [os.path.join(labels_dir, f"batch={b}") for b in commits]
+    comp = _latest_compacted(spark, labels_dir)
+    if comp is not None and (upto_batch is None or comp[0] <= upto_batch):
+        # the compacted view folds every delta BELOW its cover point; any
+        # older delta dir still on disk is a leftover from a compaction
+        # interrupted mid-cleanup and must be ignored (its content is a
+        # subset of the compacted view, but reading it would double-scan)
+        delta_batches = [b for b in commits if b >= comp[0]]
+    else:
+        comp = None
+        delta_batches = commits
+    paths = [os.path.join(labels_dir, f"batch={b}") for b in delta_batches]
     paths = [p for p in paths if os.path.isdir(p) or _hdfs_exists(spark, p)]
-    if not paths:
+    if not paths and comp is None:
         return None
     from pyspark.sql import functions as F
 
-    df = spark.read.option("basePath", labels_dir).parquet(*paths)
+    parts = []
+    if paths:
+        parts.append(spark.read.option("basePath", labels_dir).parquet(*paths))
+    if comp is not None:
+        # covers batches < C, so it sorts below every live delta in the
+        # latest-wins fold (ties with a leftover delta carry equal labels)
+        parts.append(
+            spark.read.parquet(comp[1])
+            .select("id", "label")
+            .withColumn("batch", F.lit(comp[0] - 1))
+        )
+    df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     return df.groupBy("id").agg(F.max_by("label", "batch").alias("label"))
 
 
@@ -107,38 +128,84 @@ def _hdfs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def _latest_compacted(spark: SparkSession, labels_dir: str):
+    """Highest committed ``compacted=C`` dir under ``labels/`` (the folded
+    view of every delta batch < C), or None.  The dir RENAME is the
+    compaction commit point, so existence == committed."""
+    fs, p, _ = _hadoop_fs(spark, labels_dir)
+    if not fs.exists(p):
+        return None
+    best = None
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("compacted="):
+            c = int(name.split("=", 1)[1])
+            if best is None or c > best[0]:
+                best = (c, os.path.join(labels_dir, name))
+    return best
+
+
 def compact_labels(spark: SparkSession, work_dir: str) -> int:
     """LSM maintenance for the incremental ``labels/`` delta table: fold
-    the latest-wins view into the HIGHEST committed batch partition and
-    drop the older deltas.  ``current_labels`` is unchanged by
-    construction (``max_by`` over one batch is the identity), so readers
-    before/after compaction see identical labels; the read-side cost drops
-    from O(sum of delta sizes) to O(distinct ids).
+    every delta batch STRICTLY BELOW the highest commit into a
+    ``labels/compacted=<top>`` dir, then drop the folded deltas (and any
+    older compacted view).  ``current_labels`` is unchanged by
+    construction, and its read cost drops from O(sum of delta sizes) to
+    O(distinct ids) + the top delta.
 
-    Crash-safe ordering: the folded view is written to a temp dir FIRST
-    (materializing it before any source delta is touched), then the old
-    batch dirs are removed and the temp dir renamed into place — a crash
-    between steps leaves either the original deltas or a superset of the
-    folded view, never a partial state.  Returns the number of delta
-    partitions removed (0 = nothing to compact).
+    The top batch's delta is deliberately NOT folded: ``foreachBatch`` is
+    at-least-once, and the one batch a restarted stream can replay is the
+    highest committed one — its sink pass rewrites ``labels/batch=<top>``
+    (mode overwrite) and reads history via ``current_labels(upto_batch=
+    top)``, both of which must still see exactly the pre-batch state.
+    Folding top into the view a replay then overwrites would lose every
+    label the replay doesn't re-emit.
+
+    Crash-safe ordering: the folded view is written to a temp dir, the
+    RENAME to ``compacted=<top>`` is the atomic commit point, and source
+    deltas are deleted only after it.  A crash before the rename leaves
+    the original deltas (plus a dead temp dir the next run overwrites); a
+    crash after it leaves leftover deltas below the cover point, which
+    ``current_labels`` ignores by construction and the next compaction
+    call deletes.  Returns the number of delta partitions removed
+    (0 = nothing to compact).
     """
     commits = committed_batches(spark, os.path.join(work_dir, "_commits"))
     labels_dir = os.path.join(work_dir, "labels")
-    live = [
-        b for b in commits
-        if _hdfs_exists(spark, os.path.join(labels_dir, f"batch={b}"))
-    ]
-    if len(live) <= 1:
+    if not commits:
         return 0
-    view = current_labels(spark, work_dir)
+    top = max(commits)
+    comp = _latest_compacted(spark, labels_dir)
+    fold = [
+        b for b in commits
+        if b < top and _hdfs_exists(spark, os.path.join(labels_dir, f"batch={b}"))
+    ]
+    if not fold:
+        return 0
+
+    def _delete(path: str) -> None:
+        fs, p, _ = _hadoop_fs(spark, path)
+        fs.delete(p, True)
+
+    if comp is not None and comp[0] == top:
+        # everything below top is already folded; ``fold`` holds only
+        # leftovers from an interrupted cleanup — finish it
+        for b in fold:
+            _delete(os.path.join(labels_dir, f"batch={b}"))
+        return len(fold)
+    view = current_labels(spark, work_dir, upto_batch=top)
     tmp = os.path.join(work_dir, "_labels_compact_tmp")
+    _delete(tmp)
     view.select("id", "label").write.mode("overwrite").parquet(tmp)
     fs, tmp_p, _ = _hadoop_fs(spark, tmp)
-    top = max(live)
-    for b in live:
-        fs.delete(_hadoop_fs(spark, os.path.join(labels_dir, f"batch={b}"))[1], True)
-    fs.rename(tmp_p, _hadoop_fs(spark, os.path.join(labels_dir, f"batch={top}"))[1])
-    return len(live) - 1
+    fs.rename(
+        tmp_p, _hadoop_fs(spark, os.path.join(labels_dir, f"compacted={top}"))[1]
+    )
+    for b in fold:
+        _delete(os.path.join(labels_dir, f"batch={b}"))
+    if comp is not None:
+        _delete(comp[1])
+    return len(fold)
 
 
 def label_merge_delta(

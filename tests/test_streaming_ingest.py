@@ -322,9 +322,19 @@ def test_compact_labels_preserves_view(spark, tmp_path):
     }
     assert after == before
     dirs = sorted(os.listdir(os.path.join(work, "labels")))
-    assert dirs == ["batch=1"]
+    # the TOP delta stays live (it is the one batch a restarted stream can
+    # replay); everything below it folds into the compacted view
+    assert dirs == ["batch=1", "compacted=1"]
     # nothing left to compact
     assert compact_labels(spark, work) == 0
+
+    # at-least-once replay of the TOP batch after compaction: the sink
+    # overwrites batch=1 and must still see/produce the identical view
+    # (the motivating failure of folding INTO the top delta)
+    sink(spark.createDataFrame(batches[1], pschema), 1)
+    assert {
+        r["id"]: r["label"] for r in current_labels(spark, work).collect()
+    } == before
 
     # a post-compaction merge batch still rewrites old components
     sink(spark.createDataFrame([("e", 0x03F)], pschema), 2)
@@ -332,6 +342,20 @@ def test_compact_labels_preserves_view(spark, tmp_path):
         r["id"]: r["label"] for r in current_labels(spark, work).collect()
     }
     assert final == {k: "a" for k in ["a", "b", "c", "d", "e"]}
+
+    # crash-after-rename leftovers: a stale delta below the cover point is
+    # ignored by the read path and swept by the next compaction call
+    assert compact_labels(spark, work) == 1  # folds batch=1 into compacted=2
+    import shutil
+
+    stale = os.path.join(work, "labels", "batch=0")
+    src = os.path.join(work, "labels", "batch=2")
+    shutil.copytree(src, stale)
+    assert {
+        r["id"]: r["label"] for r in current_labels(spark, work).collect()
+    } == final
+    assert compact_labels(spark, work) == 1  # cleanup-only pass
+    assert not os.path.isdir(stale)
 
 
 def test_text_sink_labels_cross_batch(spark, tmp_path):
