@@ -415,6 +415,16 @@ def fold_components(
     and merely degrades to the iterative strategy when the fold's
     single-task assumption breaks.  Labels: cluster_id = min node id,
     identical to ``connected_components`` for every input.
+
+    Fault-tolerance note for real clusters: the eager ``localCheckpoint``
+    stores the level-1 forest on executors and CUTS lineage — an executor
+    loss between the two levels fails the job (no recompute path) and the
+    caller must resubmit, re-running level 1.  That is the right default
+    for a two-job operator (the window is seconds), but pipelines that
+    need per-round durable resume points should pass ``checkpoint_fn``
+    to ``cluster_assignments`` — its presence routes to the iterative
+    star engine, which checkpoints each round to storage
+    (plans/pipeline.py) and resumes without recompute.
     """
     edges = edges_df.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
