@@ -434,40 +434,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint_bands"] = fp_bands
 
     # ---- text analysis (oracle-checked) ----
-    def text_quality_wide(spark, sf):
-        # ONE wide doc-grain entry for the three read-only text-analysis
-        # operators (token_stats + quality_score + lang_id) — same
-        # coverage, one driver CORRECTNESS slot instead of three.  Planted
-        # rows carry punctuation, stopwords, and uppercase so every ratio
-        # column and the language markers are value-checked on non-trivial
-        # values (the corpus is bare lowercase words).
-        docs = _docs(spark, sf).select("doc_id", "text")
-        planted = docs.filter(F.col("doc_id") < 10).select(
-            (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
-            F.concat(F.lit("The quick, brown fox!!! It is "), F.col("text"))
-            .alias("text"),
-        )
-        allrows = docs.unionByName(planted)
-        ts = token_stats(allrows, "doc_id", "text")
-        qs = quality_score(allrows, "doc_id", "text")
-        li = lang_id(allrows, "doc_id", "text")
-        return ts.join(qs, "doc_id").join(li, "doc_id")
-
-    q["text_quality_wide"] = text_quality_wide
-
-    def text_tokens_wide(spark, sf):
-        # ONE wide doc-grain entry for BPE pre-tokenization counts +
-        # PII masking (absorbed the former bpe_token_stats and mask_pii
-        # entries).  The shared planted prefix exercises contractions,
-        # digit runs, punctuation runs, AND all three masking branches
-        # (email / URL / long number) on the same rows.
+    def text_analysis_wide(spark, sf):
+        # ONE wide doc-grain entry for ALL FIVE read-only text-analysis
+        # operators (token_stats + quality_score + lang_id +
+        # bpe_token_stats + mask_pii) — the r6 merge of the former
+        # text_quality_wide and text_tokens_wide entries (themselves r5
+        # merges of five singles): same coverage, one driver CORRECTNESS
+        # slot instead of two.  BOTH planted sets ride along: +30M rows
+        # carry punctuation/stopwords/uppercase (every ratio column and
+        # the language markers bind on non-trivial values) and +20M rows
+        # carry contractions, digit runs, and all three PII masking
+        # branches (email / URL / long number).
         from fuzzymatch_spark.operators.textstats import (
             bpe_token_stats,
             mask_pii,
         )
 
         docs = _docs(spark, sf).select("doc_id", "text")
-        planted = docs.filter(F.col("doc_id") < 10).select(
+        planted_pii = docs.filter(F.col("doc_id") < 10).select(
             (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
             F.concat(
                 F.lit("It's 42 degrees... mail bob.smith+x@example.co.uk "
@@ -475,12 +459,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("text"),
             ).alias("text"),
         )
-        allrows = docs.unionByName(planted)
+        planted_q = docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
+            F.concat(F.lit("The quick, brown fox!!! It is "), F.col("text"))
+            .alias("text"),
+        )
+        allrows = docs.unionByName(planted_pii).unionByName(planted_q)
+        ts = token_stats(allrows, "doc_id", "text")
+        qs = quality_score(allrows, "doc_id", "text")
+        li = lang_id(allrows, "doc_id", "text")
         bpe = bpe_token_stats(allrows, "doc_id", "text")
         masked = mask_pii(allrows, "doc_id", "text")
-        return bpe.join(masked, "doc_id")
+        return (
+            ts.join(qs, "doc_id")
+            .join(li, "doc_id")
+            .join(bpe, "doc_id")
+            .join(masked, "doc_id")
+        )
 
-    q["text_tokens_wide"] = text_tokens_wide
+    q["text_analysis_wide"] = text_analysis_wide
 
     # ---- corpus curation (oracle-checked; operators/corpus.py) ----
     def repetition_q(spark, sf):
@@ -1268,8 +1265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    q["tpch_q1_agg"] = tpch_q1
-
     def tpch_q3(spark, sf):
         cust = spark.read.parquet(f"{sf}/customer.parquet")
         orders = spark.read.parquet(f"{sf}/orders.parquet")
@@ -1337,7 +1332,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    q["broadcast_dim_join"] = broadcast_dim_join
+    def relational_agg_suite(spark, sf):
+        # ORACLE-CHECKED multi-output relational entry (r6 merge of the
+        # former tpch_q1_agg + broadcast_dim_join singles, the VERDICT r5
+        # slot-headroom candidates): two aggregate grains union into ONE
+        # driver slot behind a section discriminator and generic
+        # (k1,k2,cnt,m1,m2,m3) columns; typed-NULL padding keeps every
+        # value column engine-comparable (both parity harnesses
+        # canonicalize NULL identically).  Coverage is unchanged — the
+        # same tpch_q1 / broadcast_dim_join DataFrame code runs, decimal
+        # sums, rounding, broadcast hints and all.
+        q1 = tpch_q1(spark, sf).select(
+            F.lit("tpch_q1").alias("section"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            F.col("count_order").alias("cnt"),
+            F.col("sum_qty").alias("m1"),
+            F.col("sum_base_price").alias("m2"),
+            F.col("sum_disc_price").alias("m3"),
+        )
+        dim = broadcast_dim_join(spark, sf).select(
+            F.lit("dim_join").alias("section"),
+            F.col("r_name").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("n_suppliers").alias("cnt"),
+            F.col("sum_acctbal").alias("m1"),
+            F.lit(None).cast("double").alias("m2"),
+            F.lit(None).cast("double").alias("m3"),
+        )
+        return q1.unionByName(dim)
+
+    q["relational_agg_suite"] = relational_agg_suite
 
     def part_topk_by_brand(spark, sf):
         from pyspark.sql import Window
@@ -2029,7 +2054,7 @@ def oracle_sql() -> dict[str, str]:
         # wide entry: BPE pre-tokenization counts + PII masking over ONE
         # shared planted set (contractions/digits/punct + all 3 masking
         # branches on the same rows)
-        "text_tokens_wide": """
+        "text_analysis_wide": """
             WITH allrows AS (
               SELECT doc_id, text FROM documents
               UNION ALL
@@ -2038,6 +2063,54 @@ def oracle_sql() -> dict[str, str]:
                      || 'or https://ex.org/a?id=99 card 4111222233334444 '
                      || text AS text
               FROM documents WHERE doc_id < 10
+              UNION ALL
+              SELECT doc_id + 30000000 AS doc_id,
+                     'The quick, brown fox!!! It is ' || text AS text
+              FROM documents WHERE doc_id < 10
+            ),
+            tstat AS (
+              SELECT doc_id,
+                     CAST(len(text) AS BIGINT) AS n_chars,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS n_distinct_tokens,
+                     round(len(list_distinct(string_split(text, ' '))) * 1.0
+                           / len(string_split(text, ' ')), 6)
+                       AS type_token_ratio
+              FROM allrows
+            ),
+            t AS (
+              SELECT doc_id, text, len(text) AS nc,
+                     len(string_split(text, ' ')) AS nt,
+                     len(list_distinct(string_split(text, ' '))) AS nd,
+                     len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                       AS np,
+                     len(list_filter(string_split(text, ' '),
+                         x -> lower(x) IN ('the','and','of','is','to','a',
+                                           'in','it','that'))) AS ns
+              FROM allrows
+            ),
+            qs AS (
+              SELECT doc_id,
+                     round(nd * 1.0 / nt, 6) AS ttr,
+                     round((nc - nt + 1) * 1.0 / nt, 6) AS mean_token_len,
+                     round(np * 1.0 / greatest(nc, 1), 6) AS punct_ratio,
+                     round(ns * 1.0 / nt, 6) AS stopword_ratio,
+                     CAST(CASE WHEN nc >= 20 AND nc <= 10000
+                               AND nd * 1.0 / nt >= 0.2
+                          THEN 1 ELSE 0 END AS INT) AS quality_pass
+              FROM t
+            ),
+            lt AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM allrows
+            ), ls AS (
+              SELECT doc_id,
+                CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','to'))) AS BIGINT) AS score_en,
+                CAST(len(list_filter(toks, x -> x IN ('el','la','los','que','de'))) AS BIGINT) AS score_es,
+                CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS score_de,
+                CAST(len(list_filter(toks, x -> x IN ('le','les','des','est','une'))) AS BIGINT) AS score_fr
+              FROM lt
             ),
             toks AS (
               SELECT doc_id,
@@ -2082,10 +2155,21 @@ def oracle_sql() -> dict[str, str]:
                        AS masked_text
               FROM s2
             )
-            SELECT bpe.doc_id, bpe.n_bpe_pieces, bpe.n_alpha_pieces,
+            SELECT tstat.doc_id, tstat.n_chars, tstat.n_tokens,
+                   tstat.n_distinct_tokens, tstat.type_token_ratio,
+                   qs.ttr, qs.mean_token_len, qs.punct_ratio,
+                   qs.stopword_ratio, qs.quality_pass,
+                   ls.score_en, ls.score_es, ls.score_de, ls.score_fr,
+                   CASE WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'und'
+                        WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                        WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                        WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                        ELSE 'fr' END AS pred_lang,
+                   bpe.n_bpe_pieces, bpe.n_alpha_pieces,
                    bpe.n_digit_pieces, s3.n_email, s3.n_url, s3.n_longnum,
                    s3.masked_text
-            FROM bpe JOIN s3 USING (doc_id)
+            FROM tstat JOIN qs USING (doc_id) JOIN ls USING (doc_id)
+                 JOIN bpe USING (doc_id) JOIN s3 USING (doc_id)
         """,
         # independent relational formulation (unnest + GROUP BY) of the
         # Spark side's within-row array-fold computation
@@ -2643,70 +2727,6 @@ def oracle_sql() -> dict[str, str]:
         # wide entry: token_stats + quality_score + lang_id over ONE
         # shared planted set (punctuation, stopwords, uppercase) — same
         # coverage as the former three entries in a single slot
-        "text_quality_wide": """
-            WITH allrows AS (
-              SELECT doc_id, text FROM documents
-              UNION ALL
-              SELECT doc_id + 30000000 AS doc_id,
-                     'The quick, brown fox!!! It is ' || text AS text
-              FROM documents WHERE doc_id < 10
-            ),
-            ts AS (
-              SELECT doc_id,
-                     CAST(len(text) AS BIGINT) AS n_chars,
-                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-                       AS n_distinct_tokens,
-                     round(len(list_distinct(string_split(text, ' '))) * 1.0
-                           / len(string_split(text, ' ')), 6)
-                       AS type_token_ratio
-              FROM allrows
-            ),
-            t AS (
-              SELECT doc_id, text, len(text) AS nc,
-                     len(string_split(text, ' ')) AS nt,
-                     len(list_distinct(string_split(text, ' '))) AS nd,
-                     len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
-                       AS np,
-                     len(list_filter(string_split(text, ' '),
-                         x -> lower(x) IN ('the','and','of','is','to','a',
-                                           'in','it','that'))) AS ns
-              FROM allrows
-            ),
-            qs AS (
-              SELECT doc_id,
-                     round(nd * 1.0 / nt, 6) AS ttr,
-                     round((nc - nt + 1) * 1.0 / nt, 6) AS mean_token_len,
-                     round(np * 1.0 / greatest(nc, 1), 6) AS punct_ratio,
-                     round(ns * 1.0 / nt, 6) AS stopword_ratio,
-                     CAST(CASE WHEN nc >= 20 AND nc <= 10000
-                               AND nd * 1.0 / nt >= 0.2
-                          THEN 1 ELSE 0 END AS INT) AS quality_pass
-              FROM t
-            ),
-            lt AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS toks
-              FROM allrows
-            ), ls AS (
-              SELECT doc_id,
-                CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','to'))) AS BIGINT) AS score_en,
-                CAST(len(list_filter(toks, x -> x IN ('el','la','los','que','de'))) AS BIGINT) AS score_es,
-                CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS score_de,
-                CAST(len(list_filter(toks, x -> x IN ('le','les','des','est','une'))) AS BIGINT) AS score_fr
-              FROM lt
-            )
-            SELECT ts.doc_id, ts.n_chars, ts.n_tokens, ts.n_distinct_tokens,
-                   ts.type_token_ratio,
-                   qs.ttr, qs.mean_token_len, qs.punct_ratio,
-                   qs.stopword_ratio, qs.quality_pass,
-                   ls.score_en, ls.score_es, ls.score_de, ls.score_fr,
-                   CASE WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'und'
-                        WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
-                        WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
-                        WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
-                        ELSE 'fr' END AS pred_lang
-            FROM ts JOIN qs USING (doc_id) JOIN ls USING (doc_id)
-        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             nums AS (SELECT unnest(range(1, 65)) AS i),
@@ -2782,17 +2802,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos DESC, vec_id ASC
             LIMIT 10
         """,
-        "tpch_q1_agg": """
-            SELECT l_returnflag, l_linestatus,
-                   round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_base_price,
+        "relational_agg_suite": """
+            SELECT 'tpch_q1' AS section,
+                   l_returnflag AS k1, l_linestatus AS k2,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS m1,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS m2,
                    round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,6))
                          * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6)))
-                         AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_disc_price,
-                   CAST(count(*) AS BIGINT) AS count_order
+                         AS DECIMAL(38,6))) AS DOUBLE), 4) AS m3
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+            UNION ALL
+            SELECT 'dim_join' AS section,
+                   r_name AS k1, CAST(NULL AS VARCHAR) AS k2,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE), 4) AS m1,
+                   CAST(NULL AS DOUBLE) AS m2,
+                   CAST(NULL AS DOUBLE) AS m3
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "tpch_q3_topk": """
             SELECT o_orderkey,
@@ -2806,16 +2838,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 20
-        """,
-        "broadcast_dim_join": """
-            SELECT r_name,
-                   CAST(count(*) AS BIGINT) AS n_suppliers,
-                   round(CAST(sum(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE), 4)
-                     AS sum_acctbal
-            FROM supplier
-            JOIN nation ON s_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-            GROUP BY r_name
         """,
         "part_topk_by_brand": """
             SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS BIGINT) AS rn
