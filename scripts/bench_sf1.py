@@ -57,7 +57,13 @@ def build_corpus(spark):
     return out.repartition(CORES * 4)
 
 
-def run_q1(spark, docs, precontract: bool = False, method: str = "star"):
+def run_q1(
+    spark,
+    docs,
+    precontract: bool = False,
+    method: str = "star",
+    fused: bool = False,
+):
     from fuzzymatch_spark.config import DedupConfig
     from fuzzymatch_spark.operators.cluster import cluster_assignments
     from fuzzymatch_spark.operators.dedup import (
@@ -71,8 +77,16 @@ def run_q1(spark, docs, precontract: bool = False, method: str = "star"):
     sig = compute_signatures(docs, "doc_id", "text", cfg).persist()
     n_docs = sig.count()
     t_sig = time.time()
-    verified = verify_edges(candidate_edges(sig, cfg), sig, cfg).persist()
-    n_edges = verified.count()
+    # fused=True is the production shape (bench.py q1 since r6): verify
+    # feeds ONLY the CC operator, which materializes it exactly once, so
+    # the eager persist+count here is pure stage-decomposition
+    # instrumentation — the fused variant measures the true end-to-end
+    # wall (edge count and the verify/cc split are then unavailable)
+    verified = verify_edges(candidate_edges(sig, cfg), sig, cfg)
+    n_edges = None
+    if not fused:
+        verified = verified.persist()
+        n_edges = verified.count()
     t_ver = time.time()
     kwargs = {"precontract": precontract} if method == "star" else {}
     clusters = cluster_assignments(
@@ -90,7 +104,8 @@ def run_q1(spark, docs, precontract: bool = False, method: str = "star"):
         "wall_cc": round(t_cc - t_ver, 3),
     }
     sig.unpersist()
-    verified.unpersist()
+    if not fused:
+        verified.unpersist()
     return clusters, stats
 
 
@@ -115,6 +130,8 @@ def main() -> None:
         ("fold", {"method": "fold"}),
         # default method="auto" must pick the measured sf1 regime winner
         ("auto", {"method": "auto"}),
+        # the production pipeline shape: no eager verify materialization
+        ("fused", {"method": "auto", "fused": True}),
     )
     results: dict[str, list[dict]] = {name: [] for name, _ in variants}
     label_sets = {}
