@@ -4,24 +4,25 @@
     images(image_id string, bytes binary, w int, h int, fmt string,
            caption string, phash long)
 
-CODEC STATUS:
+CODEC STATUS (both REAL since r6 — zero stub codecs on the image legs):
 
 * fmt='png'  : REAL — a pure-stdlib PNG codec (``sources/png.py``:
   zlib deflate, adaptive scanline filtering, full filter-type 0-4
   reconstruction, CRC-checked chunks).  Bytes are standard PNG any
   decoder can read; decoded pixels are byte-exact (PSNR = inf).
-* fmt='jpeg' : STUB — libjpeg/PIL are not available in this
-  environment, so a deterministic stand-in (uniform quantization with
-  a quality-derived step, then zlib in an FJPG container) keeps the
-  lossy contract: decoded pixels satisfy PSNR >= 40 dB for
-  quality >= 85, matching the input_hint's per-row invariant.  Real
-  JPEG bytes decode through Pillow when it is installed.
+* fmt='jpeg' : REAL — a pure-numpy baseline JPEG codec
+  (``sources/jpeg.py``: 8x8 DCT, Annex-K quantization + Huffman
+  tables, JFIF markers; batched, vectorized encode AND decode).
+  Bytes are standard baseline JFIF any decoder can read (Pillow
+  cross-check in tests/test_jpeg_codec.py runs wherever PIL exists);
+  decoded pixels satisfy the input_hint's PSNR >= 40 dB invariant at
+  the corpus encode quality (95) and at the re-encode acceptance
+  cycle ``decode_stats`` checks.  Progressive/multi-component files
+  fall through to Pillow when installed.
 
 All Spark-side plumbing — binary column schema, Arrow batch shape,
 ``mapInPandas`` decode, the ``phash_from_bytes`` pandas UDF, partitioning —
-is real and tested; swapping in PIL for the lossy leg is a two-line
-change inside ``decode_image``/``encode_image`` (guarded by the
-import-try below).
+is real and tested.
 """
 
 from __future__ import annotations
@@ -37,6 +38,12 @@ from pyspark.sql.types import LongType
 
 from fuzzymatch_spark.kernels.phash import dhash64, phash64
 from fuzzymatch_spark.plans.parallelism import ensure_min_partitions
+from fuzzymatch_spark.sources.jpeg import (
+    jpeg_decode,
+    jpeg_decode_batch,
+    jpeg_encode,
+    jpeg_encode_batch,
+)
 from fuzzymatch_spark.sources.png import (
     PNG_SIGNATURE,
     png_decode,
@@ -55,42 +62,41 @@ _MAGIC_PNG = b"FPNG"
 _MAGIC_JPG = b"FJPG"
 
 
-def _quant_step(quality: int) -> int:
-    """Quality 95 -> step 2 (PSNR ~52dB), 85 -> step 4 (~47dB), 75 -> 6."""
-    return max(1, (100 - quality) // 4 + 1)
-
-
 def encode_image(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
     """Encode a uint8 grayscale (h,w) or RGB (h,w,3) array.  PNG output
-    is real standard PNG (see CODEC STATUS above); JPEG is the stub."""
+    is real standard PNG and JPEG output is real baseline JFIF (see CODEC
+    STATUS above) — both pure numpy/stdlib, no third-party codec."""
     if fmt == "png":
         return png_encode(pixels)
-    h, w = pixels.shape
     if fmt == "jpeg":
-        step = _quant_step(quality)
-        q = (pixels.astype(np.int32) // step) * step + step // 2
-        q = np.clip(q, 0, 255).astype(np.uint8)
-        return (
-            _MAGIC_JPG
-            + struct.pack("<HHB", w, h, step)
-            + zlib.compress(q.tobytes(), 6)
-        )
+        if pixels.ndim == 3:
+            pixels = rgb_to_grey(pixels)
+        return jpeg_encode(pixels, quality)
     raise NotImplementedError(f"unsupported format: {fmt}")
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode to a 2-D uint8 grayscale array. See STUB NOTICE above.
+    """Decode to a 2-D uint8 grayscale array.
 
-    Real PNG bytes (from this codec or any conforming encoder) decode via
-    the pure-stdlib decoder in ``sources/png.py``; RGB PNGs are converted
-    to luma like Pillow's ``convert('L')``.  Legacy FPNG/FJPG stand-in
-    containers still decode byte-exactly.  Anything else (real JPEG/WebP
-    bytes) falls through to Pillow when it is installed — that swap-in
-    path needs no code change beyond `pip install pillow` (exercised by a
-    mocked-PIL test in tests/test_images_phash.py since the real library
-    is absent here)."""
+    Real PNG and baseline JPEG bytes (from these codecs or any conforming
+    encoder) decode natively; RGB PNGs are converted to luma like
+    Pillow's ``convert('L')``.  Legacy FPNG/FJPG stand-in containers
+    still decode byte-exactly (pre-r6 stored fixtures).  Anything else
+    (progressive JPEG, WebP, ...) falls through to Pillow when it is
+    installed — that swap-in path needs no code change beyond
+    `pip install pillow` (exercised by a mocked-PIL test in
+    tests/test_images_phash.py since the real library is absent here)."""
     if data[:8] == PNG_SIGNATURE:
         return rgb_to_grey(png_decode(data))
+    if data[:2] == b"\xff\xd8":
+        try:
+            return jpeg_decode(data)
+        except Exception as e:  # progressive/multi-component/corrupt
+            if not HAVE_PIL:
+                raise NotImplementedError(
+                    "JPEG bytes the baseline decoder cannot parse "
+                    f"({type(e).__name__}: {e}); install Pillow"
+                ) from e
     magic = data[:4]
     if magic == _MAGIC_PNG:
         w, h = struct.unpack("<HH", data[4:8])
@@ -108,7 +114,8 @@ def decode_image(data: bytes) -> np.ndarray:
         img = Image.open(io.BytesIO(data)).convert("L")
         return np.asarray(img, dtype=np.uint8)
     raise NotImplementedError(
-        "unknown image container (PNG decodes natively; lossy codecs need Pillow)"
+        "unknown image container (PNG/baseline-JPEG decode natively; other"
+        " codecs need Pillow)"
     )
 
 
@@ -160,6 +167,54 @@ def _iter_images(rid: str, caption, seed: int, dup_fraction: float):
         )
 
 
+def _batch_image_rows(rids, captions, seed: int, dup_fraction: float):
+    """Batched equivalent of chaining ``_iter_images`` over the rows:
+    identical rows in identical order (pinned by
+    tests/test_images_phash.py), with the JPEG encode/decode legs routed
+    through the chunked batch codec — the per-image fixed cost of the
+    vectorized codec is what dominated the per-row path."""
+    prim = []
+    for rid, caption in zip(rids, captions):
+        px = synth_pixels(rid)
+        rng = np.random.RandomState(
+            int.from_bytes(
+                hashlib.blake2b(
+                    (rid + str(seed)).encode(), digest_size=4
+                ).digest(),
+                "little",
+            )
+        )
+        fmt = "png" if rng.rand() < 0.5 else "jpeg"
+        has_twin = rng.rand() < dup_fraction
+        prim.append((rid, caption, px, fmt, has_twin))
+    jdata = jpeg_encode_batch([p[2] for p in prim if p[3] == "jpeg"], 95)
+    jdec = jpeg_decode_batch(jdata)
+    tdata = jpeg_encode_batch([p[2] for p in prim if p[4]], 85)
+    tdec = jpeg_decode_batch(tdata)
+    ji = ti = 0
+    rows = []
+    for rid, caption, px, fmt, has_twin in prim:
+        h0, w0 = px.shape
+        if fmt == "jpeg":
+            data, decoded = jdata[ji], jdec[ji]
+            ji += 1
+        else:
+            data = encode_image(px, "png", quality=95)
+            decoded = decode_image(data)
+        rows.append(
+            (f"img_{rid}", data, w0, h0, fmt, caption,
+             phash64(decoded), dhash64(decoded))
+        )
+        if has_twin:
+            data2, dec2 = tdata[ti], tdec[ti]
+            ti += 1
+            rows.append(
+                (f"img_{rid}_dup", data2, w0, h0, "jpeg", caption,
+                 phash64(dec2), dhash64(dec2))
+            )
+    return rows
+
+
 def build_images_df(
     spark: SparkSession,
     docs_df: DataFrame,
@@ -183,10 +238,11 @@ def build_images_df(
         cols = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
         for pdf in batches:
             out = {k: [] for k in cols}
-            for rid, caption in zip(pdf[id_col].astype(str), pdf[caption_col]):
-                for row in _iter_images(rid, caption, seed, dup_fraction):
-                    for k, v in zip(cols, row):
-                        out[k].append(v)
+            for row in _batch_image_rows(
+                pdf[id_col].astype(str), pdf[caption_col], seed, dup_fraction
+            ):
+                for k, v in zip(cols, row):
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return docs_df.select(id_col, caption_col).mapInPandas(gen, schema=schema)
@@ -219,12 +275,13 @@ def build_phash_df(
             ids: list = []
             phs: list = []
             dhs: list = []
-            for rid, caption in zip(pdf[id_col].astype(str), pdf[caption_col]):
-                for row in _iter_images(rid, caption, seed, dup_fraction):
-                    ids.append(row[0])
-                    phs.append(row[6])
-                    if with_dhash:
-                        dhs.append(row[7])
+            for row in _batch_image_rows(
+                pdf[id_col].astype(str), pdf[caption_col], seed, dup_fraction
+            ):
+                ids.append(row[0])
+                phs.append(row[6])
+                if with_dhash:
+                    dhs.append(row[7])
             out = {"image_id": ids, "phash": phs}
             if with_dhash:
                 out["dhash"] = dhs
@@ -243,9 +300,17 @@ def make_phash_udf():
     @F.pandas_udf(LongType())
     def phash_from_bytes(blobs: pd.Series) -> pd.Series:
         out = np.zeros(len(blobs), dtype=np.int64)
-        for k, data in enumerate(blobs):
-            if data is not None:
-                out[k] = phash64(decode_image(bytes(data)))
+        items = [
+            (k, bytes(d)) for k, d in enumerate(blobs) if d is not None
+        ]
+        jpegs = [(k, d) for k, d in items if d[:2] == b"\xff\xd8"]
+        for (k, _), px in zip(
+            jpegs, jpeg_decode_batch([d for _, d in jpegs])
+        ):
+            out[k] = phash64(px)
+        for k, d in items:
+            if d[:2] != b"\xff\xd8":
+                out[k] = phash64(decode_image(d))
         return pd.Series(out)
 
     return phash_from_bytes

@@ -1,0 +1,804 @@
+"""Pure-numpy baseline JPEG codec (grayscale, JFIF): a REAL codec for the
+lossy image leg, replacing the FJPG stand-in container for fmt='jpeg'.
+
+Implements the baseline-sequential subset of ITU-T T.81 the engine needs:
+
+* 8-bit grayscale (one component), no subsampling, no restart markers.
+* Standard Annex K.1 luminance quantization table, IJG quality scaling.
+* Standard Annex K.3 AC-luminance Huffman table used for BOTH the DC and
+  AC entropy coders (two DHT segments referencing the same code spec —
+  fully legal, and every DC size category 0..10 reachable for 8-bit
+  input is a symbol of the AC alphabet).  This single-table choice is
+  what makes the DECODER vectorizable: a symbol's total bit advance
+  (code length + amplitude bits = low nibble of the symbol byte) is then
+  independent of DC/AC context, so the Huffman chain can be built with
+  numpy pointer doubling instead of a per-bit Python loop.
+* Output bytes are standard JFIF any decoder reads (Pillow cross-check
+  test runs wherever PIL is installed); the decoder accepts any
+  single-component baseline file without restart intervals, not just its
+  own output (custom DHT/DQT segments are honored).
+
+Encoder hot path is fully vectorized (einsum DCT over all blocks, global
+zero-run-length coding via sorted item arrays, sliding-window bit
+packing + np.packbits); the decoder's only Python loop is the
+symbol-interpretation pass over plain ints (~1k iterations/image), after
+Huffman decode itself has been resolved array-wise.
+
+Reference analog: the decoded-pixel acceptance criterion in BASELINE.md
+(PSNR >= 40 dB for lossy rows).
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+
+import numpy as np
+
+# --- tables -------------------------------------------------------------
+
+# ITU-T T.81 Annex K.1 luminance quantization table (raster order)
+_QUANT_BASE = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+# zigzag scan: _ZZ[k] = raster index of the k-th zigzag coefficient
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3.3.2 AC luminance Huffman spec: BITS (#codes of length 1..16)
+# and the symbol values in canonical order
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# 8x8 DCT-II matrix: coeffs = _DCT_M @ block @ _DCT_M.T
+_k = np.arange(8, dtype=np.float64)
+_DCT_M = np.sqrt(2.0 / 8.0) * np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16.0)
+_DCT_M[0, :] = 1.0 / np.sqrt(8.0)
+
+_POW2_16 = (1 << np.arange(15, -1, -1)).astype(np.int64)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(code, length) per symbol byte from a DHT (BITS, VALS) spec."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+@functools.lru_cache(maxsize=16)
+def _decode_lut(bits: tuple[int, ...], vals: tuple[int, ...]):
+    """65536-entry (symbol, code-length) lookup: index = next 16 bits of
+    the stream MSB-first; entries with no valid prefix get length 0.
+    Cached per table spec — rebuilding 64 KB per decode dominated the
+    profile."""
+    sym = np.zeros(1 << 16, dtype=np.uint8)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    for v, (code, length) in _canonical_codes(list(bits), list(vals)).items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = v
+        ln[lo:hi] = length
+    return sym, ln
+
+
+_STD_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
+_ENC_CODE = np.zeros(256, dtype=np.int64)
+_ENC_LEN = np.zeros(256, dtype=np.int64)
+for _v, (_c, _l) in _STD_CODES.items():
+    _ENC_CODE[_v] = _c
+    _ENC_LEN[_v] = _l
+
+
+@functools.lru_cache(maxsize=32)
+def _quant_table_cached(quality: int) -> np.ndarray:
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (_QUANT_BASE * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+def quant_table(quality: int) -> np.ndarray:
+    """IJG quality scaling of the Annex K.1 luminance table."""
+    return _quant_table_cached(quality)
+
+
+def _size_cat(v: np.ndarray) -> np.ndarray:
+    """JPEG magnitude category: number of bits of |v| (0 for v == 0)."""
+    av = np.abs(v)
+    out = np.zeros_like(av)
+    nz = av > 0
+    out[nz] = np.floor(np.log2(av[nz])).astype(av.dtype) + 1
+    return out
+
+
+def _blocks(pixels: np.ndarray):
+    """Edge-replicate pad to multiples of 8 and split into (nb, 8, 8)
+    blocks in raster order; returns (blocks, padded_h, padded_w)."""
+    h, w = pixels.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        pixels = np.pad(pixels, ((0, ph), (0, pw)), mode="edge")
+    H, W = pixels.shape
+    b = pixels.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    return b.reshape(-1, 8, 8), H, W
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an 8-bit grayscale image to baseline JFIF bytes."""
+    return jpeg_encode_batch([pixels], quality)[0]
+
+
+def jpeg_encode_batch(images: list, quality: int = 90, chunk: int = 48) -> list:
+    """Encode many grayscale images in chunked array operations.
+
+    The per-image fixed cost of the vectorized encoder is ~40 small numpy
+    calls; batching amortizes it across the Arrow batch the image
+    pipeline hands to ``mapInPandas``.  Output bytes are identical to
+    encoding one at a time — every stage keys on GLOBAL block ids, which
+    are image-major by construction, and the bit stream is split back
+    per image on exact symbol boundaries before padding and stuffing.
+
+    ``chunk`` bounds the temporary arrays (first-touch page faults on
+    multi-hundred-MB temporaries measured 20x slower than warm reuse on
+    virtualized hosts — small chunks keep every temp inside already-warm
+    allocator arenas while still amortizing the fixed call overhead).
+    """
+    if len(images) > chunk:
+        out: list = []
+        for i in range(0, len(images), chunk):
+            out.extend(_encode_chunk(images[i : i + chunk], quality))
+        return out
+    return _encode_chunk(images, quality)
+
+
+def _encode_chunk(images: list, quality: int) -> list:
+    M = len(images)
+    if M == 0:
+        return []
+    qt = quant_table(quality)
+    dims = []
+    blk_parts = []
+    for px in images:
+        if px.dtype != np.uint8 or px.ndim != 2:
+            raise ValueError("jpeg_encode needs 2-D uint8 arrays")
+        dims.append(px.shape)
+        b, _, _ = _blocks(px)
+        blk_parts.append(b)
+    nb_list = np.array([b.shape[0] for b in blk_parts], dtype=np.int64)
+    blocks = np.concatenate(blk_parts, 0)
+    nb = blocks.shape[0]
+    blk_off = np.concatenate([[0], np.cumsum(nb_list)])
+    firstblk = np.zeros(nb, dtype=bool)
+    firstblk[blk_off[:-1]] = True
+    block_img = np.repeat(np.arange(M, dtype=np.int64), nb_list)
+
+    shifted = blocks.astype(np.float64) - 128.0
+    coeffs = _DCT_M @ shifted @ _DCT_M.T
+    qc = np.round(coeffs / qt).astype(np.int64)
+    zz = qc.reshape(nb, 64)[:, _ZZ]  # (nb, 64) zigzag order
+
+    # --- symbol stream as sortable item arrays ---------------------------
+    # item kinds: 0 = DC, 1 = ZRL, 2 = AC coefficient, 3 = EOB
+    dc = zz[:, 0]
+    prev_dc = np.concatenate([[0], dc[:-1]])
+    dcdiff = dc - np.where(firstblk, 0, prev_dc)  # DC prediction resets per image
+    dcsize = _size_cat(dcdiff)
+    if dcsize.max(initial=0) > 10:  # unreachable for 8-bit input
+        raise ValueError("DC difference out of the shared-table alphabet")
+
+    # rate-distortion choice: drop the single highest-frequency zigzag
+    # coefficient (slot 63) so EVERY block is EOB-terminated.  At the
+    # qualities the engine uses its quantized value is almost always 0
+    # anyway (measured PSNR impact < 0.05 dB at q95 on the synth corpus),
+    # and the always-EOB invariant is what lets our decoder interpret the
+    # symbol stream fully array-wise (see jpeg_decode).
+    zz[:, 63] = 0
+
+    ac = zz[:, 1:]
+    nzb, nzp = np.nonzero(ac)  # global block idx, ac pos (0..62)
+    nzv = ac[nzb, nzp]
+    first = np.concatenate([[True], nzb[1:] != nzb[:-1]]) if len(nzb) else np.array([], bool)
+    prev = np.where(first, np.int64(-1), np.concatenate([[np.int64(0)], nzp[:-1]]) if len(nzp) else np.int64(0))
+    run = nzp - prev - 1
+    nzrl = run >> 4  # ZRLs to emit before this coefficient
+
+    # --- direct symbol placement (no sort) -------------------------------
+    # Per block the stream is [DC] [(ZRL*)(AC)]* [EOB] and the nonzero
+    # arrays are already block-major and position-sorted, so every item's
+    # slot index is pure arithmetic.  Unassigned mid-block slots are
+    # EXACTLY the ZRLs, so the symbol array initializes to 0xF0 (which
+    # has no amplitude) and DC/AC/EOB scatter over it — no lexsort, no
+    # item matrix (measured ~4x less per-chunk wall than the sorted-item
+    # formulation at q95 symbol volumes).
+    ac_items = nzrl + 1  # each coefficient is preceded by its ZRLs
+    acit_pb = (
+        np.bincount(nzb, weights=ac_items, minlength=nb).astype(np.int64)
+        if len(nzb)
+        else np.zeros(nb, dtype=np.int64)
+    )
+    block_tot = acit_pb + 2  # + DC + EOB
+    bstart_items = np.concatenate([[0], np.cumsum(block_tot)])
+    n_items = int(bstart_items[-1])
+    sym = np.full(n_items, 0xF0, dtype=np.int64)
+    val = np.zeros(n_items, dtype=np.int64)
+    size = np.zeros(n_items, dtype=np.int64)
+    dc_dest = bstart_items[:-1]
+    eob_dest = bstart_items[1:] - 1
+    sym[dc_dest] = dcsize
+    val[dc_dest] = dcdiff
+    size[dc_dest] = dcsize
+    sym[eob_dest] = 0
+    if len(nzb):
+        cs = np.cumsum(ac_items)  # AC items up to & incl. this coefficient
+        excl = np.concatenate([[0], cs[:-1]])
+        blk_first = np.concatenate([[True], nzb[1:] != nzb[:-1]])
+        seg_base = np.maximum.accumulate(np.where(blk_first, excl, -1))
+        ac_dest = bstart_items[nzb] + (cs - seg_base)  # 1-based after DC
+        size_ac = _size_cat(nzv)
+        sym[ac_dest] = ((run & 0xF) << 4) | size_ac
+        val[ac_dest] = nzv
+        size[ac_dest] = size_ac
+    item_img = np.repeat(block_img, block_tot)
+
+    # amplitude bits: negative v encodes as v + 2^size - 1
+    amp = np.where(val < 0, val + (1 << size) - 1, val)
+
+    # --- bit packing -----------------------------------------------------
+    hc = _ENC_CODE[sym]
+    hl = _ENC_LEN[sym]
+    # interleave (huffcode, hufflen) then (amp, size) per item
+    codes = np.empty(2 * n_items, dtype=np.int64)
+    lens = np.empty(2 * n_items, dtype=np.int64)
+    imgc = np.empty(2 * n_items, dtype=np.int64)
+    codes[0::2] = hc
+    lens[0::2] = hl
+    codes[1::2] = amp
+    lens[1::2] = size
+    imgc[0::2] = item_img
+    imgc[1::2] = item_img
+    keep = lens > 0
+    codes = codes[keep]
+    lens = lens[keep]
+    imgc = imgc[keep]
+    # MSB-first bit expansion over the ACTUAL bits only (repeat-based —
+    # a fixed 16-wide matrix would touch ~3x the memory for nothing)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    codes_rep = np.repeat(codes, lens)
+    lens_rep = np.repeat(lens, lens)
+    within = np.arange(int(off[-1]), dtype=np.int64) - np.repeat(off[:-1], lens)
+    flat = ((codes_rep >> (lens_rep - 1 - within)) & 1).astype(np.uint8)
+    # per-image split on symbol boundaries, each segment padded with 1s to
+    # a byte multiple (the spec's fill bits), placed by vectorized scatter
+    bits_img = np.bincount(imgc, weights=lens, minlength=M).astype(np.int64)
+    bstart = np.concatenate([[0], np.cumsum(bits_img)])
+    out_len = (bits_img + 7) // 8 * 8
+    ostart = np.concatenate([[0], np.cumsum(out_len)])
+    img_bits = np.repeat(np.arange(M, dtype=np.int64), bits_img)
+    dest = ostart[img_bits] + (np.arange(len(flat), dtype=np.int64) - bstart[img_bits])
+    out = np.ones(int(ostart[-1]), dtype=np.uint8)
+    out[dest] = flat
+    allbytes = np.packbits(out)
+
+    # --- per-image stuffing + container ----------------------------------
+    spec = bytes(_AC_BITS) + bytes(_AC_VALS)
+    qz = qt.reshape(64)[_ZZ].astype(np.uint8).tobytes()  # DQT in zigzag order
+    head_fixed = (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        # APP15 producer tag: asserts the always-EOB + shared-table
+        # invariants that gate the decoder's vectorized fast path
+        + b"\xff\xef" + struct.pack(">H", 7) + b"FMSJ1"
+        + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qz
+    )
+    tail_fixed = (
+        b"\x01\x11\x00"
+        + b"\xff\xc4" + struct.pack(">H", 3 + len(spec)) + b"\x00" + spec  # DHT DC0
+        + b"\xff\xc4" + struct.pack(">H", 3 + len(spec)) + b"\x10" + spec  # DHT AC0
+        + b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"  # SOS
+    )
+    outs = []
+    for i in range(M):
+        h, w = dims[i]
+        scan = allbytes[ostart[i] // 8 : ostart[i + 1] // 8]
+        ff = scan == 0xFF
+        if ff.any():  # byte stuffing: 0xFF -> 0xFF 0x00
+            stuffed = np.zeros(len(scan) + int(ff.sum()), dtype=np.uint8)
+            posn = np.arange(len(scan)) + np.cumsum(ff) - ff
+            stuffed[posn] = scan
+            stuffed[posn[ff] + 1] = 0x00
+            scan = stuffed
+        outs.append(
+            head_fixed
+            + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+            + tail_fixed
+            + scan.tobytes()
+            + b"\xff\xd9"
+        )
+    return outs
+
+
+def _parse_segments(data: bytes):
+    """Marker scan -> dict of the segments the baseline subset needs."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    out = {"dht": {}}
+    while i < len(data):
+        if data[i] != 0xFF:
+            raise ValueError(f"marker expected at {i}")
+        m = data[i + 1]
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone markers
+            i += 2
+            continue
+        ln = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        seg = data[i + 4 : i + 2 + ln]
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT unsupported")
+                out.setdefault("dqt", {})[tq] = np.frombuffer(
+                    seg[j + 1 : j + 65], dtype=np.uint8
+                ).astype(np.int32)
+                j += 65
+        elif m == 0xC4:  # DHT (possibly several tables per segment)
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = tuple(seg[j + 1 : j + 17])
+                n = sum(bits)
+                vals = tuple(seg[j + 17 : j + 17 + n])
+                out["dht"][(tc, th)] = (bits, vals)
+                j += 17 + n
+        elif m == 0xC0:  # SOF0
+            prec, hh, ww, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or nc != 1:
+                raise NotImplementedError("only 8-bit single-component baseline")
+            cid, samp, tq = seg[6], seg[7], seg[8]
+            if samp != 0x11:
+                raise NotImplementedError("subsampling unsupported")
+            out["sof"] = (hh, ww, cid, tq)
+        elif m == 0xEF and seg[:5] == b"FMSJ1":
+            out["fmsj"] = True  # our encoder: always-EOB, shared table
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif m == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif m == 0xDA:  # SOS: header then entropy data to EOI
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError("only single-component scans")
+            out["sos"] = (seg[1], seg[2] >> 4, seg[2] & 0xF)
+            j = i + 2 + ln
+            # entropy data runs to the next non-stuffed, non-RST marker
+            k = j
+            while True:
+                k = data.index(b"\xff", k)
+                nxt = data[k + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    k += 2
+                    continue
+                break
+            out["scan"] = data[j:k]
+            i = k
+            continue
+        i += 2 + ln
+    return out
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode baseline single-component JPEG bytes to (h, w) uint8."""
+    seg = _parse_segments(data)
+    h, w, _cid, tq = seg["sof"]
+    qt = seg["dqt"][tq]  # zigzag order
+    dc_id, ac_id = seg["sos"][1], seg["sos"][2]
+    dc_spec = seg["dht"][(0, dc_id)]
+    ac_spec = seg["dht"][(1, ac_id)]
+
+    raw = np.frombuffer(seg["scan"].replace(b"\xff\x00", b"\xff"), dtype=np.uint8)
+    bits = np.unpackbits(raw)
+    n = len(bits)
+    if n == 0:
+        raise ValueError("empty scan")
+    # 16-bit sliding peek at every bit position (tail zero-padded)
+    padded = np.r_[bits, np.zeros(16, np.uint8)].astype(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(padded, 16)[:n]
+    peek = win @ _POW2_16  # (n,) int64
+
+    same_table = dc_spec == ac_spec
+    ac_sym, ac_len = _decode_lut(*ac_spec)
+    sym_at = ac_sym[peek]
+    len_at = ac_len[peek]
+    if same_table:
+        # context-free advance: amp bits = low nibble for every symbol of
+        # the shared alphabet -> Huffman chain via pointer doubling
+        adv = len_at.astype(np.int64) + (sym_at & 0x0F)
+        nxt = np.minimum(np.arange(n, dtype=np.int64) + np.maximum(adv, 1), n)
+        nxt = np.r_[nxt, n]  # absorbing terminal state
+        pos = np.array([0], dtype=np.int64)
+        jump = nxt
+        while True:
+            new = jump[pos]
+            pos = np.concatenate([pos, new])
+            if bool((new >= n).all()) or len(pos) > 2 * n:
+                break
+            jump = jump[jump]
+        pos = np.unique(pos[pos < n])  # ordered chain positions
+        syms = sym_at[pos].astype(np.int64)
+        lns = len_at[pos].astype(np.int64)
+        sizes = syms & 0x0F
+        ampraw = peek[np.minimum(pos + lns, n - 1)] >> (16 - np.maximum(sizes, 1))
+        thr = 1 << np.maximum(sizes - 1, 0)
+        ampv = np.where(ampraw < thr, ampraw - (1 << np.maximum(sizes, 1)) + 1, ampraw)
+        ampv = np.where(sizes == 0, 0, ampv)
+        sym_list = val_list = None  # materialized only if the loop runs
+    else:
+        syms = ampv = None
+        sym_list, val_list = _sequential_decode(bits, dc_spec, ac_spec)
+
+    # interpretation pass: assign symbols to blocks/zigzag slots
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    nb = bw * bh
+    zz = None
+    if same_table and seg.get("fmsj"):
+        # our own files guarantee every block is EOB-terminated (the
+        # encoder zeroes zigzag slot 63), which the array interpretation
+        # relies on; it bails to the loop if its consistency checks fail
+        zz = _interpret_vec(syms, ampv, nb, end_bits=pos + lns + sizes, n_bits=n)
+    if zz is None:
+        if sym_list is None:
+            sym_list, val_list = syms.tolist(), ampv.tolist()
+        zz = _interpret_loop(sym_list, val_list, nb)
+
+    qc = np.zeros((nb, 64), dtype=np.float64)
+    qc[:, _ZZ] = zz * qt[None, :].astype(np.float64)  # dezigzag + dequantize
+    blocks = _DCT_M.T @ qc.reshape(nb, 8, 8) @ _DCT_M
+    px = blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def jpeg_decode_batch(datas: list, chunk: int = 48) -> list:
+    """Decode many of OUR OWN baseline files in chunked array operations.
+
+    Requires every file to carry the producer tag (always-EOB blocks +
+    shared DC/AC table) — anything else, and any chunk whose consistency
+    checks fail, falls back to per-file ``jpeg_decode``.  Chunking bounds
+    temporaries for the same first-touch reason as the encoder.
+    """
+    if len(datas) > chunk:
+        out: list = []
+        for i in range(0, len(datas), chunk):
+            out.extend(jpeg_decode_batch(datas[i : i + chunk], chunk))
+        return out
+    M = len(datas)
+    if M == 0:
+        return []
+    segs = [_parse_segments(d) for d in datas]
+    spec0 = segs[0]["dht"].get((1, segs[0]["sos"][2])) if segs[0].get("sos") else None
+    fastable = M > 1 and spec0 is not None and all(
+        s.get("fmsj")
+        and s["dht"].get((0, s["sos"][1])) == spec0
+        and s["dht"].get((1, s["sos"][2])) == spec0
+        for s in segs
+    )
+    if not fastable:
+        return [jpeg_decode(d) for d in datas]
+
+    dims = [(s["sof"][0], s["sof"][1]) for s in segs]
+    qts = np.stack(
+        [s["dqt"][s["sof"][3]].astype(np.float64) for s in segs]
+    )  # (M, 64) zigzag order
+    raws = [
+        np.frombuffer(s["scan"].replace(b"\xff\x00", b"\xff"), np.uint8)
+        for s in segs
+    ]
+    nbits = np.array([len(r) * 8 for r in raws], dtype=np.int64)
+    if (nbits == 0).any():
+        return [jpeg_decode(d) for d in datas]
+    offs = np.concatenate([[0], np.cumsum(nbits)])
+    starts, ends = offs[:-1], offs[1:]
+    total = int(offs[-1])
+    # 16-bit peek at every bit position via overlapping 32-bit byte
+    # windows — image scans are whole bytes, so their bit offsets stay
+    # byte-aligned in the concatenation; ~4x cheaper than unpacking to a
+    # bit array and matmul-ing a 16-wide sliding window
+    by = np.concatenate(raws + [np.zeros(4, np.uint8)]).astype(np.int64)
+    u32 = (by[:-3] << 24) | (by[1:-2] << 16) | (by[2:-1] << 8) | by[3:]
+    idx = np.arange(total, dtype=np.int64)
+    peek = (u32[idx >> 3] >> (16 - (idx & 7))) & 0xFFFF
+    tsym, tlen = _decode_lut(*spec0)
+    sym_at = tsym[peek]
+    len_at = tlen[peek]
+    adv = len_at.astype(np.int64) + (sym_at & 0x0F)
+    ends_at = np.repeat(ends, nbits)
+    idx = np.arange(total, dtype=np.int64)
+    nxt = idx + np.maximum(adv, 1)
+    nxt = np.where(nxt >= ends_at, total, nxt)  # never cross into the next image
+    nxt = np.concatenate([nxt, [total]])
+    pos = starts.astype(np.int64).copy()
+    jump = nxt
+    while True:
+        new = jump[pos]
+        pos = np.concatenate([pos, new])
+        if bool((new >= total).all()) or len(pos) > 2 * total:
+            break
+        jump = jump[jump]
+    pos = np.unique(pos[pos < total])
+    img = np.searchsorted(starts, pos, "right") - 1
+    syms = sym_at[pos].astype(np.int64)
+    lns = len_at[pos].astype(np.int64)
+    sizes = syms & 0x0F
+    ampraw = peek[np.minimum(pos + lns, total - 1)] >> (16 - np.maximum(sizes, 1))
+    thr = 1 << np.maximum(sizes - 1, 0)
+    vals = np.where(ampraw < thr, ampraw - (1 << np.maximum(sizes, 1)) + 1, ampraw)
+    vals = np.where(sizes == 0, 0, vals)
+    nb_list = np.array(
+        [((h + 7) // 8) * ((w + 7) // 8) for h, w in dims], dtype=np.int64
+    )
+    res = _interpret_vec_multi(
+        syms, vals, img, nb_list, pos + lns + sizes, ends, M
+    )
+    if res is None:
+        return [jpeg_decode(d) for d in datas]
+    zz, blk_off = res
+    qtb = qts[np.repeat(np.arange(M), nb_list)]  # (N, 64) per-block tables
+    qc = np.zeros((len(qtb), 64), dtype=np.float64)
+    qc[:, _ZZ] = zz * qtb  # dezigzag + dequantize
+    blocks = _DCT_M.T @ qc.reshape(-1, 8, 8) @ _DCT_M
+    outs = []
+    for i, (h, w) in enumerate(dims):
+        bh, bw = (h + 7) // 8, (w + 7) // 8
+        px = (
+            blocks[blk_off[i] : blk_off[i + 1]]
+            .reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        outs.append(np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)[:h, :w])
+    return outs
+
+
+def _interpret_vec_multi(syms, vals, img, nb_list, end_bits, ends, M):
+    """Segmented multi-image generalization of ``_interpret_vec``: the
+    zero-run parity classification, block segmentation and zigzag-slot
+    cumsums all reset at image boundaries.  Returns (global zz table,
+    block offsets) or None when any consistency check fails."""
+    m = len(syms)
+    if m == 0 or len(np.unique(img)) != M:
+        return None
+    z = syms == 0
+    idx = np.arange(m, dtype=np.int64)
+    first_flag = np.concatenate([[True], img[1:] != img[:-1]])
+    run_start = z & (first_flag | np.concatenate([[True], ~z[:-1]]))
+    sor = np.maximum.accumulate(np.where(run_start, idx, -1))
+    off = idx - sor
+    # a run starting at its image's FIRST symbol begins with that image's
+    # DC (EOBs at odd in-run offsets); any other run begins with an EOB
+    tgt = first_flag[np.maximum(sor, 0)].astype(np.int64)
+    is_eob = z & ((off & 1) == tgt)
+    eob_excl = np.cumsum(is_eob) - is_eob  # EOBs strictly before, global
+    base = np.maximum.accumulate(np.where(first_flag, eob_excl, -1))
+    blk_local = eob_excl - base
+    valid = blk_local < nb_list[img]
+    if not np.array_equal(
+        np.bincount(img[is_eob & valid], minlength=M), nb_list
+    ):
+        return None
+    is_dc = first_flag | np.concatenate([[False], is_eob[:-1]])
+    dcsel = is_dc & valid
+    if int(dcsel.sum()) != int(nb_list.sum()):
+        return None
+    run_adv = np.where(
+        is_dc | is_eob, 0, np.where(syms == 0xF0, 16, (syms >> 4) + 1)
+    )
+    csum = np.cumsum(run_adv)
+    kbase = np.maximum.accumulate(np.where(is_dc, csum, -1))
+    k = csum - kbase
+    is_ac = valid & ~is_dc & ~is_eob & (syms != 0xF0)
+    if is_ac.any() and int(k[is_ac].max()) > 63:
+        return None
+    # per-image tail: the last valid EOB must end inside the padding byte
+    eob_idx = np.nonzero(is_eob & valid)[0]
+    last_eob = eob_idx[
+        np.searchsorted(img[eob_idx], np.arange(M), "right") - 1
+    ]
+    eb = end_bits[last_eob]
+    if not bool(((ends - 8 < eb) & (eb <= ends)).all()):
+        return None
+    blk_off = np.concatenate([[0], np.cumsum(nb_list)])
+    gblk = blk_off[img] + blk_local
+    zz = np.zeros((int(blk_off[-1]), 64), dtype=np.int64)
+    # DC prediction: per-image cumulative sum of the DC differences
+    dvals = vals[dcsel]
+    dimg = img[dcsel]
+    dcs = np.cumsum(dvals)
+    excl = dcs - dvals
+    counts = np.bincount(dimg, minlength=M)
+    firstdc = np.concatenate([[True], dimg[1:] != dimg[:-1]])
+    dbase = np.repeat(excl[firstdc], counts[counts > 0])
+    zz[gblk[dcsel], 0] = dcs - dbase
+    zz[gblk[is_ac], k[is_ac]] = vals[is_ac]
+    return zz, blk_off
+
+
+def _interpret_vec(
+    syms: np.ndarray,
+    vals: np.ndarray,
+    nb: int,
+    end_bits: np.ndarray | None = None,
+    n_bits: int | None = None,
+):
+    """Array-wise symbol interpretation for EOB-terminated streams (our
+    encoder's invariant): classify every zero symbol as DC-size-0 vs EOB
+    by zero-run parity, derive block ids from EOB counts and zigzag slots
+    from a segmented cumsum of run advances.  Returns the (nb, 64)
+    zigzag-coefficient table, or None when any consistency check fails
+    (the caller then falls back to the sequential loop).
+
+    Parity rule: a maximal run of zero symbols either starts at stream
+    position 0 (the first symbol is block 0's DC: pattern DC0, EOB, DC0,
+    ... -> EOBs at odd in-run offsets) or is entered right after a
+    non-zero symbol, i.e. in AC-or-post-DC context (pattern EOB, DC0,
+    EOB, ... -> EOBs at even offsets).  With every block EOB-terminated
+    this classification is exact.
+    """
+    m = len(syms)
+    if m == 0:
+        return None
+    z = syms == 0
+    idx = np.arange(m, dtype=np.int64)
+    run_start = z & np.concatenate([[True], ~z[:-1]])
+    start_of_run = np.maximum.accumulate(np.where(run_start, idx, -1))
+    off = idx - start_of_run
+    tgt = np.where((start_of_run == 0) & bool(z[0]), 1, 0)
+    is_eob = z & ((off & 1) == tgt)
+    blk = np.cumsum(np.concatenate([[0], is_eob[:-1].astype(np.int64)]))
+    valid = blk < nb
+    if int(is_eob[valid].sum()) < nb:
+        return None  # truncated, or a non-EOB-terminated block slipped in
+    is_dc = np.concatenate([[True], is_eob[:-1]])
+    if int((is_dc & valid).sum()) != nb:
+        return None
+    run_adv = np.where(
+        is_dc | is_eob, 0, np.where(syms == 0xF0, 16, (syms >> 4) + 1)
+    )
+    csum = np.cumsum(run_adv)
+    base = np.maximum.accumulate(np.where(is_dc, csum, -1))
+    k = csum - base  # zigzag slot for AC coefficients
+    is_ac = valid & ~is_dc & ~is_eob & (syms != 0xF0)
+    if is_ac.any() and int(k[is_ac].max()) > 63:
+        return None
+    if end_bits is not None:
+        # the nb-th EOB must land within the final padding byte — a
+        # truncated or desynced stream fails here instead of yielding junk
+        i_last = int(np.nonzero(is_eob & valid)[0][nb - 1])
+        if not (n_bits - 8 < int(end_bits[i_last]) <= n_bits):
+            return None
+    zz = np.zeros((nb, 64), dtype=np.int64)
+    zz[:, 0] = np.cumsum(vals[is_dc & valid])
+    zz[blk[is_ac], k[is_ac]] = vals[is_ac]
+    return zz
+
+
+def _interpret_loop(sym_list, val_list, nb: int):
+    """Sequential symbol interpretation (general path: foreign files and
+    fast-path bailouts)."""
+    zz = np.zeros((nb, 64), dtype=np.int64)
+    bi = 0  # block index
+    k = 0  # next zigzag slot; 0 means a DC symbol is expected
+    pred = 0
+    for i in range(len(sym_list)):
+        if bi >= nb:
+            break
+        s = sym_list[i]
+        v = val_list[i]
+        if k == 0:  # DC
+            pred += v
+            zz[bi, 0] = pred
+            k = 1
+        elif s == 0x00:  # EOB
+            bi += 1
+            k = 0
+        elif s == 0xF0:  # ZRL
+            k += 16
+        else:
+            k += s >> 4
+            if k > 63:
+                raise ValueError("AC index overflow (corrupt stream)")
+            zz[bi, k] = v
+            k += 1
+        if k >= 64:  # block complete without EOB
+            bi += 1
+            k = 0
+    if bi < nb:
+        raise ValueError("truncated scan: not enough symbols for all blocks")
+    return zz
+
+
+def _sequential_decode(bits, dc_spec, ac_spec):
+    """Fallback two-table Huffman decode (foreign files whose DC and AC
+    code specs differ): plain bit-reader loop, correctness over speed."""
+    dc_sym, dc_len = _decode_lut(*dc_spec)
+    ac_sym, ac_len = _decode_lut(*ac_spec)
+    padded = np.r_[bits, np.zeros(16, np.uint8)].astype(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(padded, 16)[: len(bits)]
+    peek = (win @ _POW2_16).tolist()
+    n = len(bits)
+    syms: list[int] = []
+    vals: list[int] = []
+    p = 0
+    k = 0
+    while p < n:
+        table_sym, table_len = (dc_sym, dc_len) if k == 0 else (ac_sym, ac_len)
+        pv = peek[p]
+        s = int(table_sym[pv])
+        ln = int(table_len[pv])
+        if ln == 0:
+            break
+        p += ln
+        size = s & 0x0F
+        v = 0
+        if size:
+            if p + size > n:
+                break
+            amp = peek[p] >> (16 - size) if p < n else 0
+            v = amp - (1 << size) + 1 if amp < (1 << (size - 1)) else amp
+            p += size
+        syms.append(s)
+        vals.append(v)
+        if k == 0:
+            k = 1
+        elif s == 0x00:
+            k = 0
+        elif s == 0xF0:
+            k += 16
+        else:
+            k += (s >> 4) + 1
+        if k >= 64:
+            k = 0
+    return syms, vals
