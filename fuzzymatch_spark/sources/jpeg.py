@@ -547,20 +547,23 @@ def jpeg_decode_batch(datas: list, chunk: int = 48) -> list:
     # windows — image scans are whole bytes, so their bit offsets stay
     # byte-aligned in the concatenation; ~4x cheaper than unpacking to a
     # bit array and matmul-ing a 16-wide sliding window
-    by = np.concatenate(raws + [np.zeros(4, np.uint8)]).astype(np.int64)
+    # narrow dtypes throughout the per-bit-position arrays (uint16 peek,
+    # uint8 LUT outputs, int32 positions): these are the largest arrays
+    # in the decoder and the stage is memory-bandwidth-bound
+    by = np.concatenate(raws + [np.zeros(4, np.uint8)]).astype(np.uint32)
     u32 = (by[:-3] << 24) | (by[1:-2] << 16) | (by[2:-1] << 8) | by[3:]
-    idx = np.arange(total, dtype=np.int64)
-    peek = (u32[idx >> 3] >> (16 - (idx & 7))) & 0xFFFF
+    idx = np.arange(total, dtype=np.int32)
+    peek = ((u32[idx >> 3] >> (16 - (idx & 7))) & 0xFFFF).astype(np.uint16)
     tsym, tlen = _decode_lut(*spec0)
-    sym_at = tsym[peek]
-    len_at = tlen[peek]
-    adv = len_at.astype(np.int64) + (sym_at & 0x0F)
-    ends_at = np.repeat(ends, nbits)
-    idx = np.arange(total, dtype=np.int64)
+    sym_at = tsym[peek]  # uint8
+    len_at = tlen[peek]  # uint8
+    adv = (len_at + (sym_at & 0x0F)).astype(np.int32)  # <= 32, no overflow
+    ends_at = np.repeat(ends.astype(np.int32), nbits)
     nxt = idx + np.maximum(adv, 1)
-    nxt = np.where(nxt >= ends_at, total, nxt)  # never cross into the next image
-    nxt = np.concatenate([nxt, [total]])
-    pos = starts.astype(np.int64).copy()
+    # never cross into the next image; np.int32 keeps the array narrow
+    nxt = np.where(nxt >= ends_at, np.int32(total), nxt)
+    nxt = np.concatenate([nxt, np.array([total], dtype=np.int32)])
+    pos = starts.astype(np.int32).copy()
     jump = nxt
     while True:
         new = jump[pos]
@@ -568,7 +571,7 @@ def jpeg_decode_batch(datas: list, chunk: int = 48) -> list:
         if bool((new >= total).all()) or len(pos) > 2 * total:
             break
         jump = jump[jump]
-    pos = np.unique(pos[pos < total])
+    pos = np.unique(pos[pos < total]).astype(np.int64)
     img = np.searchsorted(starts, pos, "right") - 1
     syms = sym_at[pos].astype(np.int64)
     lns = len_at[pos].astype(np.int64)
