@@ -1,15 +1,17 @@
 """Synthetic audio source + codec plumbing (audio modality).
 
-STUB NOTICE — real audio codecs (ffmpeg/libsndfile) are NOT available in
-this environment.  ``encode_audio``/``decode_audio`` implement a
-deterministic stand-in container with the same contract a real codec has:
-
-    FAUD | sample_rate u32 | n_samples u32 | zlib(int16 PCM mono)
-
-Lossless by construction (decoded samples are byte-exact); swapping in a
-real decoder is a two-line change inside decode_audio.  Everything
-Spark-side — binary column schema, mapInPandas batch shape, the
-fingerprint UDF, Hamming-band dedup — is real and tested.
+CODEC STATUS (REAL since late r6): ``encode_audio`` writes standard
+RIFF/WAVE PCM (16-bit mono little-endian — the universal uncompressed
+format; any player, ffmpeg, librosa, or Python's stdlib ``wave`` module
+reads it) and ``decode_audio`` parses any 16-bit PCM mono WAV, not just
+its own output.  Lossless by construction (decoded samples are
+byte-exact); the stdlib-``wave`` cross-check in tests/test_audio.py
+pins conformance in both directions.  The legacy FAUD stand-in
+container still decodes (pre-r6 stored fixtures); compressed codecs
+(MP3/AAC/FLAC) would go through ffmpeg/libsndfile in production and
+raise loudly here.  Everything Spark-side — binary column schema,
+mapInPandas batch shape, the fingerprint UDF, Hamming-band dedup — is
+real and tested.
 
 The per-clip fingerprint is a 64-bit random-hyperplane sketch of a
 continuous 128-dim band-energy TRAJECTORY descriptor:
@@ -42,22 +44,54 @@ _MAGIC_AUD = b"FAUD"
 
 
 def encode_audio(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
-    """Encode mono int16 PCM. See STUB NOTICE above."""
-    s = np.asarray(samples, dtype=np.int16)
-    return (
-        _MAGIC_AUD
-        + struct.pack("<II", sample_rate, len(s))
-        + zlib.compress(s.tobytes(), 6)
+    """Encode mono int16 PCM to a standard RIFF/WAVE file (fmt chunk:
+    PCM, 1 channel, 16-bit; data chunk: little-endian samples)."""
+    s = np.asarray(samples, dtype="<i2")
+    pcm = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )  # PCM, mono, rate, byte rate, block align, bits
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) % 2 else b"")  # RIFF chunks are word-aligned
     )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode to (int16 samples, sample_rate). See STUB NOTICE above."""
-    if data[:4] != _MAGIC_AUD:
-        raise NotImplementedError("unknown audio container (real codecs stubbed)")
-    sr, n = struct.unpack("<II", data[4:12])
-    pcm = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16)
-    return pcm[:n], sr
+    """Decode to (int16 samples, sample_rate).  Accepts any 16-bit PCM
+    mono RIFF/WAVE file (chunk-walks, so extra chunks like LIST/INFO are
+    skipped); the legacy FAUD stand-in container still decodes."""
+    if data[:4] == _MAGIC_AUD:  # pre-r6 stored fixtures
+        sr, n = struct.unpack("<II", data[4:12])
+        pcm = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16)
+        return pcm[:n], sr
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unknown audio container (WAV decodes natively; compressed"
+            " codecs need ffmpeg/libsndfile)"
+        )
+    i = 12
+    sr = None
+    pcm = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        ln = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        body = data[i + 8 : i + 8 + ln]
+        if cid == b"fmt ":
+            tag, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag != 1 or ch != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only 16-bit PCM mono WAV decodes natively"
+                )
+        elif cid == b"data":
+            pcm = np.frombuffer(body[: ln - (ln % 2)], dtype="<i2")
+        i += 8 + ln + (ln % 2)  # chunks are word-aligned
+    if sr is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return pcm, sr
 
 
 def synth_samples(

@@ -1,5 +1,6 @@
-"""Audio modality: stand-in codec contract, fingerprint robustness, and
-Hamming-band dedup over clip fingerprints (same band join as images)."""
+"""Audio modality: real WAV codec conformance (stdlib-``wave``
+cross-checked), fingerprint robustness, and Hamming-band dedup over clip
+fingerprints (same band join as images)."""
 
 import numpy as np
 import pytest
@@ -21,12 +22,42 @@ def test_codec_roundtrip_lossless():
     pcm = synth_samples("clip0")
     dec, sr = decode_audio(encode_audio(pcm, 16_000))
     assert sr == 16_000
-    assert np.array_equal(dec, pcm)  # the stand-in is lossless
+    assert np.array_equal(dec, pcm)  # PCM WAV is lossless
+
+
+def test_wav_cross_check_with_stdlib_wave():
+    """Our bytes are standard RIFF/WAVE: the stdlib ``wave`` module must
+    read them (params + frames exact), and a stdlib-written WAV must
+    decode through our decoder — conformance pinned in both directions
+    with an independent implementation."""
+    import io
+    import wave
+
+    pcm = synth_samples("clipwav")
+    data = encode_audio(pcm, 16_000)
+    with wave.open(io.BytesIO(data)) as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (
+            1, 2, 16_000,
+        )
+        frames = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    assert np.array_equal(frames, pcm)
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(22_050)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    dec, sr = decode_audio(buf.getvalue())
+    assert sr == 22_050
+    assert np.array_equal(dec, pcm)
 
 
 def test_codec_rejects_unknown_container():
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFFxxxx")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3-ish payload")
 
 
 def test_fingerprint_robust_and_discriminative():
