@@ -2,11 +2,17 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata; all
 transforms run as Arrow-batched ``mapInPandas`` passes (the Spark-side
-plumbing — schema, partitioning, batch shape — is real and tested).  The
-codec itself is the deterministic stand-in from sources/images.py because
-real decoders (libjpeg/ffmpeg) are absent in this sandbox; the video
-"container" is a frame-concatenated stand-in with the same contract
-(STUB — swap `decode_video`/`decode_image` for PyAV/PIL in production).
+plumbing — schema, partitioning, batch shape — is real and tested).
+
+CODEC STATUS (REAL since late r6): video containers are standard
+RIFF AVI with an MJPEG video stream — each frame is a real baseline
+JFIF produced by ``sources/jpeg.py``, wrapped in the avih/strh/strf
+header set plus an idx1 index, so any AVI-capable player/ffmpeg opens
+the bytes.  ``decode_video`` chunk-walks any MJPEG AVI (extra chunks
+skipped) and batch-decodes the frames; the legacy FVID stand-in
+container still decodes (pre-r6 fixtures).  Non-MJPEG codecs
+(H.264/VP9/...) would go through PyAV/ffmpeg in production and raise
+loudly here.
 """
 
 from __future__ import annotations
@@ -19,6 +25,7 @@ from pyspark.sql import DataFrame
 
 from fuzzymatch_spark.kernels.phash import _resize_to, phash64
 from fuzzymatch_spark.sources.images import decode_image, encode_image
+from fuzzymatch_spark.sources.jpeg import jpeg_decode_batch, jpeg_encode_batch
 
 
 def resize_images(
@@ -49,32 +56,98 @@ def resize_images(
     return images_df.select("image_id", "bytes").mapInPandas(go, schema=schema)
 
 
-# --- video stand-in container: FVID | n_frames u16 | per-frame FPNG blobs ---
+# --- video container: standard RIFF AVI, MJPEG stream -------------------
 
-_MAGIC_VID = b"FVID"
+_MAGIC_VID = b"FVID"  # legacy stand-in (pre-r6 fixtures still decode)
 
 
-def encode_video(frames: list[np.ndarray]) -> bytes:
-    parts = [_MAGIC_VID, struct.pack("<H", len(frames))]
-    for f in frames:
-        blob = encode_image(f, "png")
-        parts.append(struct.pack("<I", len(blob)))
-        parts.append(blob)
-    return b"".join(parts)
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) % 2 else b""
+    )
+
+
+def _list(ltype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + body)
+
+
+def encode_video(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 95
+) -> bytes:
+    """Encode grayscale frames as a standard MJPEG AVI: RIFF('AVI ')
+    with avih/strh/strf headers, one '00dc' chunk of real baseline JFIF
+    per frame (``sources/jpeg.py``), and an idx1 keyframe index — the
+    structure any AVI-capable player expects."""
+    if not frames:
+        raise ValueError("encode_video needs at least one frame")
+    h, w = frames[0].shape
+    blobs = jpeg_encode_batch(list(frames), quality)
+    maxb = max(len(b) for b in blobs)
+    avih = struct.pack(
+        "<10I4I",
+        1_000_000 // max(fps, 1), maxb * fps, 0, 0x10,  # usec/frame, rate, pad, HASINDEX
+        len(frames), 0, 1, maxb, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames), maxb, -1, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_chunks = [_chunk(b"00dc", b) for b in blobs]
+    movi = _list(b"movi", b"".join(movi_chunks))
+    # idx1 offsets are relative to the start of the 'movi' list type tag
+    idx_entries = []
+    off = 4  # past the 'movi' fourcc
+    for b in blobs:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(b)))
+        off += 8 + len(b) + (len(b) % 2)
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
 
 
 def decode_video(data: bytes) -> list[np.ndarray]:
-    if data[:4] != _MAGIC_VID:
-        raise NotImplementedError("unknown video container (real codecs stubbed)")
-    (n,) = struct.unpack("<H", data[4:6])
-    off = 6
-    frames = []
-    for _ in range(n):
-        (ln,) = struct.unpack("<I", data[off : off + 4])
-        off += 4
-        frames.append(decode_image(data[off : off + ln]))
-        off += ln
-    return frames
+    """Decode an MJPEG AVI (chunk-walking; non-frame chunks skipped) or
+    the legacy FVID stand-in container to a list of grayscale frames."""
+    if data[:4] == _MAGIC_VID:  # pre-r6 stored fixtures
+        (n,) = struct.unpack("<H", data[4:6])
+        off = 6
+        frames = []
+        for _ in range(n):
+            (ln,) = struct.unpack("<I", data[off : off + 4])
+            off += 4
+            frames.append(decode_image(data[off : off + ln]))
+            off += ln
+        return frames
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "unknown video container (MJPEG AVI decodes natively; other"
+            " codecs need PyAV/ffmpeg)"
+        )
+    blobs: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        i = 0
+        while i + 8 <= len(buf):
+            cid = buf[i : i + 4]
+            ln = struct.unpack("<I", buf[i + 4 : i + 8])[0]
+            body = buf[i + 8 : i + 8 + ln]
+            if cid == b"LIST":
+                walk(body[4:])  # skip the list type fourcc
+            elif cid[2:4] in (b"dc", b"db"):  # compressed/uncompressed frame
+                blobs.append(body)
+            i += 8 + ln + (ln % 2)
+
+    walk(data[12:])
+    if not blobs:
+        raise ValueError("AVI contains no video frame chunks")
+    return jpeg_decode_batch(blobs)
 
 
 def audio_verify_pairs(

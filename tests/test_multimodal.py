@@ -14,11 +14,48 @@ from fuzzymatch_spark.sources.images import build_images_df, decode_image, synth
 
 
 def test_video_container_roundtrip():
+    """Real MJPEG AVI since late r6: frames round-trip at JPEG-q95
+    fidelity (>= 40 dB — the input_hint lossy invariant) inside a
+    structurally conforming RIFF AVI (spec-sized avih/strh/strf, movi
+    frame chunks, idx1 index)."""
+    import struct
+
+    from fuzzymatch_spark.sources.images import psnr
+
     frames = [synth_pixels(f"f{i}", 32, 32) for i in range(6)]
     data = encode_video(frames)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    for tag, want in ((b"avih", 56), (b"strh", 56), (b"strf", 40)):
+        i = data.index(tag)
+        assert struct.unpack("<I", data[i + 4 : i + 8])[0] == want
+    assert b"movi" in data and b"idx1" in data and b"00dc" in data
     back = decode_video(data)
     assert len(back) == 6
-    assert all(np.array_equal(a, b) for a, b in zip(frames, back))
+    assert all(a.shape == b.shape for a, b in zip(frames, back))
+    assert min(psnr(a, b) for a, b in zip(frames, back)) >= 40.0
+
+
+def test_video_legacy_fvid_container_still_decodes():
+    import struct
+
+    from fuzzymatch_spark.operators import multimodal as mm
+    from fuzzymatch_spark.sources.images import encode_image
+
+    frame = synth_pixels("legacy", 32, 32)
+    blob = encode_image(frame, "png")
+    legacy = (
+        mm._MAGIC_VID + struct.pack("<H", 1)
+        + struct.pack("<I", len(blob)) + blob
+    )
+    back = decode_video(legacy)
+    assert len(back) == 1 and np.array_equal(back[0], frame)
+
+
+def test_video_rejects_unknown_container():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_video(b"RIFF\x00\x00\x00\x00WEBM")
 
 
 def test_resize_images(spark, documents):
