@@ -169,7 +169,7 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     return jpeg_encode_batch([pixels], quality)[0]
 
 
-def jpeg_encode_batch(images: list, quality: int = 90, chunk: int = 48) -> list:
+def jpeg_encode_batch(images: list, quality: int = 90, chunk: int = 4) -> list:
     """Encode many grayscale images in chunked array operations.
 
     The per-image fixed cost of the vectorized encoder is ~40 small numpy
@@ -183,6 +183,11 @@ def jpeg_encode_batch(images: list, quality: int = 90, chunk: int = 48) -> list:
     multi-hundred-MB temporaries measured 20x slower than warm reuse on
     virtualized hosts — small chunks keep every temp inside already-warm
     allocator arenas while still amortizing the fixed call overhead).
+    Default 4: interleaved A/B at 8 and 32 pinned workers (48-px corpus
+    shape, steal-controlled mins) measured chunk 4 ~7-16% faster than the
+    old 48 at BOTH levels and with better 8->32 scaling (3.14x vs 2.84x) —
+    after the r6 dtype-narrowing the vectorization saturates by ~150
+    blocks, so bigger temps only add cache pressure.
     """
     if len(images) > chunk:
         out: list = []
@@ -502,7 +507,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     return np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)[:h, :w]
 
 
-def jpeg_decode_batch(datas: list, chunk: int = 48) -> list:
+def jpeg_decode_batch(datas: list, chunk: int = 4) -> list:
     """Decode many of OUR OWN baseline files in chunked array operations.
 
     Requires every file to carry the producer tag (always-EOB blocks +
