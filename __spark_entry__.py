@@ -557,6 +557,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_documents"] = chunk_q
 
+    def line_dedup_q(spark, sf):
+        # C4-style corpus-wide line dedup (any line occurring >1 time in
+        # the corpus is dropped everywhere but its first occurrence) over
+        # deterministic 8-token pseudo-lines — the synthetic docs carry no
+        # newlines, and the same chunking is reproduced relationally in
+        # the oracle (unnest WITH ORDINALITY + pos//8 GROUP BY), so the
+        # agreement cross-checks the operator, not the preprocessing.
+        from fuzzymatch_spark.operators.corpus import line_dedup_stats
+
+        docs = _docs(spark, sf)
+        toks = F.split(F.col("text"), " ")
+        n = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(toks, i * F.lit(8) + F.lit(1), F.lit(8)), " "
+            ),
+        )
+        pseudo = docs.select(
+            "doc_id", F.array_join(lines, "\n").alias("text")
+        )
+        return line_dedup_stats(pseudo, "doc_id", "text")
+
+    q["line_dedup_stats"] = line_dedup_q
+
     def pair_eval_q(spark, sf):
         # Dedup-quality eval against a labeled pair set — the north rule's
         # "dup-pair recall on a labeled eval shard" metric as an operator.
@@ -2309,6 +2334,52 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY tfidf DESC, doc_id
             LIMIT 20
+        """,
+        # independent relational formulation: pseudo-lines come from
+        # unnest WITH ORDINALITY + integer division (not the Spark-side
+        # transform/slice), dup marking from window functions
+        "line_dedup_stats": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, CAST(i AS INT) AS line_idx,
+                     trim(array_to_string(
+                       list_slice(toks, i * 8 + 1, i * 8 + 8), ' '
+                     )) AS line
+              FROM t, unnest(range(0, (len(toks) + 7) // 8)) AS r(i)
+            ),
+            keyed AS (
+              SELECT doc_id, line_idx, line
+              FROM lines WHERE length(line) >= 1
+            ),
+            marked AS (
+              -- same 60-bit md5-prefix key the operator shuffles on
+              SELECT doc_id, line_idx, line,
+                     count(*) OVER (PARTITION BY
+                       CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT)
+                     ) AS n_occ,
+                     row_number() OVER (
+                       PARTITION BY
+                         CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT)
+                       ORDER BY doc_id, line_idx
+                     ) AS rn
+              FROM keyed
+            )
+            SELECT doc_id,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_lines,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS kept_lines,
+                   round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS dup_line_frac,
+                   md5(coalesce(
+                       string_agg(CASE WHEN rn = 1 THEN line END,
+                                  chr(10) ORDER BY line_idx),
+                       '')) AS kept_fp
+            FROM marked GROUP BY doc_id
         """,
         "chunk_documents": """
             WITH t AS (

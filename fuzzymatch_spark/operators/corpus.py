@@ -793,3 +793,103 @@ def tfidf_topk(
         .limit(k)
         .select("doc_id", "tfidf")
     )
+
+
+# --------------------------------------------------------------------------
+# C4-style corpus-wide line-level exact deduplication
+# --------------------------------------------------------------------------
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup (the C4 cleaning rule: any line
+    occurring more than once in the corpus is removed everywhere except
+    its first occurrence — Raffel et al., arXiv:1910.10683 §2.2).
+
+    Reference analog: the exact-match tier of the scoring cascade
+    (`Sources/FuzzyMatch/FuzzyMatcher.swift` phase 1) applied at line
+    grain across documents instead of query-vs-candidate.
+
+    Returns one row per document:
+
+    * ``n_lines``      — lines after trim + ``min_chars`` filter
+    * ``n_dup_lines``  — lines whose global occurrence count > 1
+    * ``kept_lines``   — lines whose first occurrence (ordered by
+      ``(id, line_idx)``) is in this document
+    * ``dup_line_frac``— ``n_dup_lines / n_lines`` (rounded 6 dp)
+    * ``kept_fp``      — md5 of the surviving text (kept lines joined
+      with '\\n' in original order; '' when nothing survives), i.e. the
+      cleaned document's fingerprint without shipping the cleaned text
+
+    Scale shape: ONE exchange keyed by the 60-bit md5 line fingerprint
+    (a single window pass computes the global count and the
+    first-occurrence rank together), then one exchange back by doc id
+    for the per-document rollup.  Line text rides each exchange at most
+    once; keys are md5-derived (engine-portable, never xxhash/murmur —
+    cross-engine rule).  Skewed keys (boilerplate lines repeated
+    millions of times) bound their partition by the line's occurrence
+    count only — the window needs no full sort beyond (id, line_idx)
+    within a key — and a density cap analogous to the pHash degree cap
+    can pre-drop keys above a count threshold if one line ever dominates
+    a partition.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("_ld_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "line_idx", "line_raw"
+            ),
+        )
+        .select(
+            "_ld_id", "line_idx", F.trim(F.col("line_raw")).alias("line")
+        )
+        .filter(F.length("line") >= min_chars)
+        .withColumn(
+            "lkey",
+            F.conv(F.substring(F.md5(F.col("line")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
+    w_all = Window.partitionBy("lkey")
+    w_ord = Window.partitionBy("lkey").orderBy("_ld_id", "line_idx")
+    marked = lines.select(
+        "_ld_id",
+        "line_idx",
+        "line",
+        F.count(F.lit(1)).over(w_all).alias("n_occ"),
+        (F.row_number().over(w_ord) == 1).alias("keeper"),
+    )
+    kept_struct = F.when(
+        F.col("keeper"), F.struct(F.col("line_idx"), F.col("line"))
+    )
+    return (
+        marked.groupBy(F.col("_ld_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias(
+                "n_dup_lines"
+            ),
+            F.sum(F.when(F.col("keeper"), 1).otherwise(0)).alias(
+                "kept_lines"
+            ),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("kept_fp"),
+        )
+        .withColumn(
+            "dup_line_frac",
+            F.round(F.col("n_dup_lines") / F.col("n_lines"), 6),
+        )
+    )

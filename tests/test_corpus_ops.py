@@ -588,3 +588,65 @@ def test_pack_chunks_bins_are_contiguous_budgeted(spark):
         pack_chunks(df, [], budget=100)
     with pytest.raises(ValueError):
         pack_chunks(df, ["source"], budget=0)
+
+
+# ------------------------------------------------------------- line dedup
+
+
+def test_line_dedup_stats_golden(spark):
+    from fuzzymatch_spark.operators.corpus import line_dedup_stats
+
+    # doc 1: two unique lines + the shared boilerplate line
+    # doc 2: the boilerplate line twice (second is an in-doc repeat)
+    # doc 3: exactly doc 1 (every line a dup; keeps nothing)
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "alpha one\nboilerplate footer\nbeta two"),
+            (2, "boilerplate footer\nboilerplate footer"),
+            (3, "alpha one\nboilerplate footer\nbeta two"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in line_dedup_stats(docs, "doc_id", "text").collect()
+    }
+    assert out[1]["n_lines"] == 3
+    assert out[1]["n_dup_lines"] == 3  # all three lines recur corpus-wide
+    assert out[1]["kept_lines"] == 3  # doc 1 holds every first occurrence
+    assert out[2] == {
+        "doc_id": 2,
+        "n_lines": 2,
+        "n_dup_lines": 2,
+        "kept_lines": 0,
+        "dup_line_frac": 1.0,
+        "kept_fp": out[2]["kept_fp"],
+    }
+    assert out[3]["kept_lines"] == 0
+    # empty survivors hash the empty string on both engines
+    import hashlib
+
+    assert out[3]["kept_fp"] == hashlib.md5(b"").hexdigest()
+    # doc 1's surviving text is its full original text
+    assert (
+        out[1]["kept_fp"]
+        == hashlib.md5(
+            b"alpha one\nboilerplate footer\nbeta two"
+        ).hexdigest()
+    )
+
+
+def test_line_dedup_trim_and_min_chars(spark):
+    from fuzzymatch_spark.operators.corpus import line_dedup_stats
+
+    docs = _mkdocs(spark, [(1, "  padded line  \n\n   \nreal line")])
+    row = line_dedup_stats(docs, "doc_id", "text").collect()[0]
+    # blank/whitespace-only lines are dropped; others trimmed before
+    # keying so '  padded line  ' == 'padded line' corpus-wide
+    assert row["n_lines"] == 2
+    import hashlib
+
+    assert (
+        row["kept_fp"]
+        == hashlib.md5(b"padded line\nreal line").hexdigest()
+    )
