@@ -531,6 +531,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_splits_sampling"] = splits_sampling_q
 
+    def dsir_q(spark, sf):
+        # DSIR importance-resampled selection (Xie et al. 2302.03169):
+        # target domain = lang 'en', hashed unigram+bigram features,
+        # Gumbel-top-k on the importance log-weights — deterministic by
+        # construction (md5-fraction Gumbel), so the full selected set
+        # hash-checks against DuckDB
+        from fuzzymatch_spark.operators.corpus import dsir_select
+
+        return dsir_select(
+            _docs(spark, sf), "doc_id", "text",
+            target=F.col("lang") == "en",
+            dim=256, alpha=1.0, k=100, seed=0,
+        )
+
+    q["dsir_selection"] = dsir_q
+
     def tfidf_q(spark, sf):
         from fuzzymatch_spark.operators.corpus import tfidf_topk
 
@@ -2310,6 +2326,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN r <= 3 THEN r ELSE 0 END AS INT)
                      AS sample_rank
             FROM fr JOIN ranks USING (doc_id)
+        """,
+        # DSIR selection (operators/corpus.py:dsir_select): per-OCCURRENCE
+        # unnest + GROUP BY for both the bucket distributions and the
+        # per-doc decimal(38,18) log-weight sum — decimal addition is
+        # order-free, so the sum agrees exactly with Spark's despite the
+        # engines' different aggregation orders.  Gumbel noise from the
+        # md5-fraction of '0:doc_id'.
+        "dsir_selection": """
+            WITH tk AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '),
+                                 t -> len(t) > 0) AS toks
+              FROM documents
+            ),
+            ft AS (
+              SELECT doc_id, lang,
+                     list_concat(
+                       toks,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                     ) AS feats
+              FROM tk
+            ),
+            occ AS (
+              SELECT doc_id, lang,
+                     list_reduce(
+                       list_transform(range(1, len(t) + 1),
+                         i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+                       (acc, c) -> (acc * 31 + c) % 1000000007
+                     ) % 256 AS b
+              FROM (SELECT doc_id, lang, unnest(feats) AS t FROM ft)
+            ),
+            cnts AS (
+              SELECT b, count(*) AS raw_cnt,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS tgt_cnt
+              FROM occ GROUP BY b
+            ),
+            tot AS (
+              SELECT sum(raw_cnt) AS raw_tot, sum(tgt_cnt) AS tgt_tot
+              FROM cnts
+            ),
+            lw AS (
+              SELECT b,
+                     ln((tgt_cnt + 1.0) / (tgt_tot + 256.0))
+                     - ln((raw_cnt + 1.0) / (raw_tot + 256.0)) AS lw
+              FROM cnts, tot
+            ),
+            dw AS (
+              SELECT occ.doc_id,
+                     sum(CAST(lw.lw AS DECIMAL(38,18))) AS logw_dec
+              FROM occ JOIN lw USING (b) GROUP BY occ.doc_id
+            ),
+            sc AS (
+              SELECT d.doc_id,
+                     d.lang = 'en' AS is_target,
+                     CAST(COALESCE(dw.logw_dec, 0) AS DOUBLE) AS logw_raw,
+                     -ln(-ln(
+                       CAST(('0x' || substr(
+                           md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 12))
+                         AS BIGINT) / 281474976710656.0)) AS g
+              FROM documents d LEFT JOIN dw USING (doc_id)
+            )
+            SELECT doc_id, is_target,
+                   round(logw_raw, 6) AS logw,
+                   round(logw_raw + g, 6) AS sample_key
+            FROM sc
+            ORDER BY sample_key DESC, doc_id
+            LIMIT 100
         """,
         "tfidf_topk": """
             WITH tok AS (

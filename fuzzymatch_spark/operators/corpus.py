@@ -893,3 +893,161 @@ def line_dedup_stats(
             F.round(F.col("n_dup_lines") / F.col("n_lines"), 6),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style data selection via importance resampling
+# --------------------------------------------------------------------------
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target,
+    dim: int = 256,
+    alpha: float = 1.0,
+    k: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al.,
+    arXiv:2302.03169): pick the ``k`` raw-pool documents whose hashed
+    n-gram feature distribution looks most like a target domain, via
+    Gumbel-top-k sampling on importance log-weights.
+
+    * Features: unigrams + adjacent-token bigrams, hashed into ``dim``
+      buckets with the portable 31-ary polynomial hash (mod 1e9+7) the
+      winnowing / hashing-trick operators already use — reproducible in
+      any engine with integer arithmetic.
+    * Bucket distributions: Laplace-smoothed counts over the target rows
+      (``target`` boolean column expression) and over the whole pool,
+      p(b) = (cnt_b + alpha) / (total + alpha * dim).
+    * Per-doc log-weight: sum over feature OCCURRENCES of
+      ln p_target(bucket) - ln p_raw(bucket), each term cast to
+      decimal(38,18) before the SUM (order-independent, cross-engine —
+      the same rule as unigram_logprob; a within-row fold can't be used
+      here because Spark's decimal ``+`` narrows the scale to (38,17)
+      while SUM preserves it).
+    * Sampling key: logw + Gumbel noise g = -ln(-ln(u)) with u the
+      md5-fraction of ``seed:doc_id`` — deterministic, engine-portable,
+      and distributed exactly as Gumbel(0,1), so top-k by key IS a
+      weighted sample without replacement (Gumbel-max trick).
+
+    Scale shape (mirrors unigram_logprob): the bucket-count aggregation
+    is map-side combinable partials onto <= ``dim`` rows; the per-bucket
+    log-ratio table is broadcast back onto the exploded features, and
+    the per-doc weight shuffles only map-side-combined (doc_id) partials.
+    The final top-k is a TakeOrdered, not a global sort.
+
+    Returns the selected rows: (doc_id, is_target, logw, sample_key),
+    sample_key descending, ties by doc_id.
+    """
+    if dim <= 0 or k <= 0 or alpha <= 0:
+        raise ValueError("dim, k and alpha must be positive")
+
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+
+    def bucket(tok):
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length(tok)),
+            lambda i: F.ascii(F.substring(tok, i, F.lit(1))),
+        )
+        return (
+            F.aggregate(
+                chars,
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * 31 + c) % _HASH_MOD,
+            )
+            % dim
+        )
+
+    # unigram + adjacent-bigram feature buckets, computed once within-row.
+    # Guard the <2-token case explicitly: Spark's sequence(1, 0) counts
+    # DOWN ([1, 0]), it is not empty like DuckDB's range(1, 1).
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.transform(F.concat(toks, bigrams), bucket)
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(target.cast("boolean"), F.lit(False)).alias("is_target"),
+        feats.alias("feats"),
+    )
+
+    # ONE exchange: per-bucket (raw, target) occurrence counts
+    counts = (
+        base.select("is_target", F.explode("feats").alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("raw_cnt"),
+            F.sum(F.col("is_target").cast("long")).alias("tgt_cnt"),
+        )
+    )
+    # smoothed log-ratio per bucket; totals via a 1-row broadcast
+    totals = counts.agg(
+        F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
+    )
+    a = F.lit(float(alpha))
+    ad = F.lit(float(alpha * dim))
+    lw = (
+        F.log((F.col("tgt_cnt") + a) / (F.col("tgt_tot") + ad))
+        - F.log((F.col("raw_cnt") + a) / (F.col("raw_tot") + ad))
+    ).alias("lw")
+    lw_tbl = counts.crossJoin(F.broadcast(totals)).select("b", lw)
+
+    # per-doc decimal sum over feature occurrences; docs with zero
+    # features rejoin with logw = 0 (mirrors the oracle's LEFT JOIN)
+    occ = base.select("doc_id", F.explode("feats").alias("b"))
+    dw = (
+        occ.join(F.broadcast(lw_tbl), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("lw").cast("decimal(38,18)")).alias("logw_dec")
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(16**12))
+    )
+    gumbel = -F.log(-F.log(u))
+    scored = (
+        base.select("doc_id", "is_target")
+        .join(dw, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce(
+                F.col("logw_dec").cast("double"), F.lit(0.0)
+            ).alias("logw_raw"),
+            gumbel.alias("g"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            F.round("logw_raw", 6).alias("logw"),
+            F.round(F.col("logw_raw") + F.col("g"), 6).alias("sample_key"),
+        )
+    )
+    return scored.orderBy(
+        F.col("sample_key").desc(), F.col("doc_id")
+    ).limit(k)

@@ -650,3 +650,79 @@ def test_line_dedup_trim_and_min_chars(spark):
         row["kept_fp"]
         == hashlib.md5(b"padded line\nreal line").hexdigest()
     )
+
+
+# ---------------------------------------------------------------- DSIR
+
+def _mkdocs_lang(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.corpus import dsir_select
+
+    # target domain: docs about 'neural network training' (lang-tagged);
+    # raw pool: 10 target, 20 target-LIKE candidates, 20 off-domain.
+    # DSIR must rank the target-like candidates' log-weights above the
+    # off-domain ones (the selection criterion, independent of Gumbel).
+    rows = []
+    for i in range(10):
+        rows.append((i, "neural network training data scaling laws", "tgt"))
+    for i in range(20):
+        rows.append((100 + i, "training neural network models with data", "raw"))
+    for i in range(20):
+        rows.append((200 + i, "cheap furniture sale discount sofa table", "raw"))
+    docs = _mkdocs_lang(spark, rows)
+    out = dsir_select(
+        docs, "doc_id", "text", target=F.col("lang") == "tgt",
+        dim=128, k=50, seed=0,
+    ).collect()
+    logw = {r["doc_id"]: r["logw"] for r in out}
+    like = [logw[d] for d in range(100, 120)]
+    off = [logw[d] for d in range(200, 220)]
+    assert min(like) > max(off)
+    # is_target marks exactly the planted target rows
+    assert all(r["is_target"] == (r["doc_id"] < 10) for r in out)
+
+
+def test_dsir_select_deterministic_and_total(spark):
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.corpus import dsir_select
+
+    docs = _mkdocs_lang(
+        spark,
+        [(i, f"tok{i % 7} tok{i % 3} common", "en" if i % 2 else "xx")
+         for i in range(40)]
+        + [(99, "", "en")],  # empty doc: zero features -> logw == 0.0
+    )
+    sel = lambda: dsir_select(
+        docs, "doc_id", "text", target=F.col("lang") == "en",
+        dim=64, k=100, seed=7,
+    ).collect()
+    a, b = sel(), sel()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    # k > corpus size: every doc selected, ordered by key desc then id
+    assert len(a) == 41
+    keys = [(r["sample_key"], r["doc_id"]) for r in a]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
+    empty = [r for r in a if r["doc_id"] == 99][0]
+    assert empty["logw"] == 0.0
+
+
+def test_dsir_select_validates_params(spark):
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from fuzzymatch_spark.operators.corpus import dsir_select
+
+    docs = _mkdocs_lang(spark, [(1, "a b", "en")])
+    for kw in ({"dim": 0}, {"k": 0}, {"alpha": 0.0}):
+        with _pytest.raises(ValueError):
+            dsir_select(
+                docs, "doc_id", "text",
+                target=F.col("lang") == "en", **kw,
+            )
