@@ -547,14 +547,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_selection"] = dsir_q
 
-    def tfidf_q(spark, sf):
-        from fuzzymatch_spark.operators.corpus import tfidf_topk
+    def query_ranking_q(spark, sf):
+        # widened r6 (the relational_agg_suite section pattern): TF-IDF
+        # and Okapi BM25 rankings of the same query in ONE driver slot —
+        # two top-20s behind a section discriminator, both decimal-summed
+        # and 6-dp rounded
+        from fuzzymatch_spark.operators.corpus import bm25_topk, tfidf_topk
 
-        return tfidf_topk(
-            _docs(spark, sf), "dup spark window", "doc_id", "text", k=20
-        )
+        docs = _docs(spark, sf)
+        tf = tfidf_topk(docs, "dup spark window", "doc_id", "text", k=20)
+        bm = bm25_topk(docs, "dup spark window", "doc_id", "text", k=20)
+        return tf.select(
+            F.lit("tfidf").alias("section"), "doc_id",
+            F.col("tfidf").alias("score"),
+        ).unionByName(bm.select(
+            F.lit("bm25").alias("section"), "doc_id",
+            F.col("bm25").alias("score"),
+        ))
 
-    q["tfidf_topk"] = tfidf_q
+    q["query_ranking_suite"] = query_ranking_q
 
     def chunk_q(spark, sf):
         # chunking + concat-and-cut sequence packing in one entry: every
@@ -2396,7 +2407,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sample_key DESC, doc_id
             LIMIT 100
         """,
-        "tfidf_topk": """
+        # TF-IDF + Okapi BM25 top-20s for the same query (widened r6).
+        # BM25 constants mirror the Spark expression's Python-folded
+        # doubles exactly: k1+1 = 2.2, 1-b = 0.25, b = 0.75.
+        "query_ranking_suite": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok
               FROM documents
@@ -2409,16 +2423,41 @@ def oracle_sql() -> dict[str, str]:
             dfc AS (
               SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
             ),
-            n AS (SELECT count(*) AS n_docs FROM documents)
-            SELECT doc_id,
-                   round(CAST(sum(CAST(tf * (ln((n_docs + 1.0)
-                                                / (df + 1.0)) + 1.0)
-                                       AS DECIMAL(38,18))) AS DOUBLE),
-                         6) AS tfidf
-            FROM tf JOIN dfc USING (tok), n
-            GROUP BY doc_id
-            ORDER BY tfidf DESC, doc_id
-            LIMIT 20
+            dl AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     s -> len(s) > 0)) AS dl
+              FROM documents
+            ),
+            st AS (
+              SELECT count(*) AS n_docs, sum(dl) AS dl_sum FROM dl
+            ),
+            tfidf_s AS (
+              SELECT 'tfidf' AS section, doc_id,
+                     round(CAST(sum(CAST(tf * (ln((n_docs + 1.0)
+                                                  / (df + 1.0)) + 1.0)
+                                         AS DECIMAL(38,18))) AS DOUBLE),
+                           6) AS score
+              FROM tf JOIN dfc USING (tok), st
+              GROUP BY doc_id
+              ORDER BY score DESC, doc_id
+              LIMIT 20
+            ),
+            bm25_s AS (
+              SELECT 'bm25' AS section, tf.doc_id,
+                     round(CAST(sum(CAST(
+                         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                        / (CAST(dl_sum AS DOUBLE)
+                                           / n_docs)))
+                       AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+              FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id), st
+              GROUP BY tf.doc_id
+              ORDER BY score DESC, doc_id
+              LIMIT 20
+            )
+            SELECT * FROM tfidf_s UNION ALL SELECT * FROM bm25_s
         """,
         # independent relational formulation: pseudo-lines come from
         # unnest WITH ORDINALITY + integer division (not the Spark-side

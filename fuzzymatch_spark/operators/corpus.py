@@ -1051,3 +1051,77 @@ def dsir_select(
     return scored.orderBy(
         F.col("sample_key").desc(), F.col("doc_id")
     ).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Okapi BM25 query ranking
+# --------------------------------------------------------------------------
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Rank documents against a query with Okapi BM25 (Robertson et al.,
+    TREC-3) — the standard retrieval scorer for retrieval-based benchmark
+    decontamination, complementing ``tfidf_topk`` with tf saturation
+    (``k1``) and document-length normalization (``b``):
+
+        idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+        s(D, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b*dl/avgdl))
+
+    Scale shape (same as tfidf_topk): the document length ``dl`` is
+    computed WITHIN-ROW and rides the token rows, which are filtered to
+    the query vocabulary *before* any exchange; df and the per-doc score
+    are map-side-combinable aggregates; N and avgdl arrive via a 1-row
+    broadcast (exact long token sum / long count — no floating-point
+    accumulation).  Per-term scores cast to decimal(38,18) before the
+    sum (cross-engine order independence), rounded to 6 dp after.
+    """
+    terms = sorted({t for t in query.split(" ") if t})
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+    tok_rows = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("tok"),
+        )
+        .filter(F.col("tok").isin(terms))
+    )
+    # dl is constant per doc, so keying the aggregate on it is free
+    tf = tok_rows.groupBy("doc_id", "dl", "tok").agg(
+        F.count("*").alias("tf")
+    )
+    df_counts = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    stats = docs.select(F.size(toks).cast("long").alias("dl0")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl0").alias("dl_sum"),
+    )
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    ).cast("decimal(38,18)")
+    scored = (
+        tf.join(F.broadcast(df_counts), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", "bm25")
+    )

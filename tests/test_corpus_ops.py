@@ -726,3 +726,42 @@ def test_dsir_select_validates_params(spark):
                 docs, "doc_id", "text",
                 target=F.col("lang") == "en", **kw,
             )
+
+
+# ---------------------------------------------------------------- BM25
+
+def test_bm25_topk_golden_and_length_normalization(spark):
+    from pytest import approx
+
+    from fuzzymatch_spark.operators.corpus import bm25_topk
+
+    # N=3, df(spark)=2, avgdl=2, idf = ln(1.5/2.5 + 1) = ln(1.6)
+    # doc1 (tf=2, dl=3): s = idf * 4.4 / (2 + 1.2*(0.25 + 0.75*3/2))
+    # doc2 (tf=1, dl=1): s = idf * 2.2 / (1 + 1.2*(0.25 + 0.75*1/2))
+    docs = _mkdocs(spark, [
+        (1, "spark spark dedup"),
+        (2, "spark"),
+        (3, "window join"),
+    ])
+    out = bm25_topk(docs, "spark", "doc_id", "text", k=10).collect()
+    import math
+
+    idf = math.log(1.6)
+    assert [r["doc_id"] for r in out] == [2, 1]  # shorter doc wins: b>0
+    assert out[0]["bm25"] == approx(idf * 2.2 / 1.75, abs=1e-5)
+    assert out[1]["bm25"] == approx(idf * 4.4 / 3.65, abs=1e-5)
+
+
+def test_bm25_tf_saturation(spark):
+    from fuzzymatch_spark.operators.corpus import bm25_topk
+
+    # same dl, tf 1 vs 10: score must grow sublinearly (< 3x for 10x tf)
+    docs = _mkdocs(spark, [
+        (1, " ".join(["spark"] * 1 + ["pad"] * 9)),
+        (2, " ".join(["spark"] * 10)),
+        (3, "other words entirely here now"),
+    ])
+    out = {r["doc_id"]: r["bm25"]
+           for r in bm25_topk(docs, "spark", "doc_id", "text").collect()}
+    assert out[2] > out[1]
+    assert out[2] < 3 * out[1]
