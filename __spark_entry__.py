@@ -496,13 +496,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_stats"] = repetition_q
 
     def decontaminate_q(spark, sf):
-        from fuzzymatch_spark.operators.corpus import decontaminate_ngrams
+        # widened r6: exact (GPT-3 appendix-C n-gram) AND fuzzy
+        # (MinHash-LSH + trigram-Jaccard verify) decontamination tiers in
+        # ONE doc-grain slot.  The fuzzy tier reuses the dedup machinery
+        # asymmetrically: CFG signatures (bit-identical cross-engine, see
+        # minhash_sig4), DENSE banding (same band keys the minhash_lsh
+        # oracle reproduces), JACCARD_PCT exact verification — so DuckDB
+        # rebuilds the verified pair set relationally.
+        from fuzzymatch_spark.operators.corpus import (
+            decontaminate_fuzzy,
+            decontaminate_ngrams,
+        )
 
         docs = _docs(spark, sf).select("doc_id", "source", "text")
         bench = docs.filter(F.col("source") == "src0")
-        return decontaminate_ngrams(docs, bench, "doc_id", "text", n=3)
+        exact = decontaminate_ngrams(docs, bench, "doc_id", "text", n=3)
+        fuzzy = decontaminate_fuzzy(
+            docs, bench, "doc_id", "text", cfg=DENSE,
+            jaccard_pct=JACCARD_PCT,
+        )
+        return exact.join(fuzzy, "doc_id")
 
-    q["decontaminate_ngrams"] = decontaminate_q
+    q["decontamination_suite"] = decontaminate_q
 
     def splits_sampling_q(spark, sf):
         # wide doc-grain entry: deterministic hash train/val/test split +
@@ -2286,33 +2301,82 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS INT) AS repetition_pass
             FROM m
         """,
-        "decontaminate_ngrams": """
+        # widened r6: exact n-gram tier + fuzzy MinHash-LSH tier in one
+        # doc-grain result.  The fuzzy CTEs rebuild the DENSE band keys
+        # from the bit-identical signatures (same machinery as the
+        # minhash_lsh_pairs oracle) and verify candidates with exact
+        # trigram Jaccard at JACCARD_PCT, mirroring
+        # operators/corpus.py:decontaminate_fuzzy relationally.
+        "decontamination_suite": f"""
             WITH t AS (
               SELECT doc_id, source, string_split(text, ' ') AS toks
               FROM documents
             ),
-            g AS (
+            tg AS (
               SELECT doc_id, source,
                      list_distinct(list_transform(
                        range(1, len(toks) - 1),
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                     )) AS grams
+                     )) AS tgrams
               FROM t
             ),
-            dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            dg AS (SELECT doc_id, unnest(tgrams) AS gram FROM tg),
             bg AS (
-              SELECT DISTINCT unnest(grams) AS gram FROM g
+              SELECT DISTINCT unnest(tgrams) AS gram FROM tg
               WHERE source = 'src0'
             ),
             hits AS (
               SELECT doc_id, CAST(count(*) AS BIGINT) AS n
               FROM dg JOIN bg USING (gram) GROUP BY doc_id
+            ),
+            {_GRAMS},
+            sigs AS (
+              SELECT doc_id,
+              {band_keys}
+              FROM grams GROUP BY doc_id
+            ),
+            bands AS (
+              {band_union}
+            ),
+            bbands AS (
+              SELECT b.doc_id AS bench_id, b.band, b.key
+              FROM bands b JOIN documents d ON d.doc_id = b.doc_id
+              WHERE d.source = 'src0'
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id, bb.bench_id
+              FROM bands a
+              JOIN bbands bb ON a.band = bb.band AND a.key = bb.key
+                            AND a.doc_id <> bb.bench_id
+            ),
+            finter AS (
+              SELECT c.doc_id, c.bench_id, count(*) AS i
+              FROM cand c
+              JOIN grams ga ON ga.doc_id = c.doc_id
+              JOIN grams gb ON gb.doc_id = c.bench_id AND gb.g = ga.g
+              GROUP BY 1, 2
+            ),
+            fpairs AS (
+              SELECT f.doc_id
+              FROM finter f
+              JOIN sizes sa ON sa.doc_id = f.doc_id
+              JOIN sizes sb ON sb.doc_id = f.bench_id
+              WHERE 100 * f.i >= {JACCARD_PCT} * (sa.n + sb.n - f.i)
+            ),
+            fh AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS fuzzy_hits
+              FROM fpairs GROUP BY doc_id
             )
             SELECT d.doc_id,
-                   coalesce(n, 0) AS n_gram_hits,
-                   CAST(CASE WHEN coalesce(n, 0) > 0 THEN 1 ELSE 0 END
-                        AS INT) AS contaminated
-            FROM documents d LEFT JOIN hits USING (doc_id)
+                   coalesce(hits.n, 0) AS n_gram_hits,
+                   CAST(CASE WHEN coalesce(hits.n, 0) > 0 THEN 1 ELSE 0
+                        END AS INT) AS contaminated,
+                   coalesce(fh.fuzzy_hits, 0) AS fuzzy_hits,
+                   CAST(CASE WHEN coalesce(fh.fuzzy_hits, 0) > 0 THEN 1
+                        ELSE 0 END AS INT) AS fuzzy_contaminated
+            FROM documents d
+            LEFT JOIN hits USING (doc_id)
+            LEFT JOIN fh USING (doc_id)
         """,
         "corpus_splits_sampling": """
             WITH fr AS (

@@ -1125,3 +1125,104 @@ def bm25_topk(
         .limit(k)
         .select("doc_id", "bm25")
     )
+
+
+# --------------------------------------------------------------------------
+# fuzzy (MinHash-LSH) benchmark decontamination
+# --------------------------------------------------------------------------
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg=None,
+    jaccard_pct: int = 98,
+) -> DataFrame:
+    """Flag training docs NEAR-duplicate to a benchmark doc.
+
+    Exact n-gram decontamination (``decontaminate_ngrams``) misses eval
+    rows that were lightly paraphrased or re-tokenized before leaking into
+    the crawl; the standard remedy (GPT-3 appendix C's 13-gram overlap is
+    the exact tier; Llama/FineWeb-style pipelines add a fuzzy tier) is a
+    near-dup join between corpus and benchmark.  This operator reuses the
+    engine's dedup machinery asymmetrically:
+
+    1. character-shingle MinHash signatures for both sides (one fused
+       Arrow UDF pass each, ``operators/dedup.py:compute_signatures``);
+    2. banded-LSH candidate generation — but where the self-join dedup
+       needs a shuffle, the benchmark side here is SMALL by construction
+       (eval suites are MBs, the corpus is TBs), so its band keys are
+       explicitly ``broadcast()``: the corpus side is scan -> in-task
+       band explode -> broadcast-hash join, NO corpus shuffle;
+    3. exact trigram-Jaccard verification on the stored distinct-shingle
+       arrays (``array_intersect`` in whole-stage codegen — the same
+       JVM tier ``verify_edges`` uses), keeping a pair only when
+       ``100 * |inter| >= jaccard_pct * |union|``;
+    4. per-doc rollup: only verified-hit rows (a tiny stream) reach the
+       final groupBy.
+
+    A corpus doc that IS a benchmark doc (shared id) never matches
+    itself — real deployments have disjoint sides; when the benchmark is
+    carved out of the corpus (the driver entry), self-pairs are noise.
+
+    Returns (doc_id, fuzzy_hits, fuzzy_contaminated) for every input doc:
+    fuzzy_hits = number of distinct benchmark docs verified >= the
+    threshold; fuzzy_contaminated = 1 when fuzzy_hits > 0.
+    """
+    from fuzzymatch_spark.config import DedupConfig
+    from fuzzymatch_spark.operators.dedup import (
+        compute_signatures,
+        minhash_bands,
+    )
+
+    cfg = cfg or DedupConfig()
+    sig_cols = ["id", "shingles", "n_shingles"]
+    sig_docs = compute_signatures(docs, id_col, text_col, cfg)
+    sig_bench = compute_signatures(benchmark, id_col, text_col, cfg)
+
+    bands_docs = minhash_bands(sig_docs, cfg).select("id", "key")
+    bands_bench = minhash_bands(sig_bench, cfg).select(
+        F.col("id").alias("bench_id"), "key"
+    )
+    cand = (
+        bands_docs.join(F.broadcast(bands_bench), "key")
+        .filter(F.col("id") != F.col("bench_id"))
+        .select("id", "bench_id")
+        .distinct()
+    )
+
+    bench_side = F.broadcast(
+        sig_bench.select(
+            F.col("id").alias("bench_id"),
+            F.col("shingles").alias("shingles_b"),
+            F.col("n_shingles").alias("nb"),
+        )
+    )
+    inter = F.size(F.array_intersect("shingles", "shingles_b"))
+    union = F.col("n_shingles") + F.col("nb") - inter
+    # union > 0 guards the degenerate zero-shingle pair (text shorter
+    # than one shingle on both sides): MinHash sentinel signatures would
+    # band-collide and 0 >= 0 would verify vacuously — but an empty
+    # shingle set has no defined Jaccard and is never a real dup.
+    verified = (
+        cand.join(sig_docs.select(*sig_cols), "id")
+        .join(bench_side, "bench_id")
+        .filter((union > 0) & (100 * inter >= int(jaccard_pct) * union))
+        .select("id", "bench_id")
+    )
+    hits = verified.groupBy("id").agg(
+        F.count("*").cast("long").alias("fuzzy_hits")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("fuzzy_hits", F.lit(0)).alias("fuzzy_hits"),
+            F.when(F.coalesce("fuzzy_hits", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("fuzzy_contaminated"),
+        )
+    )

@@ -765,3 +765,76 @@ def test_bm25_tf_saturation(spark):
            for r in bm25_topk(docs, "spark", "doc_id", "text").collect()}
     assert out[2] > out[1]
     assert out[2] < 3 * out[1]
+
+
+# ------------------------------------------------- fuzzy decontamination
+
+def _toks3(start, n):
+    # unique 3-letter tokens: each contributes EXACTLY one distinct
+    # non-space trigram (itself), so shingle-set sizes are exact by
+    # construction — `start` offsets make corpora fully disjoint
+    import itertools
+
+    combos = itertools.islice(
+        itertools.product("abcdefghijklmnopqrst", repeat=3), start,
+        start + n,
+    )
+    return ["".join(c) for c in combos]
+
+
+def _long_text(start=0, n=80):
+    return " ".join(_toks3(start, n))
+
+
+def test_decontaminate_fuzzy_exact_copy_and_unrelated(spark):
+    from fuzzymatch_spark.operators.corpus import decontaminate_fuzzy
+
+    bench_text = _long_text(0)
+    docs = _mkdocs(spark, [
+        (1, bench_text),            # exact copy of a bench doc -> flagged
+        (2, _long_text(2000)),      # disjoint tokens -> clean
+        (100, bench_text),          # IS the bench doc (same id) -> excluded
+    ])
+    bench = _mkdocs(spark, [(100, bench_text)])
+    out = {r["doc_id"]: r for r in
+           decontaminate_fuzzy(docs, bench, "doc_id", "text").collect()}
+    assert len(out) == 3  # one row per input doc
+    assert out[1]["fuzzy_contaminated"] == 1 and out[1]["fuzzy_hits"] == 1
+    assert out[2]["fuzzy_contaminated"] == 0 and out[2]["fuzzy_hits"] == 0
+    assert out[100]["fuzzy_contaminated"] == 0  # self-pair never counts
+
+
+def test_decontaminate_fuzzy_near_copy_and_threshold(spark):
+    from fuzzymatch_spark.operators.corpus import decontaminate_fuzzy
+
+    base = _long_text(0)  # exactly 80 distinct shingles
+    docs = _mkdocs(spark, [
+        (1, base + " zzz"),   # one extra shingle: J = 80/81 ~ 0.9877
+        (2, _long_text(0, 40)),  # first half of the tokens: J = 0.5
+    ])
+    bench = _mkdocs(spark, [(100, base)])
+    out = {r["doc_id"]: r["fuzzy_contaminated"] for r in
+           decontaminate_fuzzy(
+               docs, bench, "doc_id", "text", jaccard_pct=98
+           ).collect()}
+    assert out[1] == 1
+    assert out[2] == 0
+    # tighter threshold excludes the near-copy too
+    out99 = {r["doc_id"]: r["fuzzy_contaminated"] for r in
+             decontaminate_fuzzy(
+                 docs, bench, "doc_id", "text", jaccard_pct=99
+             ).collect()}
+    assert out99[1] == 0
+
+
+def test_decontaminate_fuzzy_hits_count_and_empty_guard(spark):
+    from fuzzymatch_spark.operators.corpus import decontaminate_fuzzy
+
+    t = _long_text(0)
+    docs = _mkdocs(spark, [(1, t), (2, "ab")])
+    bench = _mkdocs(spark, [(100, t), (101, t), (102, "xy")])
+    out = {r["doc_id"]: r for r in
+           decontaminate_fuzzy(docs, bench, "doc_id", "text").collect()}
+    assert out[1]["fuzzy_hits"] == 2  # both bench copies counted
+    # zero-shingle pair ("ab" vs "xy"): union == 0 never verifies
+    assert out[2]["fuzzy_contaminated"] == 0
