@@ -861,12 +861,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- similarity search ----
     def ann_topk(spark, sf):
+        # ONE ANN entry (r6 slot consolidation, VERDICT r5 item 5): the
+        # brute-force cosine top-10 baseline AND the IVF build/probe
+        # top-10 over the same query vector, unioned behind a section
+        # discriminator — identical (vec_id, cos) grain and 5-dp
+        # rounding, so the former two slots cost one.
+        from fuzzymatch_spark.operators.ann import ivf_topk
+
         emb = _emb(spark, sf)
         qv = [float(x) for x in
               emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-        return cosine_topk(emb, "embedding", qv, k=10)
+        brute = cosine_topk(emb, "embedding", qv, k=10).select(
+            F.lit("brute").alias("section"), "vec_id", "cos"
+        )
+        ivf = ivf_topk(
+            emb, "embedding", qv, k=10, n_centroids=8, n_probe=2
+        ).select(F.lit("ivf").alias("section"), "vec_id", "cos")
+        return brute.unionByName(ivf)
 
-    q["ann_cosine_topk"] = ann_topk
+    q["ann_topk_suite"] = ann_topk
 
     def ann_lsh(spark, sf):  # seeded hyperplanes: rows-only
         # The driver's embeddings are independent random vectors (background
@@ -892,20 +905,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_rhp_knn_pairs"] = ann_lsh
-
-    def ann_ivf(spark, sf):
-        # ORACLE-CHECKED IVF ANN: deterministic first-C coarse quantizer,
-        # 6-dp-rounded cosine cell assignment (ties to lower centroid id),
-        # probe top-2 cells, exact cosine top-k inside them — the whole
-        # inverted-file plan reproduces bit-identically in DuckDB.
-        from fuzzymatch_spark.operators.ann import ivf_topk
-
-        emb = _emb(spark, sf)
-        qv = [float(x) for x in
-              emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-        return ivf_topk(emb, "embedding", qv, k=10, n_centroids=8, n_probe=2)
-
-    q["ann_ivf_topk"] = ann_ivf
 
     def cos_dups(spark, sf):
         # Plant near-duplicate vectors (the driver embeddings are independent
@@ -1431,35 +1430,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["relational_agg_suite"] = relational_agg_suite
 
-    def part_topk_by_brand(spark, sf):
+    def window_topk_suite(spark, sf):
+        # ONE windowed-top-k entry (r6 slot consolidation): per-brand
+        # part top-2 (the former part_topk_by_brand) and per-user event
+        # top-3 (the former events_topk_per_user) behind a section
+        # discriminator and generic (k1, id, val, rn) columns — the same
+        # two row_number windows run, unchanged.
         from pyspark.sql import Window
 
         part = spark.read.parquet(f"{sf}/part.parquet")
-        w = Window.partitionBy("p_brand").orderBy(
+        wp = Window.partitionBy("p_brand").orderBy(
             F.desc("p_retailprice"), F.asc("p_partkey")
         )
-        return (
-            part.withColumn("rn", F.row_number().over(w))
+        parts = (
+            part.withColumn("rn", F.row_number().over(wp))
             .filter(F.col("rn") <= 2)
-            .select("p_brand", "p_partkey", "p_retailprice",
-                    F.col("rn").cast("long").alias("rn"))
+            .select(
+                F.lit("part_brand").alias("section"),
+                F.col("p_brand").alias("k1"),
+                F.col("p_partkey").cast("long").alias("id"),
+                F.col("p_retailprice").cast("double").alias("val"),
+                F.col("rn").cast("long").alias("rn"),
+            )
         )
-
-    q["part_topk_by_brand"] = part_topk_by_brand
-
-    def events_topk_per_user(spark, sf):
-        from pyspark.sql import Window
-
         ev = spark.read.parquet(f"{sf}/events.parquet")
-        w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
-        return (
-            ev.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 3)
-            .select("user_id", "event_id", "value",
-                    F.col("rn").cast("long").alias("rn"))
+        we = Window.partitionBy("user_id").orderBy(
+            F.desc("value"), F.asc("event_id")
         )
+        events = (
+            ev.withColumn("rn", F.row_number().over(we))
+            .filter(F.col("rn") <= 3)
+            .select(
+                F.lit("event_user").alias("section"),
+                F.col("user_id").cast("string").alias("k1"),
+                F.col("event_id").cast("long").alias("id"),
+                F.col("value").cast("double").alias("val"),
+                F.col("rn").cast("long").alias("rn"),
+            )
+        )
+        return parts.unionByName(events)
 
-    q["events_topk_per_user"] = events_topk_per_user
+    q["window_topk_suite"] = window_topk_suite
 
     # ---- registration-order repack (driver CORRECTNESS window) ----
     # The driver validates the FIRST 50 registrations against oracle_sql()
@@ -2986,80 +2997,83 @@ def oracle_sql() -> dict[str, str]:
         # wide entry: token_stats + quality_score + lang_id over ONE
         # shared planted set (punctuation, stopwords, uppercase) — same
         # coverage as the former three entries in a single slot
-        "ann_cosine_topk": """
-            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-            nums AS (SELECT unnest(range(1, 65)) AS i),
-            terms AS (
-              SELECT e.vec_id,
-                     CAST(e.embedding[n.i] AS DOUBLE) AS a,
-                     CAST(q.qv[n.i] AS DOUBLE) AS b
-              FROM embeddings e, q, nums n
-              WHERE n.i <= len(e.embedding)
-            ),
-            dots AS (
-              SELECT vec_id, sum(a * b) AS dot,
-                     sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb
-              FROM terms GROUP BY vec_id
+        "ann_topk_suite": """
+            SELECT 'brute' AS section, vec_id, cos FROM (
+                WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+                nums AS (SELECT unnest(range(1, 65)) AS i),
+                terms AS (
+                  SELECT e.vec_id,
+                         CAST(e.embedding[n.i] AS DOUBLE) AS a,
+                         CAST(q.qv[n.i] AS DOUBLE) AS b
+                  FROM embeddings e, q, nums n
+                  WHERE n.i <= len(e.embedding)
+                ),
+                dots AS (
+                  SELECT vec_id, sum(a * b) AS dot,
+                         sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb
+                  FROM terms GROUP BY vec_id
+                )
+                SELECT vec_id, round(dot / (na * nb), 5) AS cos
+                FROM dots
+                ORDER BY cos DESC, vec_id ASC
+                LIMIT 10
             )
-            SELECT vec_id, round(dot / (na * nb), 5) AS cos
-            FROM dots
-            ORDER BY cos DESC, vec_id ASC
-            LIMIT 10
-        """,
-        "ann_ivf_topk": """
-            WITH nums AS (SELECT unnest(range(1, 65)) AS i),
-            cents AS (
-              SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8
-            ),
-            pairs AS (
-              SELECT e.vec_id, c.cid,
-                     sum(CAST(e.embedding[n.i] AS DOUBLE)
-                         * CAST(c.embedding[n.i] AS DOUBLE)) AS dot,
-                     sqrt(sum(CAST(e.embedding[n.i] AS DOUBLE)
-                              * CAST(e.embedding[n.i] AS DOUBLE))) AS ne,
-                     sqrt(sum(CAST(c.embedding[n.i] AS DOUBLE)
-                              * CAST(c.embedding[n.i] AS DOUBLE))) AS nc
-              FROM embeddings e, cents c, nums n
-              WHERE n.i <= len(e.embedding)
-              GROUP BY e.vec_id, c.cid
-            ),
-            scored AS (
-              SELECT vec_id, cid, round(dot / (ne * nc), 6) AS cos FROM pairs
-            ),
-            assign AS (
-              SELECT vec_id, cid AS cell FROM (
-                SELECT vec_id, cid,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY cos DESC, cid ASC) AS rn
-                FROM scored
-              ) WHERE rn = 1
-            ),
-            probes AS (
-              SELECT cid FROM (
-                SELECT cid, row_number() OVER (ORDER BY cos DESC, cid ASC) AS rn
-                FROM scored WHERE vec_id = 0
-              ) WHERE rn <= 2
-            ),
-            cand AS (
-              SELECT a.vec_id FROM assign a JOIN probes p ON a.cell = p.cid
-            ),
-            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-            terms AS (
-              SELECT e.vec_id,
-                     CAST(e.embedding[n.i] AS DOUBLE) AS a,
-                     CAST(q.qv[n.i] AS DOUBLE) AS b
-              FROM embeddings e JOIN cand USING (vec_id), q, nums n
-              WHERE n.i <= len(e.embedding)
-            ),
-            dots AS (
-              SELECT vec_id, sum(a * b) AS dot,
-                     sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb
-              FROM terms GROUP BY vec_id
+            UNION ALL
+            SELECT 'ivf' AS section, vec_id, cos FROM (
+                WITH nums AS (SELECT unnest(range(1, 65)) AS i),
+                cents AS (
+                  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8
+                ),
+                pairs AS (
+                  SELECT e.vec_id, c.cid,
+                         sum(CAST(e.embedding[n.i] AS DOUBLE)
+                             * CAST(c.embedding[n.i] AS DOUBLE)) AS dot,
+                         sqrt(sum(CAST(e.embedding[n.i] AS DOUBLE)
+                                  * CAST(e.embedding[n.i] AS DOUBLE))) AS ne,
+                         sqrt(sum(CAST(c.embedding[n.i] AS DOUBLE)
+                                  * CAST(c.embedding[n.i] AS DOUBLE))) AS nc
+                  FROM embeddings e, cents c, nums n
+                  WHERE n.i <= len(e.embedding)
+                  GROUP BY e.vec_id, c.cid
+                ),
+                scored AS (
+                  SELECT vec_id, cid, round(dot / (ne * nc), 6) AS cos FROM pairs
+                ),
+                assign AS (
+                  SELECT vec_id, cid AS cell FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cos DESC, cid ASC) AS rn
+                    FROM scored
+                  ) WHERE rn = 1
+                ),
+                probes AS (
+                  SELECT cid FROM (
+                    SELECT cid, row_number() OVER (ORDER BY cos DESC, cid ASC) AS rn
+                    FROM scored WHERE vec_id = 0
+                  ) WHERE rn <= 2
+                ),
+                cand AS (
+                  SELECT a.vec_id FROM assign a JOIN probes p ON a.cell = p.cid
+                ),
+                q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+                terms AS (
+                  SELECT e.vec_id,
+                         CAST(e.embedding[n.i] AS DOUBLE) AS a,
+                         CAST(q.qv[n.i] AS DOUBLE) AS b
+                  FROM embeddings e JOIN cand USING (vec_id), q, nums n
+                  WHERE n.i <= len(e.embedding)
+                ),
+                dots AS (
+                  SELECT vec_id, sum(a * b) AS dot,
+                         sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb
+                  FROM terms GROUP BY vec_id
+                )
+                SELECT vec_id, round(dot / (na * nb), 5) AS cos
+                FROM dots
+                ORDER BY cos DESC, vec_id ASC
+                LIMIT 10
             )
-            SELECT vec_id, round(dot / (na * nb), 5) AS cos
-            FROM dots
-            ORDER BY cos DESC, vec_id ASC
-            LIMIT 10
         """,
         "relational_agg_suite": """
             SELECT 'tpch_q1' AS section,
@@ -3098,8 +3112,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 20
         """,
-        "part_topk_by_brand": """
-            SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS BIGINT) AS rn
+        "window_topk_suite": """
+            SELECT 'part_brand' AS section, p_brand AS k1,
+                   CAST(p_partkey AS BIGINT) AS id,
+                   CAST(p_retailprice AS DOUBLE) AS val,
+                   CAST(rn AS BIGINT) AS rn
             FROM (
               SELECT p_brand, p_partkey, p_retailprice,
                      row_number() OVER (PARTITION BY p_brand
@@ -3107,6 +3124,18 @@ def oracle_sql() -> dict[str, str]:
                                                  p_partkey ASC) AS rn
               FROM part
             ) WHERE rn <= 2
+            UNION ALL
+            SELECT 'event_user' AS section, CAST(user_id AS VARCHAR) AS k1,
+                   CAST(event_id AS BIGINT) AS id,
+                   CAST(value AS DOUBLE) AS val,
+                   CAST(rn AS BIGINT) AS rn
+            FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC,
+                                                 event_id ASC) AS rn
+              FROM events
+            ) WHERE rn <= 3
         """,
         "events_user_profile": """
             WITH g AS (
@@ -3205,14 +3234,5 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a_id, b_id, round(dot / (na * nb), 4) AS cos
             FROM dots WHERE round(dot / (na * nb), 4) >= 0.9
-        """,
-        "events_topk_per_user": """
-            SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn
-            FROM (
-              SELECT user_id, event_id, value,
-                     row_number() OVER (PARTITION BY user_id
-                                        ORDER BY value DESC, event_id ASC) AS rn
-              FROM events
-            ) WHERE rn <= 3
         """,
     }
