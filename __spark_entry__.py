@@ -672,11 +672,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["vocab_top_tokens"] = vocab_q
 
     def unigram_q(spark, sf):
-        from fuzzymatch_spark.operators.corpus import unigram_logprob
+        # widened r6: unigram AND interpolated-bigram LM scores in one
+        # doc-grain slot (CCNet-style perplexity filtering; the bigram
+        # model is the real quality-filter shape, the unigram its
+        # backoff).  Docs with < 2 tokens have no bigram positions:
+        # typed-NULL mean + 0 count, identical in the oracle.
+        from fuzzymatch_spark.operators.corpus import (
+            bigram_logprob,
+            unigram_logprob,
+        )
 
-        return unigram_logprob(_docs(spark, sf), "doc_id", "text")
+        docs = _docs(spark, sf)
+        uni = unigram_logprob(docs, "doc_id", "text")
+        bi = bigram_logprob(docs, "doc_id", "text", lam=0.8)
+        return uni.join(bi, "doc_id", "left").select(
+            "doc_id", "n_tokens", "mean_neg_logprob",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            "mean_neg_logprob_bi",
+        )
 
-    q["unigram_logprob"] = unigram_q
+    q["lm_logprob_stats"] = unigram_q
+
+    def unimax_q(spark, sf):
+        # UniMax waterfill allocation over the corpus's languages:
+        # epochs=2 cap, budget = half the total tokens (floor division —
+        # exact integer on both engines); the water level is the only
+        # float and both engines compute it with the identical
+        # int->double expression.
+        from fuzzymatch_spark.operators.corpus import unimax_alloc
+
+        return unimax_alloc(
+            _docs(spark, sf), "lang", "text",
+            budget_tokens=None, max_epochs=2,
+        )
+
+    q["unimax_lang_alloc"] = unimax_q
 
     def length_quantiles_q(spark, sf):
         from fuzzymatch_spark.operators.corpus import length_quantiles
@@ -2700,26 +2730,126 @@ def oracle_sql() -> dict[str, str]:
               FROM toks
             ) WHERE rank <= 5
         """,
-        "unigram_logprob": """
-            WITH toks AS (
-              SELECT doc_id, tok AS token FROM (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                FROM documents
-              ) WHERE len(tok) > 0
+        # widened r6: + interpolated bigram LM (lam=0.8; the 1-lam
+        # literal is the Python-folded double 0.19999999999999996, so
+        # both engines evaluate the identical IEEE expression).  Bigram
+        # positions come from position-joined consecutive tokens — an
+        # independent formulation of the Spark side's within-row pairs.
+        "lm_logprob_stats": """
+            WITH ft AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 s -> len(s) > 0) AS toks
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     toks[CAST(i AS INT) + 1] AS token,
+                     CAST(i AS INT) + 1 AS i
+              FROM ft, unnest(range(0, len(toks))) AS r(i)
             ),
             freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
             totals AS (
               SELECT count(*) AS n_total, count(DISTINCT token) AS n_vocab
               FROM toks
+            ),
+            uni AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(CAST(sum(CAST(-ln((tf + 1) * 1.0
+                                             / (n_total + n_vocab))
+                                         AS DECIMAL(38,18))) AS DOUBLE)
+                           / count(*), 6) AS mean_neg_logprob
+              FROM toks JOIN freq USING (token), totals
+              GROUP BY doc_id
+            ),
+            bg AS (
+              SELECT a.doc_id, a.token AS w1, b.token AS w2
+              FROM toks a JOIN toks b
+                ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            ),
+            bfreq AS (
+              SELECT w1, w2, count(*) AS bf FROM bg GROUP BY w1, w2
+            ),
+            bi AS (
+              SELECT bg.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(CAST(sum(CAST(-ln(
+                         0.8 * (CAST(bf AS DOUBLE) / CAST(c1.tf AS DOUBLE))
+                         + 0.19999999999999996
+                           * ((c2.tf + 1) * 1.0 / (n_total + n_vocab))
+                       ) AS DECIMAL(38,18))) AS DOUBLE)
+                           / count(*), 6) AS mean_neg_logprob_bi
+              FROM bg
+              JOIN bfreq USING (w1, w2)
+              JOIN freq c1 ON c1.token = bg.w1
+              JOIN freq c2 ON c2.token = bg.w2, totals
+              GROUP BY bg.doc_id
             )
-            SELECT doc_id,
-                   CAST(count(*) AS BIGINT) AS n_tokens,
-                   round(CAST(sum(CAST(-ln((tf + 1) * 1.0
-                                           / (n_total + n_vocab))
-                                       AS DECIMAL(38,18))) AS DOUBLE)
-                         / count(*), 6) AS mean_neg_logprob
-            FROM toks JOIN freq USING (token), totals
-            GROUP BY doc_id
+            SELECT uni.doc_id, uni.n_tokens, uni.mean_neg_logprob,
+                   coalesce(bi.n_bigrams, 0) AS n_bigrams,
+                   bi.mean_neg_logprob_bi
+            FROM uni LEFT JOIN bi USING (doc_id)
+        """,
+        # UniMax waterfill (closed form): saturation rule
+        # cap_i*(L-i+1)+prefix_{i-1} <= budget over capacity-sorted
+        # groups; the water level is the lone float, computed with the
+        # same int->double expression as the Spark side.
+        "unimax_lang_alloc": """
+            WITH per AS (
+              SELECT lang AS grp,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(list_filter(string_split(text, ' '),
+                                              s -> len(s) > 0)))
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY lang
+            ),
+            caps AS (
+              SELECT grp, n_docs, n_tokens,
+                     n_tokens * 2 AS cap_tokens
+              FROM per
+            ),
+            tot AS (
+              SELECT sum(n_tokens) // 2 AS budget,
+                     count(*) AS L
+              FROM caps
+            ),
+            ranked AS (
+              SELECT grp, n_docs, n_tokens, cap_tokens,
+                     row_number() OVER (ORDER BY cap_tokens, grp) AS i,
+                     coalesce(sum(cap_tokens) OVER (
+                       ORDER BY cap_tokens, grp
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS prefix
+              FROM caps
+            ),
+            sat AS (
+              SELECT r.*,
+                     CASE WHEN cap_tokens * (L - i + 1) + prefix <= budget
+                          THEN 1 ELSE 0 END AS saturated
+              FROM ranked r, tot
+            ),
+            lev AS (
+              SELECT sat.*,
+                     sum(saturated) OVER () AS n_sat,
+                     coalesce(sum(CASE WHEN saturated = 1
+                                       THEN cap_tokens END) OVER (), 0)
+                       AS sat_sum
+              FROM sat
+            ),
+            raw AS (
+              SELECT lev.grp, lev.n_docs, lev.n_tokens, lev.cap_tokens,
+                     CASE WHEN saturated = 1
+                          THEN CAST(cap_tokens AS DOUBLE)
+                          ELSE (budget - sat_sum) * 1.0 / (L - n_sat)
+                     END AS alloc
+              FROM lev, tot
+            )
+            SELECT grp AS lang, n_docs, n_tokens, cap_tokens,
+                   round(alloc, 6) AS alloc_tokens,
+                   round(CASE WHEN n_tokens > 0 THEN alloc / n_tokens
+                         ELSE 0.0 END, 6) AS sample_rate
+            FROM raw
         """,
         "events_session_windows": """
             WITH m AS (

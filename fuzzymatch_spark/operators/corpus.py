@@ -1226,3 +1226,197 @@ def decontaminate_fuzzy(
             .alias("fuzzy_contaminated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# interpolated bigram LM perplexity (CCNet-style quality filter)
+# --------------------------------------------------------------------------
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.8
+) -> DataFrame:
+    """Per-document mean negative log-probability under an interpolated
+    bigram LM trained on the corpus itself — the bigram upgrade of
+    ``unigram_logprob`` (CCNet, Wenzek et al. 1911.00359, filters on LM
+    perplexity; Jelinek-Mercer interpolation keeps unseen bigrams finite):
+
+        P(w2 | w1) = lam * c(w1 w2) / c(w1)
+                   + (1 - lam) * (c(w2) + 1) / (T + V)
+
+    Scale shape: unigram counts are vocabulary-sized (broadcast, twice:
+    the conditional's denominator on w1 and the backoff on w2); the
+    bigram-count table can exceed broadcast size, so the bigram rows
+    join it on the (w1, w2) key — a map-side-combinable build plus one
+    distributed equi-join, then one exchange on doc_id for the per-doc
+    mean.  Each -ln(p) term casts to decimal(38,18) before the sum
+    (summation-order independence across engines), 6-dp round after.
+
+    Returns (doc_id, n_bigrams, mean_neg_logprob_bi) for every doc with
+    >= 2 tokens; docs with fewer have no bigram positions and no row
+    (callers left-join and decide the fill, as the driver entry does).
+    """
+    one_m_lam = 1.0 - float(lam)
+    toks_arr = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks_arr.alias("toks"))
+    uni = base.select(F.explode("toks").alias("token"))
+    freq = uni.groupBy("token").agg(F.count("*").alias("tf"))
+    totals = uni.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("token").alias("n_vocab"),
+    )
+    pair_structs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("w1"),
+                F.element_at("toks", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bigrams = base.select(
+        "doc_id", F.explode(pair_structs).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bfreq = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("bf"))
+
+    c1 = freq.select(F.col("token").alias("w1"), F.col("tf").alias("c1"))
+    c2 = freq.select(F.col("token").alias("w2"), F.col("tf").alias("c2"))
+    p2 = (F.col("c2") + 1) / (F.col("n_total") + F.col("n_vocab"))
+    cond = F.col("bf") / F.col("c1")
+    term = (-F.log(lam * cond + one_m_lam * p2)).cast("decimal(38,18)")
+    return (
+        bigrams.join(bfreq, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(term).cast("double") / F.count("*"), 6
+            ).alias("mean_neg_logprob_bi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# UniMax language-sampling allocation
+# --------------------------------------------------------------------------
+
+def unimax_alloc(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    budget_tokens: int | None = None,
+    max_epochs: int = 2,
+) -> DataFrame:
+    """UniMax-style sampling allocation across languages/domains (Chung
+    et al., "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining", ICLR 2023): spread a token
+    budget as uniformly as possible over groups, capping every group at
+    ``max_epochs``x its available tokens so low-resource groups are never
+    over-repeated.
+
+    The allocation is the exact waterfill solution of
+    ``maximize uniformity s.t. sum(alloc) == budget, alloc_g <= cap_g``
+    computed in CLOSED FORM with window functions — no driver loop:
+    sort groups by capacity ascending; group i (1-based, of L) saturates
+    iff ``cap_i * (L - i + 1) + prefix_{i-1} <= budget`` (giving every
+    not-yet-saturated group cap_i each still fits); non-saturated groups
+    share the remaining budget equally at the water level
+    ``theta = (budget - prefix_sat) / (L - n_sat)``.
+
+    Scale shape: ONE map-side-combinable aggregate onto |groups| rows
+    (token counts computed within-row before the exchange), then O(L)
+    window arithmetic — at 100 TB the corpus is touched exactly once.
+    Token counts and prefix sums stay exact integers; only the water
+    level is floating point (identical int->double expression on both
+    engines).
+
+    ``budget_tokens=None`` defaults to half the corpus's total tokens
+    (floor division — exact on both engines).
+
+    Returns one row per group: (group, n_docs, n_tokens, cap_tokens,
+    alloc_tokens, sample_rate), alloc/rate rounded to 6 dp;
+    sample_rate = alloc / n_tokens can exceed 1 up to ``max_epochs``
+    (repetition of low-resource groups).
+    """
+    assert max_epochs >= 1
+    n_toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
+    ).cast("long")
+    per = (
+        df.select(F.col(group_col).alias("grp"), n_toks.alias("nt"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+        .withColumn("cap_tokens", F.col("n_tokens") * int(max_epochs))
+    )
+    total = per.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
+    budget = int(budget_tokens) if budget_tokens is not None else total // 2
+
+    # |groups| rows: the single-partition windows below are O(L), not a
+    # corpus-scale sort (L = languages/domains, thousands at most)
+    w_ord = Window.orderBy("cap_tokens", "grp")
+    w_pre = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (
+        per.withColumn("i", F.row_number().over(w_ord))
+        .withColumn(
+            "prefix",
+            F.coalesce(F.sum("cap_tokens").over(w_pre), F.lit(0)),
+        )
+        .withColumn("L", F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ))
+        .withColumn(
+            "saturated",
+            (
+                F.col("cap_tokens") * (F.col("L") - F.col("i") + 1)
+                + F.col("prefix")
+                <= F.lit(budget)
+            ).cast("int"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    leveled = ranked.withColumn(
+        "n_sat", F.sum("saturated").over(w_all)
+    ).withColumn(
+        "sat_sum",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("saturated") == 1, F.col("cap_tokens"))
+            ).over(w_all),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "theta",
+        F.when(
+            F.col("n_sat") < F.col("L"),
+            (F.lit(budget) - F.col("sat_sum"))
+            / (F.col("L") - F.col("n_sat")),
+        ),
+    )
+    alloc = F.when(
+        F.col("saturated") == 1, F.col("cap_tokens").cast("double")
+    ).otherwise(F.col("theta"))
+    return leveled.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        # zero-token group (all-empty docs): rate pinned to 0.0, not 0/0
+        F.round(
+            F.when(F.col("n_tokens") > 0, alloc / F.col("n_tokens"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("sample_rate"),
+    )

@@ -838,3 +838,116 @@ def test_decontaminate_fuzzy_hits_count_and_empty_guard(spark):
     assert out[1]["fuzzy_hits"] == 2  # both bench copies counted
     # zero-shingle pair ("ab" vs "xy"): union == 0 never verifies
     assert out[2]["fuzzy_contaminated"] == 0
+
+
+# ---------------------------------------------------------- bigram LM
+
+def test_bigram_logprob_golden(spark):
+    from pytest import approx
+
+    from fuzzymatch_spark.operators.corpus import bigram_logprob
+
+    # corpus: doc1 "a b a", doc2 "x" -> T=4, V=3; freq a:2 b:1 x:1
+    # doc1 bigrams: (a,b): 0.8*(1/2) + 0.2*(2/7); (b,a): 0.8*1 + 0.2*(3/7)
+    docs = _mkdocs(spark, [(1, "a b a"), (2, "x")])
+    rows = {r["doc_id"]: r
+            for r in bigram_logprob(docs, "doc_id", "text").collect()}
+    assert 2 not in rows  # single-token doc: no bigram positions
+    lam, oml = 0.8, 1.0 - 0.8
+    t1 = -math.log(lam * 0.5 + oml * (2 / 7))
+    t2 = -math.log(lam * 1.0 + oml * (3 / 7))
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["mean_neg_logprob_bi"] == approx((t1 + t2) / 2, abs=1e-6)
+
+
+def test_bigram_logprob_rare_sequence_scores_higher(spark):
+    from fuzzymatch_spark.operators.corpus import bigram_logprob
+
+    # "a b" repeated is a high-probability sequence; "b a" never seen as
+    # a bigram in doc 3's order except via backoff -> higher neg logprob
+    docs = _mkdocs(spark, [
+        (1, "a b a b a b a b"),
+        (2, "a b a b a b"),
+        (3, "b b b a a a"),
+    ])
+    rows = {r["doc_id"]: r["mean_neg_logprob_bi"]
+            for r in bigram_logprob(docs, "doc_id", "text").collect()}
+    assert rows[3] > rows[1]
+    assert len(rows) == 3
+
+
+# ------------------------------------------------------------- UniMax
+
+def _unimax_ref(caps, budget):
+    # brute-force waterfill reference: bisect the water level
+    lo, hi = 0.0, max(caps) + 1.0
+    if sum(caps) <= budget:
+        return list(map(float, caps))
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(c, mid) for c in caps) < budget:
+            lo = mid
+        else:
+            hi = mid
+    return [min(float(c), hi) for c in caps]
+
+
+def _mkdocs_grp(spark, counts):
+    # one doc per (grp, token-count) pair
+    rows, i = [], 0
+    for grp, toks in counts:
+        rows.append((i, " ".join(["t"] * toks), grp))
+        i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, grp string")
+
+
+def test_unimax_alloc_golden_waterfill(spark):
+    from pytest import approx
+
+    from fuzzymatch_spark.operators.corpus import unimax_alloc
+
+    # tokens: a=100 b=10 c=10 d=1000; epochs=2 -> caps 200/20/20/2000
+    # budget 300: b,c saturate at 20 each; theta=(300-40)/2=130
+    docs = _mkdocs_grp(spark, [
+        ("a", 100), ("b", 10), ("c", 5), ("c", 5),
+        ("d", 600), ("d", 400),
+    ])
+    out = {r["grp"]: r for r in
+           unimax_alloc(docs, "grp", "text", budget_tokens=300,
+                        max_epochs=2).collect()}
+    assert out["b"]["alloc_tokens"] == 20.0
+    assert out["c"]["alloc_tokens"] == 20.0
+    assert out["a"]["alloc_tokens"] == approx(130.0)
+    assert out["d"]["alloc_tokens"] == approx(130.0)
+    assert out["b"]["sample_rate"] == 2.0       # epoch cap binds
+    assert out["a"]["sample_rate"] == approx(1.3)
+    assert out["d"]["sample_rate"] == approx(0.13)
+    assert sum(r["alloc_tokens"] for r in out.values()) == approx(300.0)
+
+
+def test_unimax_alloc_matches_bisect_reference(spark):
+    from pytest import approx
+
+    from fuzzymatch_spark.operators.corpus import unimax_alloc
+
+    counts = [("g%d" % i, (i * 37) % 90 + 3) for i in range(12)]
+    docs = _mkdocs_grp(spark, counts)
+    budget = 250
+    out = {r["grp"]: r["alloc_tokens"] for r in
+           unimax_alloc(docs, "grp", "text", budget_tokens=budget,
+                        max_epochs=3).collect()}
+    caps = {g: t * 3 for g, t in counts}
+    ref = _unimax_ref([caps[g] for g in sorted(caps)], budget)
+    for g, want in zip(sorted(caps), ref):
+        assert out[g] == approx(want, abs=1e-4), g
+
+
+def test_unimax_alloc_budget_exceeds_capacity(spark):
+    from fuzzymatch_spark.operators.corpus import unimax_alloc
+
+    docs = _mkdocs_grp(spark, [("a", 10), ("b", 20)])
+    out = {r["grp"]: r for r in
+           unimax_alloc(docs, "grp", "text", budget_tokens=10_000,
+                        max_epochs=2).collect()}
+    assert out["a"]["alloc_tokens"] == 20.0 and out["a"]["sample_rate"] == 2.0
+    assert out["b"]["alloc_tokens"] == 40.0 and out["b"]["sample_rate"] == 2.0
