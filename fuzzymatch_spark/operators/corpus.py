@@ -1356,15 +1356,30 @@ def unimax_alloc(
         )
         .withColumn("cap_tokens", F.col("n_tokens") * int(max_epochs))
     )
-    total = per.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
-    budget = int(budget_tokens) if budget_tokens is not None else total // 2
+    # default budget = half the total tokens, attached as a 1-row
+    # broadcast (exact BIGINT floor division) — no driver action, the
+    # whole operator stays one lazy plan
+    if budget_tokens is not None:
+        budget = F.lit(int(budget_tokens))
+        per2 = per
+    else:
+        budget = F.col("_budget")
+        per2 = per.crossJoin(
+            F.broadcast(
+                per.agg(
+                    # shiftright = exact integer floor-halving at any
+                    # magnitude (x/2 would round-trip through double)
+                    F.shiftright(F.sum("n_tokens"), 1).alias("_budget")
+                )
+            )
+        )
 
     # |groups| rows: the single-partition windows below are O(L), not a
     # corpus-scale sort (L = languages/domains, thousands at most)
     w_ord = Window.orderBy("cap_tokens", "grp")
     w_pre = w_ord.rowsBetween(Window.unboundedPreceding, -1)
     ranked = (
-        per.withColumn("i", F.row_number().over(w_ord))
+        per2.withColumn("i", F.row_number().over(w_ord))
         .withColumn(
             "prefix",
             F.coalesce(F.sum("cap_tokens").over(w_pre), F.lit(0)),
@@ -1379,7 +1394,7 @@ def unimax_alloc(
             (
                 F.col("cap_tokens") * (F.col("L") - F.col("i") + 1)
                 + F.col("prefix")
-                <= F.lit(budget)
+                <= budget
             ).cast("int"),
         )
     )
@@ -1400,7 +1415,7 @@ def unimax_alloc(
         "theta",
         F.when(
             F.col("n_sat") < F.col("L"),
-            (F.lit(budget) - F.col("sat_sum"))
+            (budget - F.col("sat_sum"))
             / (F.col("L") - F.col("n_sat")),
         ),
     )
