@@ -1383,7 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return revenue.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(20)
 
-    q["tpch_q3_topk"] = tpch_q3
+    # tpch_q3 is registered as the 'tpch_q3' section of
+    # relational_agg_suite (r6 slot consolidation) — same DataFrame code
 
     def events_user_profile(spark, sf):
         # ONE user-grain entry (r6, oracle-slot consolidation): per-user
@@ -1456,7 +1457,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("double").alias("m2"),
             F.lit(None).cast("double").alias("m3"),
         )
-        return q1.unionByName(dim)
+        q3 = tpch_q3(spark, sf).select(
+            F.lit("tpch_q3").alias("section"),
+            F.col("o_orderkey").cast("string").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.lit(None).cast("long").alias("cnt"),
+            F.col("revenue").alias("m1"),
+            F.lit(None).cast("double").alias("m2"),
+            F.lit(None).cast("double").alias("m3"),
+        )
+        return q1.unionByName(dim).unionByName(q3)
 
     q["relational_agg_suite"] = relational_agg_suite
 
@@ -3228,19 +3238,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
-        """,
-        "tpch_q3_topk": """
-            SELECT o_orderkey,
-                   round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,6))
-                         * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6)))
-                         AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
-            FROM customer
-            JOIN orders ON c_custkey = o_custkey
-            JOIN lineitem ON o_orderkey = l_orderkey
-            WHERE c_mktsegment = 'BUILDING'
-            GROUP BY o_orderkey
-            ORDER BY revenue DESC, o_orderkey ASC
-            LIMIT 20
+            UNION ALL
+            SELECT 'tpch_q3' AS section,
+                   CAST(o_orderkey AS VARCHAR) AS k1,
+                   CAST(NULL AS VARCHAR) AS k2,
+                   CAST(NULL AS BIGINT) AS cnt,
+                   revenue AS m1,
+                   CAST(NULL AS DOUBLE) AS m2,
+                   CAST(NULL AS DOUBLE) AS m3
+            FROM (
+              SELECT o_orderkey,
+                     round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,6))
+                           * (CAST(1 AS DECIMAL(38,6)) - CAST(l_discount AS DECIMAL(38,6)))
+                           AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY o_orderkey
+              ORDER BY revenue DESC, o_orderkey ASC
+              LIMIT 20
+            )
         """,
         "window_topk_suite": """
             SELECT 'part_brand' AS section, p_brand AS k1,
