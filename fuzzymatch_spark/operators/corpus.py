@@ -1214,9 +1214,16 @@ def decontaminate_fuzzy(
     hits = verified.groupBy("id").agg(
         F.count("*").cast("long").alias("fuzzy_hits")
     )
+    # hits is bounded by the contaminated-doc count (a small fraction by
+    # the same assumption that makes the bench side broadcastable), so
+    # the final full-grain left join broadcasts it too: the corpus side
+    # never shuffles anywhere in this operator
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(hits.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(
+            F.broadcast(hits.withColumnRenamed("id", "doc_id")),
+            "doc_id", "left",
+        )
         .select(
             "doc_id",
             F.coalesce("fuzzy_hits", F.lit(0)).alias("fuzzy_hits"),

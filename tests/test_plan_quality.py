@@ -316,3 +316,39 @@ def test_bloom_decontamination_is_jvm_only(spark, documents):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan          # no Arrow/Batch Python stages
     assert "PythonUDF" not in plan
+
+
+def test_fuzzy_decontamination_bench_side_broadcasts(spark, documents):
+    from fuzzymatch_spark.operators.corpus import decontaminate_fuzzy
+
+    bench = documents.filter(F.col("source") == "src0")
+    plan = plan_of(
+        decontaminate_fuzzy(documents, bench, "doc_id", "text")
+    )
+    # band candidates AND shingle verification both join the (small)
+    # benchmark side via broadcast; the corpus never shuffles on a band
+    # or pair key — no sort-merge join in the whole plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_lm_unigram_tables_broadcast(spark, documents):
+    from fuzzymatch_spark.operators.corpus import bigram_logprob
+
+    plan = plan_of(bigram_logprob(documents, "doc_id", "text"))
+    # the two vocabulary-sized unigram joins (conditional denominator on
+    # w1, backoff on w2) and the 1-row totals must be broadcast; only
+    # the bigram-count build and the per-doc mean may exchange
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_unimax_is_one_corpus_pass(spark, documents):
+    from fuzzymatch_spark.operators.corpus import unimax_alloc
+
+    plan = plan_of(unimax_alloc(documents, "lang", "text"))
+    # the corpus is scanned for token counts; everything after runs on
+    # O(L) group rows — no Python stage anywhere, default budget comes
+    # from a broadcast, not a collect
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
