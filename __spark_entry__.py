@@ -708,6 +708,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unimax_lang_alloc"] = unimax_q
 
+    def budget_fill_q(spark, sf):
+        # greedy per-language token-budget selection, scored by TTR
+        # (type-token ratio — the same expression quality_score uses,
+        # reproduced relationally in the oracle); budget 1000 tokens per
+        # language binds at every sf
+        from fuzzymatch_spark.operators.corpus import budget_fill
+
+        toks = F.split(F.col("text"), " ")
+        docs = _docs(spark, sf).select(
+            "doc_id", "lang", "text",
+            F.round(
+                F.size(F.array_distinct(toks)) / F.size(toks), 6
+            ).alias("ttr"),
+        )
+        return budget_fill(
+            docs, "doc_id", "text", "ttr",
+            budget_tokens=1000, part_cols=["lang"],
+        )
+
+    q["token_budget_fill"] = budget_fill_q
+
     def length_quantiles_q(spark, sf):
         from fuzzymatch_spark.operators.corpus import length_quantiles
 
@@ -2860,6 +2881,39 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n_tokens > 0 THEN alloc / n_tokens
                          ELSE 0.0 END, 6) AS sample_rate
             FROM raw
+        """,
+        # greedy per-language budget fill: rank by TTR desc (ties
+        # md5(id), id), running token cumsum, keep the <=1000-token
+        # ranked prefix — mirrors operators/corpus.py:budget_fill
+        "token_budget_fill": """
+            WITH scored AS (
+              SELECT doc_id, lang,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          s -> len(s) > 0))
+                          AS BIGINT) AS n_tokens,
+                     round(len(list_distinct(string_split(text, ' ')))
+                           * 1.0 / len(string_split(text, ' ')), 6)
+                       AS score
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, lang, n_tokens, score,
+                     CAST(row_number() OVER w AS BIGINT) AS rank,
+                     sum(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY score DESC,
+                                md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum_tokens
+              FROM scored
+              WINDOW w AS (PARTITION BY lang
+                           ORDER BY score DESC,
+                                    md5(CAST(doc_id AS VARCHAR)), doc_id)
+            )
+            SELECT doc_id, lang, n_tokens, score, rank, cum_tokens,
+                   CAST(CASE WHEN cum_tokens <= 1000 THEN 1 ELSE 0 END
+                        AS INT) AS selected
+            FROM ranked
         """,
         "events_session_windows": """
             WITH m AS (

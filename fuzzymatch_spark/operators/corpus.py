@@ -1083,6 +1083,8 @@ def bm25_topk(
     sum (cross-engine order independence), rounded to 6 dp after.
     """
     terms = sorted({t for t in query.split(" ") if t})
+    if not terms:
+        raise ValueError("bm25_topk: query has no terms")
     toks = F.filter(
         F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
     )
@@ -1351,6 +1353,7 @@ def unimax_alloc(
     (repetition of low-resource groups).
     """
     assert max_epochs >= 1
+    assert budget_tokens is None or budget_tokens >= 0
     n_toks = F.size(
         F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
     ).cast("long")
@@ -1441,4 +1444,78 @@ def unimax_alloc(
             .otherwise(F.lit(0.0)),
             6,
         ).alias("sample_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# token-budget greedy selection
+# --------------------------------------------------------------------------
+
+def budget_fill(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score_col: str,
+    budget_tokens: int,
+    part_cols: list[str],
+) -> DataFrame:
+    """Fill a per-stratum token budget with the highest-scoring docs.
+
+    The selection step of a curation pipeline once every doc has a
+    quality score (``quality_score``, ``unigram_logprob``/``bigram_logprob``,
+    DSIR weights, a model score...): within each stratum rank docs by
+    score descending (ties by md5 of the id, then id — portable and
+    deterministic) and keep the ranked PREFIX whose running token total
+    fits the budget.  Greedy-prefix semantics, not knapsack: the first
+    doc that overflows is dropped and later (smaller) docs are NOT
+    reconsidered — selection is monotone in the budget and stable under
+    corpus growth below the cutoff, which resampling-style selection is
+    not.
+
+    ``part_cols`` is required: the ranking is a per-stratum window
+    (language/source shards), never a global sort.  Scale notes: one
+    exchange on the stratum key; token counts are computed within-row
+    before it; a single giant stratum serializes its own window — shard
+    it upstream (the ``pack_chunks`` contract) or pre-filter with a
+    score-quantile cutoff and run the window on survivors only.
+
+    Returns one row per input doc: (doc_id, *part_cols, n_tokens,
+    score, rank, cum_tokens, selected).
+    """
+    assert part_cols, (
+        "budget_fill: part_cols required (a global sort would not scale)"
+    )
+    assert budget_tokens >= 0
+    n_toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in part_cols],
+        F.col(score_col).alias("score"),
+        n_toks.alias("n_tokens"),
+    )
+    w = Window.partitionBy(*part_cols).orderBy(
+        F.desc("score"),
+        F.md5(F.col("doc_id").cast("string")),
+        F.col("doc_id"),
+    )
+    ranked = base.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return ranked.select(
+        "doc_id",
+        *part_cols,
+        "n_tokens",
+        "score",
+        "rank",
+        "cum_tokens",
+        (F.col("cum_tokens") <= int(budget_tokens))
+        .cast("int")
+        .alias("selected"),
     )

@@ -951,3 +951,60 @@ def test_unimax_alloc_budget_exceeds_capacity(spark):
                         max_epochs=2).collect()}
     assert out["a"]["alloc_tokens"] == 20.0 and out["a"]["sample_rate"] == 2.0
     assert out["b"]["alloc_tokens"] == 40.0 and out["b"]["sample_rate"] == 2.0
+
+
+# -------------------------------------------------------- budget fill
+
+def _mkdocs_scored(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, grp string, score double"
+    )
+
+
+def test_budget_fill_greedy_prefix(spark):
+    from fuzzymatch_spark.operators.corpus import budget_fill
+
+    docs = _mkdocs_scored(spark, [
+        (1, " ".join(["t"] * 5), "en", 0.9),   # rank 1, cum 5
+        (2, " ".join(["t"] * 4), "en", 0.8),   # rank 2, cum 9
+        (3, " ".join(["t"] * 3), "en", 0.7),   # rank 3, cum 12 > 10: out
+        (4, " ".join(["t"] * 1), "en", 0.6),   # rank 4, cum 13: PREFIX
+                                               # semantics -> also out
+        (5, " ".join(["t"] * 2), "de", 0.1),   # own stratum, cum 2: in
+    ])
+    out = {r["doc_id"]: r for r in
+           budget_fill(docs, "doc_id", "text", "score", 10,
+                       ["grp"]).collect()}
+    assert len(out) == 5
+    assert [out[i]["selected"] for i in (1, 2, 3, 4, 5)] == [1, 1, 0, 0, 1]
+    assert out[2]["cum_tokens"] == 9
+    assert out[4]["rank"] == 4
+
+
+def test_budget_fill_deterministic_tiebreak(spark):
+    import hashlib
+
+    from fuzzymatch_spark.operators.corpus import budget_fill
+
+    # all same score: order must be md5(id), id — portable
+    docs = _mkdocs_scored(
+        spark, [(i, "t t", "en", 0.5) for i in range(8)]
+    )
+    out = sorted(
+        budget_fill(docs, "doc_id", "text", "score", 6, ["grp"]).collect(),
+        key=lambda r: r["rank"],
+    )
+    want = sorted(range(8),
+                  key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert [r["doc_id"] for r in out] == want
+    assert sum(r["selected"] for r in out) == 3  # 6 budget / 2 tokens
+
+
+def test_budget_fill_requires_partitions(spark):
+    import pytest as _pytest
+
+    from fuzzymatch_spark.operators.corpus import budget_fill
+
+    docs = _mkdocs_scored(spark, [(1, "t", "en", 1.0)])
+    with _pytest.raises(AssertionError):
+        budget_fill(docs, "doc_id", "text", "score", 10, [])
