@@ -37,6 +37,8 @@ def curate(
     strata_cols: list[str] | None = None,
     per_stratum_cap: int | None = None,
     drop_benchmark_ids: bool = False,
+    fuzzy_decon: bool = False,
+    budget_tokens: int | None = None,
 ):
     """The composed curation DataFrame (shared by the job and tests).
 
@@ -44,6 +46,16 @@ def curate(
     result — required when the benchmark is a subset of ``df`` itself
     (benchmark-source mode): n-gram self-contamination alone misses
     benchmark docs shorter than ``ngram_n`` tokens, which have no grams.
+
+    ``fuzzy_decon`` adds the MinHash-LSH near-dup decontamination tier
+    (``decontaminate_fuzzy``) next to the exact n-gram gate — catches
+    lightly-paraphrased eval leaks the exact tier misses; both tiers
+    broadcast the benchmark side, so the corpus still never shuffles in
+    decontamination.
+
+    ``budget_tokens`` (requires ``strata_cols``) appends a greedy
+    per-stratum token-budget selection (``budget_fill``, TTR-scored)
+    AFTER dedup and capping — the final "fill the training mix" stage.
     """
     if (per_stratum_cap is None) != (not strata_cols):
         raise ValueError(
@@ -53,7 +65,14 @@ def curate(
         )
     if per_stratum_cap is not None and per_stratum_cap < 1:
         raise ValueError("per_stratum_cap must be >= 1")
+    if budget_tokens is not None and not strata_cols:
+        raise ValueError(
+            "budget_tokens requires strata_cols (the budget is "
+            "per-stratum; a global budget would be a global sort)"
+        )
     from fuzzymatch_spark.operators.corpus import (
+        budget_fill,
+        decontaminate_fuzzy,
         decontaminate_ngrams,
         repetition_stats,
         stratified_sample,
@@ -71,6 +90,15 @@ def curate(
         .filter((F.col("repetition_pass") == 1) & (F.col("contaminated") == 0))
         .drop("repetition_pass", "contaminated")
     )
+    if fuzzy_decon:
+        fz = decontaminate_fuzzy(
+            df, benchmark_df, id_col, text_col
+        ).select(F.col("doc_id").alias(id_col), "fuzzy_contaminated")
+        gated = (
+            gated.join(fz, id_col)
+            .filter(F.col("fuzzy_contaminated") == 0)
+            .drop("fuzzy_contaminated")
+        )
     if drop_benchmark_ids:
         gated = gated.join(
             benchmark_df.select(id_col), id_col, "left_anti"
@@ -83,6 +111,21 @@ def curate(
             survivors, strata_cols, id_col, per_stratum_cap
         ).select(F.col("doc_id").alias(id_col))
         survivors = survivors.join(capped_ids, id_col)
+    if budget_tokens is not None and strata_cols:
+        toks = F.split(F.col(text_col), " ")
+        scored = survivors.withColumn(
+            "_ttr",
+            F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6),
+        )
+        kept = (
+            budget_fill(
+                scored, id_col, text_col, "_ttr",
+                budget_tokens=budget_tokens, part_cols=list(strata_cols),
+            )
+            .filter(F.col("selected") == 1)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        survivors = survivors.join(kept, id_col)
     return survivors
 
 
@@ -117,6 +160,12 @@ def main() -> None:
                     help="comma-separated strata columns for the cap")
     ap.add_argument("--cap", type=int, default=None,
                     help="max docs kept per stratum")
+    ap.add_argument("--fuzzy-decontaminate", action="store_true",
+                    help="add the MinHash-LSH near-dup decontamination "
+                         "tier next to the exact n-gram gate")
+    ap.add_argument("--budget-tokens", type=int, default=None,
+                    help="per-stratum token budget: keep the TTR-ranked "
+                         "prefix that fits (requires --strata)")
     ap.add_argument("--output", required=True)
     args = ap.parse_args()
 
@@ -143,6 +192,8 @@ def main() -> None:
         # drop them by id too, since sub-ngram_n benchmark docs have no
         # grams and would pass the self-contamination gate
         drop_benchmark_ids=bool(args.benchmark_source),
+        fuzzy_decon=args.fuzzy_decontaminate,
+        budget_tokens=args.budget_tokens,
     )
     parts = args.partition_by.split(",") if args.partition_by else []
     write_curated(spark, out, args.output, parts)

@@ -55,3 +55,67 @@ def test_curate_rejects_zero_cap(spark, documents):
     with pytest.raises(ValueError, match="per_stratum_cap"):
         curate(docs, "doc_id", "text", bench,
                strata_cols=["lang"], per_stratum_cap=0)
+
+
+def test_curate_fuzzy_decon_drops_near_copies(spark, documents):
+    from pyspark.sql import functions as F
+
+    # plant a TOKEN-REVERSED copy of a benchmark doc under a new id:
+    # its token 4-grams are reversed sequences (invisible to the exact
+    # tier) but its space-excluded trigram shingle set is IDENTICAL
+    # (shingles never span spaces), so only the fuzzy tier can drop it
+    docs = documents.select("doc_id", "source", "lang", "text")
+    bench = docs.filter(F.col("source") == "src0")
+    first = bench.select("doc_id", "text").first()
+    rev = " ".join(reversed(first["text"].split(" ")))
+    near = spark.createDataFrame(
+        [(90_000_001, "srcX", "xx", rev)],
+        "doc_id long, source string, lang string, text string",
+    )
+    base = curate(
+        docs.unionByName(near), "doc_id", "text", bench,
+        ngram_n=4, drop_benchmark_ids=True,
+    )
+    strict = curate(
+        docs.unionByName(near), "doc_id", "text", bench,
+        ngram_n=4, drop_benchmark_ids=True, fuzzy_decon=True,
+    )
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    strict_ids = {r["doc_id"] for r in strict.select("doc_id").collect()}
+    assert strict_ids <= base_ids
+    assert 90_000_001 in base_ids        # exact tier can't see it...
+    assert 90_000_001 not in strict_ids  # ...the fuzzy tier can
+
+
+def test_curate_budget_stage_bounds_tokens(spark, documents):
+    from pyspark.sql import functions as F
+
+    docs = documents.select("doc_id", "source", "lang", "text")
+    bench = docs.filter(F.col("source") == "src0")
+    out = curate(
+        docs, "doc_id", "text", bench,
+        ngram_n=4, strata_cols=["lang"], per_stratum_cap=1000,
+        budget_tokens=500,
+    )
+    per = (
+        out.select(
+            "lang",
+            F.size(F.filter(F.split("text", " "),
+                            lambda t: F.length(t) > 0)).alias("nt"),
+        )
+        .groupBy("lang").agg(F.sum("nt").alias("total"))
+        .collect()
+    )
+    assert per, "budget stage emptied the corpus"
+    for r in per:
+        assert r["total"] <= 500, (r["lang"], r["total"])
+
+
+def test_curate_budget_requires_strata(spark, documents):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    docs = documents.select("doc_id", "source", "lang", "text")
+    bench = docs.filter(F.col("source") == "src0")
+    with _pytest.raises(ValueError):
+        curate(docs, "doc_id", "text", bench, budget_tokens=100)
