@@ -610,3 +610,120 @@ def incremental_dedup(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def make_decontamination_sink(
+    spark: SparkSession,
+    work_dir: str,
+    id_col: str,
+    text_col: str,
+    benchmark_df: DataFrame,
+    ngram_n: int = 3,
+    fuzzy: bool = True,
+    cfg: DedupConfig | None = None,
+    jaccard_pct: int = 98,
+    on_before_commit=None,
+):
+    """``foreachBatch`` decontamination gate: flag each micro-batch of NEW
+    docs against a STATIC benchmark registry, in-flight — so contaminated
+    shards never enter the training corpus in the first place instead of
+    being scrubbed later.
+
+    Per batch: the exact n-gram tier (``decontaminate_ngrams``) and,
+    with ``fuzzy`` (default), the MinHash-LSH near-dup tier
+    (``decontaminate_fuzzy``) — both broadcast-only against the batch, so
+    a micro-batch never shuffles.  Rows split into ``clean/batch=<id>``
+    (both flags 0) and ``flagged/batch=<id>`` (full flag columns kept for
+    audit), then the ``_commits/<id>`` marker LAST — the same
+    at-least-once idempotency model as the dedup sinks (a replay rewrites
+    identical batch-scoped partitions).
+
+    The benchmark is persisted once here (it is re-derived into grams /
+    signatures per batch — caching the source rows keeps that a
+    memory-local recompute, not a re-scan).  For very large registries
+    swap the exact tier to ``decontaminate_ngrams_bloom`` upstream and
+    pass its residual through.
+    """
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.corpus import (
+        decontaminate_fuzzy,
+        decontaminate_ngrams,
+    )
+
+    cfg = cfg or DedupConfig()
+    commits_dir = os.path.join(work_dir, "_commits")
+    bench = benchmark_df.persist()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        flags = decontaminate_ngrams(
+            batch_df, bench, id_col, text_col, n=ngram_n
+        )
+        if fuzzy:
+            fz = decontaminate_fuzzy(
+                batch_df, bench, id_col, text_col,
+                cfg=cfg, jaccard_pct=jaccard_pct,
+            )
+            flags = flags.join(fz, "doc_id")
+            dirty = (F.col("contaminated") == 1) | (
+                F.col("fuzzy_contaminated") == 1
+            )
+        else:
+            dirty = F.col("contaminated") == 1
+        joined = batch_df.join(
+            flags.withColumnRenamed("doc_id", id_col), id_col
+        ).persist()
+        joined.filter(~dirty).drop(
+            *[c for c in ("n_gram_hits", "contaminated",
+                          "fuzzy_hits", "fuzzy_contaminated")
+              if c in joined.columns]
+        ).write.mode("overwrite").parquet(
+            f"{work_dir}/clean/batch={batch_id}"
+        )
+        joined.filter(dirty).write.mode("overwrite").parquet(
+            f"{work_dir}/flagged/batch={batch_id}"
+        )
+        joined.unpersist()
+        if on_before_commit is not None:
+            on_before_commit(batch_id)
+        _write_commit_marker(spark, commits_dir, batch_id)
+
+    return sink
+
+
+def incremental_decontamination(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType | str,
+    work_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    benchmark_df: DataFrame,
+    ngram_n: int = 3,
+    fuzzy: bool = True,
+    cfg: DedupConfig | None = None,
+    available_now: bool = True,
+):
+    """File-source stream over landing doc shards →
+    ``make_decontamination_sink``.  Tables under ``work_dir``:
+    ``clean/``, ``flagged/`` (batch-partitioned) + ``_commits/``."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 32)
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(
+            make_decontamination_sink(
+                spark, work_dir, id_col, text_col, benchmark_df,
+                ngram_n=ngram_n, fuzzy=fuzzy, cfg=cfg,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

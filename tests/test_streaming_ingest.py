@@ -394,3 +394,82 @@ def test_text_sink_labels_cross_batch(spark, tmp_path):
     inc = {r["id"]: r["label"] for r in current_labels(spark, work).collect()}
     assert inc == full
     assert inc == {1: 1, 2: 2, 3: 1, 4: 2}
+
+
+def test_incremental_decontamination_gate(spark, tmp_path):
+    """In-flight decontamination: exact-tier and fuzzy-tier leaks are
+    routed to flagged/, clean docs to clean/, across micro-batches; a
+    second AvailableNow pass processes only new files."""
+    from fuzzymatch_spark.streaming.ingest import incremental_decontamination
+
+    inp = str(tmp_path / "landing")
+    work = str(tmp_path / "decon")
+    ckpt = str(tmp_path / "ckpt")
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    bench = spark.createDataFrame([(900, bench_text)], SCHEMA)
+
+    # batch 1: one exact-gram leak, one clean doc
+    _write_batch(spark, inp, [
+        (1, "prefix " + bench_text + " suffix"),     # shares 3-grams
+        (2, "completely unrelated corpus document"),
+    ])
+    incremental_decontamination(
+        spark, inp, SCHEMA, work, ckpt, "doc_id", "text", bench
+    )
+    clean = spark.read.parquet(f"{work}/clean")
+    flagged = spark.read.parquet(f"{work}/flagged")
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+    assert {r["doc_id"] for r in flagged.collect()} == {1}
+
+    # batch 2: a TOKEN-REVERSED copy of the bench doc — invisible to the
+    # exact token-gram tier, caught by the fuzzy shingle tier
+    rev = " ".join(reversed(bench_text.split(" ")))
+    _write_batch(spark, inp, [(3, rev), (4, "another clean one entirely")])
+    incremental_decontamination(
+        spark, inp, SCHEMA, work, ckpt, "doc_id", "text", bench
+    )
+    clean2 = {r["doc_id"] for r in
+              spark.read.parquet(f"{work}/clean").collect()}
+    flagged2 = {r["doc_id"]: r for r in
+                spark.read.parquet(f"{work}/flagged").collect()}
+    assert clean2 == {2, 4}
+    assert set(flagged2) == {1, 3}
+    assert flagged2[3]["contaminated"] == 0       # exact tier blind
+    assert flagged2[3]["fuzzy_contaminated"] == 1  # fuzzy tier catches
+    # clean output carries no flag columns (training-ready rows; `batch`
+    # is the partition directory surfacing as a column on read)
+    assert set(spark.read.parquet(f"{work}/clean").columns) == {
+        "doc_id", "text", "batch"
+    }
+
+
+def test_decontamination_sink_replay_idempotent(spark, tmp_path):
+    from fuzzymatch_spark.streaming.ingest import (
+        committed_batches,
+        make_decontamination_sink,
+    )
+
+    work = str(tmp_path / "decon_replay")
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    bench = spark.createDataFrame([(900, bench_text)], SCHEMA)
+    sink = make_decontamination_sink(
+        spark, work, "doc_id", "text", bench
+    )
+    b0 = spark.createDataFrame(
+        [(1, "prefix " + bench_text), (2, "something else entirely here")],
+        SCHEMA)
+    sink(b0, 0)
+
+    def snap():
+        return (
+            sorted(r["doc_id"] for r in
+                   spark.read.parquet(f"{work}/clean").collect()),
+            sorted(r["doc_id"] for r in
+                   spark.read.parquet(f"{work}/flagged").collect()),
+        )
+
+    before = snap()
+    sink(b0, 0)  # simulated at-least-once replay
+    assert snap() == before == ([2], [1])
+    assert committed_batches(spark, f"{work}/_commits") == [0]
