@@ -1140,6 +1140,8 @@ def decontaminate_fuzzy(
     text_col: str,
     cfg=None,
     jaccard_pct: int = 98,
+    sig_docs: DataFrame | None = None,
+    sig_bench: DataFrame | None = None,
 ) -> DataFrame:
     """Flag training docs NEAR-duplicate to a benchmark doc.
 
@@ -1180,13 +1182,33 @@ def decontaminate_fuzzy(
 
     cfg = cfg or DedupConfig()
     sig_cols = ["id", "shingles", "n_shingles"]
-    sig_docs = compute_signatures(docs, id_col, text_col, cfg)
-    sig_bench = compute_signatures(benchmark, id_col, text_col, cfg)
+    # at pipeline scale pass the CHECKPOINTED signature tables via
+    # sig_docs/sig_bench (the dedup pipeline already materializes them to
+    # parquet): their lineage is then a plain scan and the signature UDF
+    # never runs here.  The self-computing default persists lazily
+    # instead — each side's UDF evaluates ONCE and the band and verify
+    # branches share the cache (without it, lineage re-evaluation runs
+    # the fused UDF per branch per extracted column: 8 Arrow stages
+    # measured for this operator's 4 signature references).
+    if sig_docs is None:
+        sig_docs = compute_signatures(docs, id_col, text_col, cfg).persist()
+    if sig_bench is None:
+        sig_bench = compute_signatures(
+            benchmark, id_col, text_col, cfg
+        ).persist()
 
-    bands_docs = minhash_bands(sig_docs, cfg).select("id", "key")
-    bands_bench = minhash_bands(sig_bench, cfg).select(
-        F.col("id").alias("bench_id"), "key"
-    )
+    # zero-shingle rows all share the sentinel MinHash signature, so
+    # leaving them in the band tables would cross-join every degenerate
+    # corpus row with every degenerate bench row (guaranteed discards —
+    # an empty shingle set has no defined Jaccard).  Filter BEFORE
+    # banding on both sides; the union > 0 verify guard below stays as
+    # defense in depth.
+    bands_docs = minhash_bands(
+        sig_docs.filter(F.col("n_shingles") > 0), cfg
+    ).select("id", "key")
+    bands_bench = minhash_bands(
+        sig_bench.filter(F.col("n_shingles") > 0), cfg
+    ).select(F.col("id").alias("bench_id"), "key")
     cand = (
         bands_docs.join(F.broadcast(bands_bench), "key")
         .filter(F.col("id") != F.col("bench_id"))
@@ -1207,8 +1229,15 @@ def decontaminate_fuzzy(
     # than one shingle on both sides): MinHash sentinel signatures would
     # band-collide and 0 >= 0 would verify vacuously — but an empty
     # shingle set has no defined Jaccard and is never a real dup.
+    # cand is bounded by bench band-collisions (the same assumption that
+    # makes the bench side broadcastable), so it is explicitly broadcast
+    # and the CORPUS side is the streaming probe — without the hint,
+    # plan-time size estimates from the UDF lineage exceed the
+    # auto-broadcast threshold at scale and Spark would shuffle every
+    # corpus shingle array into a SortMergeJoin on id.
     verified = (
-        cand.join(sig_docs.select(*sig_cols), "id")
+        sig_docs.select(*sig_cols)
+        .join(F.broadcast(cand), "id")
         .join(bench_side, "bench_id")
         .filter((union > 0) & (100 * inter >= int(jaccard_pct) * union))
         .select("id", "bench_id")
@@ -1352,8 +1381,10 @@ def unimax_alloc(
     sample_rate = alloc / n_tokens can exceed 1 up to ``max_epochs``
     (repetition of low-resource groups).
     """
-    assert max_epochs >= 1
-    assert budget_tokens is None or budget_tokens >= 0
+    if max_epochs < 1:
+        raise ValueError("unimax_alloc: max_epochs must be >= 1")
+    if budget_tokens is not None and budget_tokens < 0:
+        raise ValueError("unimax_alloc: budget_tokens must be >= 0")
     n_toks = F.size(
         F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
     ).cast("long")
@@ -1482,10 +1513,13 @@ def budget_fill(
     Returns one row per input doc: (doc_id, *part_cols, n_tokens,
     score, rank, cum_tokens, selected).
     """
-    assert part_cols, (
-        "budget_fill: part_cols required (a global sort would not scale)"
-    )
-    assert budget_tokens >= 0
+    if not part_cols:
+        raise ValueError(
+            "budget_fill: part_cols required (a global sort would not "
+            "scale)"
+        )
+    if budget_tokens < 0:
+        raise ValueError("budget_fill: budget_tokens must be >= 0")
     n_toks = F.size(
         F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
     ).cast("long")

@@ -654,6 +654,13 @@ def make_decontamination_sink(
     cfg = cfg or DedupConfig()
     commits_dir = os.path.join(work_dir, "_commits")
     bench = benchmark_df.persist()
+    # the benchmark is static across micro-batches: compute its
+    # signatures ONCE here and hand them to every batch — the per-batch
+    # work is then batch-side only
+    bench_sig = (
+        compute_signatures(bench, id_col, text_col, cfg).persist()
+        if fuzzy else None
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         flags = decontaminate_ngrams(
@@ -662,7 +669,7 @@ def make_decontamination_sink(
         if fuzzy:
             fz = decontaminate_fuzzy(
                 batch_df, bench, id_col, text_col,
-                cfg=cfg, jaccard_pct=jaccard_pct,
+                cfg=cfg, jaccard_pct=jaccard_pct, sig_bench=bench_sig,
             )
             flags = flags.join(fz, "doc_id")
             dirty = (F.col("contaminated") == 1) | (
@@ -703,6 +710,7 @@ def incremental_decontamination(
     ngram_n: int = 3,
     fuzzy: bool = True,
     cfg: DedupConfig | None = None,
+    jaccard_pct: int = 98,
     available_now: bool = True,
 ):
     """File-source stream over landing doc shards →
@@ -718,6 +726,7 @@ def incremental_decontamination(
             make_decontamination_sink(
                 spark, work_dir, id_col, text_col, benchmark_df,
                 ngram_n=ngram_n, fuzzy=fuzzy, cfg=cfg,
+                jaccard_pct=jaccard_pct,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

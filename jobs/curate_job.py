@@ -91,8 +91,11 @@ def curate(
         .drop("repetition_pass", "contaminated")
     )
     if fuzzy_decon:
+        # run the (signature-UDF-heavy) fuzzy tier over the survivors of
+        # the cheap gates, not the full input — identical result through
+        # the inner join, at a fraction of the UDF cost
         fz = decontaminate_fuzzy(
-            df, benchmark_df, id_col, text_col
+            gated, benchmark_df, id_col, text_col
         ).select(F.col("doc_id").alias(id_col), "fuzzy_contaminated")
         gated = (
             gated.join(fz, id_col)

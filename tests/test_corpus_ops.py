@@ -1006,5 +1006,5 @@ def test_budget_fill_requires_partitions(spark):
     from fuzzymatch_spark.operators.corpus import budget_fill
 
     docs = _mkdocs_scored(spark, [(1, "t", "en", 1.0)])
-    with _pytest.raises(AssertionError):
+    with _pytest.raises(ValueError):
         budget_fill(docs, "doc_id", "text", "score", 10, [])
