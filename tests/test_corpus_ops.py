@@ -1008,3 +1008,22 @@ def test_budget_fill_requires_partitions(spark):
     docs = _mkdocs_scored(spark, [(1, "t", "en", 1.0)])
     with _pytest.raises(ValueError):
         budget_fill(docs, "doc_id", "text", "score", 10, [])
+
+
+def test_budget_fill_monotone_in_budget(spark):
+    from fuzzymatch_spark.operators.corpus import budget_fill
+
+    docs = _mkdocs_scored(
+        spark,
+        [(i, " ".join(["t"] * ((i * 7) % 13 + 1)), "g%d" % (i % 3),
+          float((i * 31) % 17)) for i in range(30)],
+    )
+
+    def sel(budget):
+        return {r["doc_id"] for r in
+                budget_fill(docs, "doc_id", "text", "score", budget,
+                            ["grp"]).collect() if r["selected"] == 1}
+
+    s10, s30, s90 = sel(10), sel(30), sel(90)
+    assert s10 <= s30 <= s90  # greedy prefix: monotone in the budget
+    assert len(s90) > len(s10)
