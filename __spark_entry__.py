@@ -470,11 +470,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = lang_id(allrows, "doc_id", "text")
         bpe = bpe_token_stats(allrows, "doc_id", "text")
         masked = mask_pii(allrows, "doc_id", "text")
+        # sixth section (r6): URL canonicalization over a deterministic
+        # synthesized url per doc — exercises every normalization branch
+        # (host case, default :443, tracking params, param sort, fragment)
+        from fuzzymatch_spark.operators.textstats import normalize_urls
+
+        url_synth = F.concat(
+            F.lit("HTTPS://Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":443"))
+            .otherwise(F.lit("")),
+            F.lit("/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("?utm_source=feed&b=2&a=1"),
+            ).otherwise(F.lit("?a=1")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#frag"))
+            .otherwise(F.lit("")),
+        )
+        urls = normalize_urls(
+            allrows.withColumn("url", url_synth), "doc_id", "url"
+        )
         return (
             ts.join(qs, "doc_id")
             .join(li, "doc_id")
             .join(bpe, "doc_id")
             .join(masked, "doc_id")
+            .join(urls, "doc_id")
         )
 
     q["text_analysis_wide"] = text_analysis_wide
@@ -2293,6 +2317,69 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g')
                        AS masked_text
               FROM s2
+            ),
+            u0 AS (
+              SELECT doc_id,
+                     'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+                     || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+                     || '/Docs/' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN '?utm_source=feed&b=2&a=1'
+                             ELSE '?a=1' END
+                     || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END
+                       AS url
+              FROM allrows
+            ),
+            u1 AS (SELECT doc_id, split_part(url, '#', 1) AS nf FROM u0),
+            u2 AS (
+              SELECT doc_id, nf,
+                     coalesce(regexp_extract(nf,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1), '')
+                       AS prefix
+              FROM u1
+            ),
+            u3 AS (
+              -- backref-free default-port strip (DuckDB's replacement
+              -- escapes differ from Java's $1): the suffix can only be
+              -- the port in an authority string
+              SELECT doc_id,
+                     CASE WHEN lower(prefix) LIKE 'http://%'
+                               AND lower(prefix) LIKE '%:80'
+                          THEN substr(lower(prefix), 1,
+                                      length(prefix) - 3)
+                          WHEN lower(prefix) LIKE 'https://%'
+                               AND lower(prefix) LIKE '%:443'
+                          THEN substr(lower(prefix), 1,
+                                      length(prefix) - 4)
+                          ELSE lower(prefix) END AS pfx,
+                     substr(nf, length(prefix) + 1) AS rest
+              FROM u2
+            ),
+            u4 AS (
+              SELECT doc_id, pfx,
+                     split_part(rest, '?', 1) AS path,
+                     CASE WHEN strpos(rest, '?') > 0
+                          THEN substr(rest, strpos(rest, '?') + 1)
+                          ELSE '' END AS qs
+              FROM u3
+            ),
+            u5 AS (
+              SELECT doc_id, pfx, path,
+                     array_to_string(list_sort(list_filter(
+                       string_split(qs, '&'),
+                       p -> len(p) > 0 AND NOT regexp_matches(p,
+                              '^(utm_[a-z]+|gclid|fbclid)='))), '&') AS cq
+              FROM u4
+            ),
+            urls AS (
+              SELECT doc_id,
+                     pfx || path || CASE WHEN len(cq) > 0
+                                         THEN '?' || cq ELSE '' END
+                       AS url_norm,
+                     md5(pfx || path || CASE WHEN len(cq) > 0
+                                             THEN '?' || cq ELSE '' END)
+                       AS url_key
+              FROM u5
             )
             SELECT tstat.doc_id, tstat.n_chars, tstat.n_tokens,
                    tstat.n_distinct_tokens, tstat.type_token_ratio,
@@ -2306,9 +2393,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS pred_lang,
                    bpe.n_bpe_pieces, bpe.n_alpha_pieces,
                    bpe.n_digit_pieces, s3.n_email, s3.n_url, s3.n_longnum,
-                   s3.masked_text
+                   s3.masked_text,
+                   urls.url_norm, urls.url_key
             FROM tstat JOIN qs USING (doc_id) JOIN ls USING (doc_id)
                  JOIN bpe USING (doc_id) JOIN s3 USING (doc_id)
+                 JOIN urls USING (doc_id)
         """,
         # independent relational formulation (unnest + GROUP BY) of the
         # Spark side's within-row array-fold computation

@@ -246,3 +246,64 @@ def simhash64_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("long"))
         )
     return agg.select("doc_id", sh.alias("simhash"))
+
+
+# --- URL canonicalization (web-corpus URL-level dedup) -------------------
+_URL_PREFIX_PAT = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)"
+_URL_TRACKING_PAT = r"^(utm_[a-z]+|gclid|fbclid)="
+
+
+def normalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Canonical URL form for URL-level exact dedup — the FIRST dedup
+    pass of web-corpus pipelines (C4/CCNet drop refetches of the same
+    page before any content work).  Canonicalization steps:
+
+      1. strip the fragment (``#...`` never reaches the server)
+      2. lowercase the scheme + authority (case-insensitive per RFC 3986;
+         path/query case is PRESERVED — it is significant)
+      3. strip default ports (``:80`` http, ``:443`` https)
+      4. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``)
+      5. sort surviving query params (param order is almost never
+         significant; sorting makes the form order-insensitive)
+      6. drop an empty leftover query
+
+    Assumes absolute URLs (scheme-less inputs pass through with only the
+    query/fragment steps applied).  Everything is JVM column expressions
+    — zero shuffle, fuses into the scan; at 100 TB this is a pure map
+    stage like the other signature computations.
+
+    Returns (doc_id, url_norm, url_key) where url_key = md5 hex of the
+    canonical form (the engine-portable join/groupBy key — URL-level
+    exact dedup is then ``exact_dup_edges`` / a groupBy on url_key).
+    """
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring_index(F.col(url_col), "#", 1).alias("nf"),
+    )
+    t = t.withColumn(
+        "prefix", F.regexp_extract("nf", _URL_PREFIX_PAT, 1)
+    ).withColumn("rest", F.expr("substring(nf, length(prefix) + 1)"))
+    pfx = F.lower(F.col("prefix"))
+    pfx = F.regexp_replace(pfx, r"^(http://[^:/]+):80$", "$1")
+    pfx = F.regexp_replace(pfx, r"^(https://[^:/]+):443$", "$1")
+    path = F.substring_index(F.col("rest"), "?", 1)
+    qs = F.when(
+        F.instr("rest", "?") > 0,
+        F.expr("substring(rest, instr(rest, '?') + 1)"),
+    ).otherwise(F.lit(""))
+    keep = F.filter(
+        F.split(qs, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(_URL_TRACKING_PAT),
+    )
+    canon_qs = F.array_join(F.array_sort(keep), "&")
+    url_norm = F.concat(
+        pfx,
+        path,
+        F.when(F.length(canon_qs) > 0, F.concat(F.lit("?"), canon_qs))
+        .otherwise(F.lit("")),
+    )
+    return t.select(
+        "doc_id",
+        url_norm.alias("url_norm"),
+        F.md5(url_norm).alias("url_key"),
+    )

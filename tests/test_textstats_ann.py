@@ -202,3 +202,45 @@ def test_canonical_corpus(spark):
     kept = sorted(r["doc_id"] for r in
                   canonical_corpus(docs, clusters).collect())
     assert kept == [0, 3, 4]
+
+
+# ------------------------------------------------------ URL canonicalization
+
+def test_normalize_urls_golden(spark):
+    from fuzzymatch_spark.operators.textstats import normalize_urls
+
+    rows = [
+        # scheme/host case + default port + fragment + tracking params
+        (1, "HTTPS://Example.COM:443/Path/One?utm_source=feed&b=2&a=1#frag"),
+        # http default port; param order differs from doc 3 only
+        (2, "http://site.org:80/p?b=2&a=1"),
+        (3, "http://site.org/p?a=1&b=2"),
+        # non-default port preserved; path case preserved
+        (4, "https://Example.com:8443/CaseSensitive"),
+        # all params tracking -> no query at all
+        (5, "https://x.io/q?utm_campaign=c&gclid=g&fbclid=f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in
+           normalize_urls(df, "doc_id", "url").collect()}
+    assert out[1]["url_norm"] == "https://example.com/Path/One?a=1&b=2"
+    assert out[2]["url_norm"] == "http://site.org/p?a=1&b=2"
+    # order-insensitive + default-port-insensitive: 2 and 3 collide
+    assert out[2]["url_key"] == out[3]["url_key"]
+    assert out[4]["url_norm"] == "https://example.com:8443/CaseSensitive"
+    assert out[5]["url_norm"] == "https://x.io/q"
+    import hashlib
+    assert out[5]["url_key"] == hashlib.md5(b"https://x.io/q").hexdigest()
+
+
+def test_normalize_urls_no_scheme_and_no_query(spark):
+    from fuzzymatch_spark.operators.textstats import normalize_urls
+
+    df = spark.createDataFrame(
+        [(1, "https://a.b/c"), (2, "relative/path#x")],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r["url_norm"] for r in
+           normalize_urls(df, "doc_id", "url").collect()}
+    assert out[1] == "https://a.b/c"       # already canonical: unchanged
+    assert out[2] == "relative/path"       # fragment stripped, passthrough
