@@ -644,7 +644,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pseudo = docs.select(
             "doc_id", F.array_join(lines, "\n").alias("text")
         )
-        return line_dedup_stats(pseudo, "doc_id", "text")
+        ld = line_dedup_stats(pseudo, "doc_id", "text")
+        # widened r6: + Lee et al. substring-level exact-dup coverage
+        # (L=32-char windows, stride=4 — detects every shared run
+        # >= 35 chars) over the RAW text, same doc grain.  The corpus's
+        # exact-dup docs guarantee non-trivial coverage values.
+        from fuzzymatch_spark.operators.suffix import (
+            repeated_substring_stats,
+        )
+
+        rs = repeated_substring_stats(
+            docs, "doc_id", "text", window_len=32, stride=4
+        ).select(
+            "doc_id", "n_windows", "n_dup_windows",
+            "dup_span_chars", "dup_span_frac",
+        )
+        return ld.join(rs, "doc_id")
 
     q["line_dedup_stats"] = line_dedup_q
 
@@ -2715,20 +2730,69 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id, line_idx
                      ) AS rn
               FROM keyed
+            ),
+            ld AS (
+              SELECT doc_id,
+                     count(*) AS n_lines,
+                     CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dup_lines,
+                     CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS kept_lines,
+                     round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+                                AS DOUBLE) / count(*), 6) AS dup_line_frac,
+                     md5(coalesce(
+                         string_agg(CASE WHEN rn = 1 THEN line END,
+                                    chr(10) ORDER BY line_idx),
+                         '')) AS kept_fp
+              FROM marked GROUP BY doc_id
+            ),
+            -- Lee et al. substring windows over the RAW text: L=32, S=4
+            rs0 AS (
+              SELECT doc_id, text, len(text) AS n_chars,
+                     CASE WHEN len(text) >= 32
+                          THEN (len(text) - 32) // 4 + 1
+                          ELSE 0 END AS n_pos
+              FROM documents
+            ),
+            rsk AS (
+              SELECT doc_id,
+                     1 + CAST(i AS INT) * 4 AS pos,
+                     CAST(('0x' || substr(md5(
+                       substr(text, 1 + CAST(i AS INT) * 4, 32)
+                     ), 1, 15)) AS BIGINT) AS wkey
+              FROM rs0, unnest(range(0, n_pos)) AS r(i)
+            ),
+            rsd AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY wkey) AS n
+                FROM rsk
+              ) WHERE n > 1
+            ),
+            rsc AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_dup_windows,
+                     CAST(sum(CASE WHEN nxt IS NULL THEN 32
+                              ELSE least(32, nxt - pos) END)
+                          AS BIGINT) AS dup_span_chars
+              FROM (
+                SELECT doc_id, pos,
+                       lead(pos) OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS nxt
+                FROM rsd
+              ) GROUP BY doc_id
             )
-            SELECT doc_id,
-                   count(*) AS n_lines,
-                   CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_dup_lines,
-                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS kept_lines,
-                   round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
-                              AS DOUBLE) / count(*), 6) AS dup_line_frac,
-                   md5(coalesce(
-                       string_agg(CASE WHEN rn = 1 THEN line END,
-                                  chr(10) ORDER BY line_idx),
-                       '')) AS kept_fp
-            FROM marked GROUP BY doc_id
+            SELECT ld.doc_id, ld.n_lines, ld.n_dup_lines, ld.kept_lines,
+                   ld.dup_line_frac, ld.kept_fp,
+                   CAST(rs0.n_pos AS BIGINT) AS n_windows,
+                   coalesce(rsc.n_dup_windows, 0) AS n_dup_windows,
+                   coalesce(rsc.dup_span_chars, 0) AS dup_span_chars,
+                   round(coalesce(rsc.dup_span_chars, 0)
+                         / greatest(CAST(rs0.n_chars AS BIGINT), 1),
+                         6) AS dup_span_frac
+            FROM ld
+            JOIN rs0 USING (doc_id)
+            LEFT JOIN rsc USING (doc_id)
         """,
         "chunk_documents": """
             WITH t AS (

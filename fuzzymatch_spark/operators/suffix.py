@@ -132,3 +132,113 @@ def winnow_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def repeated_substring_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_len: int = 32,
+    stride: int = 1,
+) -> DataFrame:
+    """Substring-level exact-dup statistics — the per-document view of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (arXiv:2107.06499): how much of each document is covered by
+    length-``window_len`` character windows that occur MORE THAN ONCE
+    corpus-wide.  (The paper removes such spans with a suffix array;
+    here the windows are hashed relationally, which finds every
+    duplicated span of length >= window_len + stride - 1 — exact at
+    ``stride=1`` — and coverage is reported per doc so a curation pass
+    can cut or drop by threshold.)
+
+    Scale shape: windows are hashed to 60-bit md5 keys WHERE THE TEXT
+    LIVES — only (key, id, pos) rows ride the one corpus-wide exchange
+    (the window body never shuffles, unlike line dedup where the kept
+    text is needed downstream).  Duplicate marking is a count-over-key
+    window; per-doc span coverage is a lead()-window interval union
+    (sum of min(L, next_pos - pos)) plus one exchange back on the doc
+    id.  All exact integers — engine-portable by construction.
+
+    Returns one row per input doc: (doc_id, n_chars, n_windows,
+    n_dup_windows, dup_span_chars, dup_span_frac).
+    """
+    from pyspark.sql import Window
+
+    L, S = int(window_len), int(stride)
+    if L < 2 or S < 1:
+        raise ValueError("repeated_substring_stats: need L >= 2, S >= 1")
+    n_chars = F.length(F.col(text_col))
+    n_pos = F.when(
+        n_chars >= L, ((n_chars - L) / S).cast("int") + 1
+    ).otherwise(F.lit(0))
+
+    keyed = (
+        df.select(
+            F.col(id_col).alias("_rs_id"),
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.when(
+                    n_pos > 0,
+                    F.transform(
+                        F.sequence(F.lit(0), n_pos - 1),
+                        lambda i: F.lit(1) + i * S,
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+        )
+        .select(
+            "_rs_id",
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring(_t, pos, {L})")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("wkey"),
+        )
+    )
+    dup_pos = (
+        keyed.withColumn(
+            "n_occ", F.count("*").over(Window.partitionBy("wkey"))
+        )
+        .filter(F.col("n_occ") > 1)
+        .select("_rs_id", "pos")
+    )
+    w_doc = Window.partitionBy("_rs_id").orderBy("pos")
+    nxt = F.lead("pos").over(w_doc)
+    contrib = F.when(nxt.isNull(), F.lit(L)).otherwise(
+        F.least(F.lit(L), nxt - F.col("pos"))
+    )
+    cover = (
+        dup_pos.withColumn("contrib", contrib)
+        .groupBy("_rs_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_windows"),
+            F.sum("contrib").cast("long").alias("dup_span_chars"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_pos.cast("long").alias("n_windows"),
+    )
+    return (
+        base.join(
+            cover.withColumnRenamed("_rs_id", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("dup_span_chars", F.lit(0)).alias("dup_span_chars"),
+            F.round(
+                F.coalesce("dup_span_chars", F.lit(0))
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )

@@ -244,3 +244,48 @@ def test_normalize_urls_no_scheme_and_no_query(spark):
            normalize_urls(df, "doc_id", "url").collect()}
     assert out[1] == "https://a.b/c"       # already canonical: unchanged
     assert out[2] == "relative/path"       # fragment stripped, passthrough
+
+
+# ------------------------------------------- repeated-substring coverage
+
+def test_repeated_substring_stats_golden(spark):
+    from fuzzymatch_spark.operators.suffix import repeated_substring_stats
+
+    docs = spark.createDataFrame([
+        (1, "0123456789qwrtypsd"),   # shares a 10-char run with doc 2
+        (2, "zz0123456789kkkk"),
+        (3, "abc"),                  # shorter than L: zero windows
+        (4, "ABCDEFGHABCDEFGH"),     # WITHIN-doc repeat: full coverage
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           repeated_substring_stats(docs, "doc_id", "text",
+                                    window_len=8, stride=1).collect()}
+    r1 = out[1]
+    assert (r1["n_windows"], r1["n_dup_windows"]) == (11, 3)
+    assert r1["dup_span_chars"] == 10           # union of [1,8],[2,9],[3,10]
+    assert r1["dup_span_frac"] == round(10 / 18, 6)
+    r2 = out[2]
+    assert r2["dup_span_chars"] == 10
+    assert r2["dup_span_frac"] == 0.625
+    r3 = out[3]
+    assert (r3["n_windows"], r3["dup_span_frac"]) == (0, 0.0)
+    r4 = out[4]
+    assert (r4["n_dup_windows"], r4["dup_span_chars"]) == (2, 16)
+    assert r4["dup_span_frac"] == 1.0
+
+
+def test_repeated_substring_stats_stride_guarantee(spark):
+    from fuzzymatch_spark.operators.suffix import repeated_substring_stats
+
+    # stride S still detects any shared run of length >= L + S - 1:
+    # a 12-char shared run with L=8, S=4 must produce dup windows
+    docs = spark.createDataFrame([
+        (1, "QQQQ0123456789abWWWW"),
+        (2, "0123456789ab"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           repeated_substring_stats(docs, "doc_id", "text",
+                                    window_len=8, stride=4).collect()}
+    assert out[2]["n_dup_windows"] >= 1
+    assert out[1]["n_dup_windows"] >= 1
+    assert out[1]["dup_span_chars"] >= 8
