@@ -1150,9 +1150,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("frame_phash"),
         )
         frames = orig.unionByName(twin)
-        return video_dup_pairs(frames, min_frac=0.5).orderBy("a_id", "b_id")
+        pairs = video_dup_pairs(frames, min_frac=0.5)
+        cont = pairs.select(
+            F.lit("containment").alias("section"),
+            F.col("a_id").alias("k1"),
+            F.col("b_id").alias("k2"),
+            F.lit(None).cast("long").alias("cnt"),
+            F.col("matched_frac").alias("m1"),
+            F.lit(None).cast("double").alias("m2"),
+        )
+        # widened r6: + shot segmentation over a SHOT-STRUCTURED frame
+        # table (3 md5-derived base hashes per video, <=2-bit intra-shot
+        # jitter via xor(idx % 3); cuts at frames 3 and 5) — every video
+        # must segment into exactly (0-2)(3-4)(5-7)
+        from fuzzymatch_spark.operators.multimodal import shot_boundaries
 
-    q["video_containment_pairs"] = video_containment_relational
+        seg = (
+            F.when(F.col("frame_idx") < 3, 0)
+            .when(F.col("frame_idx") < 5, 1)
+            .otherwise(2)
+        )
+        sframes = docs.select(
+            F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias(
+                "video_id"
+            ),
+            "text", fidx,
+        ).select(
+            "video_id", "frame_idx",
+            fp(F.concat("text", F.lit("#s"), seg.cast("string")))
+            .bitwiseXOR(F.pmod(F.col("frame_idx"), F.lit(3)))
+            .alias("frame_phash"),
+        )
+        shots = shot_boundaries(sframes).select(
+            F.lit("shots").alias("section"),
+            F.col("video_id").alias("k1"),
+            F.col("shot_id").cast("string").alias("k2"),
+            F.col("n_frames").alias("cnt"),
+            F.col("start_idx").cast("double").alias("m1"),
+            F.col("end_idx").cast("double").alias("m2"),
+        )
+        return cont.unionByName(shots)
+
+    q["video_analysis_suite"] = video_containment_relational
 
     def phash_hamming_pairs(spark, sf):
         # ORACLE-CHECKED Hamming pair join from a STORED phash column (the
@@ -1981,8 +2020,48 @@ def oracle_sql() -> dict[str, str]:
               JOIN nf na ON na.vid = agg.v1
               JOIN nf nb ON nb.vid = agg.v2
             )
-            SELECT v1 AS a_id, v2 AS b_id, matched_frac
+            ,
+            sframes AS (
+              SELECT 'v' || CAST(doc_id AS VARCHAR) AS vid,
+                     i AS frame_idx,
+                     xor(CAST(('0x' || substr(md5(text || '#s' || CAST(CASE WHEN i < 3 THEN 0 WHEN i < 5 THEN 1 ELSE 2 END AS VARCHAR)), 1, 15)) AS BIGINT), i % 3) AS ph
+              FROM docs2, idx
+            ),
+            smarked AS (
+              SELECT vid, frame_idx,
+                     CASE WHEN prev IS NULL
+                            OR bit_count(xor(ph, prev)) > 16
+                          THEN 1 ELSE 0 END AS b
+              FROM (
+                SELECT vid, frame_idx, ph,
+                       lag(ph) OVER (PARTITION BY vid
+                                     ORDER BY frame_idx) AS prev
+                FROM sframes
+              )
+            ),
+            sid AS (
+              SELECT vid, frame_idx,
+                     sum(b) OVER (PARTITION BY vid ORDER BY frame_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS shot_id
+              FROM smarked
+            ),
+            shots AS (
+              SELECT vid, shot_id,
+                     CAST(min(frame_idx) AS BIGINT) AS s,
+                     CAST(max(frame_idx) AS BIGINT) AS e,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM sid GROUP BY vid, shot_id
+            )
+            SELECT 'containment' AS section, v1 AS k1, v2 AS k2,
+                   CAST(NULL AS BIGINT) AS cnt, matched_frac AS m1,
+                   CAST(NULL AS DOUBLE) AS m2
             FROM scored WHERE matched_frac >= 0.5
+            UNION ALL
+            SELECT 'shots' AS section, vid AS k1,
+                   CAST(shot_id AS VARCHAR) AS k2, n AS cnt,
+                   CAST(s AS DOUBLE) AS m1, CAST(e AS DOUBLE) AS m2
+            FROM shots
     """
     # token-level SimHash: per-bit majority vote over md5 token
     # fingerprints (60 sum expressions; bit powers are disjoint so the
@@ -2042,7 +2121,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_hamming_pairs": phash_pairs_sql,
         "phash_tier2_pairs": phash_tier2_sql,
         "phash_knn_capped_pairs": phash_knn_sql,
-        "video_containment_pairs": video_containment_sql,
+        "video_analysis_suite": video_containment_sql,
         "multimodal_dedup_clusters_relational": multimodal_rel_sql,
         "minhash_lsh_pairs": minhash_lsh_sql,
         "doc_signature_stats": f"""

@@ -282,3 +282,53 @@ def video_dup_pairs(
         .select(F2.col("v1").alias("a_id"), F2.col("v2").alias("b_id"),
                 "matched_frac")
     )
+
+
+def shot_boundaries(
+    frames: DataFrame,
+    vid_col: str = "video_id",
+    idx_col: str = "frame_idx",
+    phash_col: str = "frame_phash",
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Shot/scene segmentation over a STORED per-frame perceptual-hash
+    table: a new shot starts wherever consecutive frames differ by more
+    than ``max_hamming`` bits (the classic hash-difference shot-boundary
+    detector; within a shot consecutive pHashes move a few bits, a cut
+    jumps ~half the bits).  Segmenting videos into shots is the standard
+    precursor to per-shot keyframe sampling for training-data pipelines
+    — sample one frame per SHOT, not per N frames, and a slideshow
+    doesn't flood the corpus with near-identical keyframes.
+
+    Pure window arithmetic on the compact digests: one exchange
+    partitioned by video id (frames of a video are processed together —
+    the same layout the frame table is already written in), ``lag`` +
+    ``bit_count(xor)`` per frame in whole-stage codegen, a running sum
+    for shot ids, one aggregate.  Payload bytes are never touched.
+
+    Returns (``vid_col``, shot_id, start_idx, end_idx, n_frames) with
+    shot_id numbered from 1 per video in frame order.
+    """
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(vid_col).orderBy(idx_col)
+    prev = F.lag(phash_col).over(w)
+    dist = F.bit_count(
+        F.col(phash_col).bitwiseXOR(prev)
+    )
+    is_boundary = F.when(
+        prev.isNull() | (dist > int(max_hamming)), 1
+    ).otherwise(0)
+    cum = Window.partitionBy(vid_col).orderBy(idx_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        frames.withColumn("_b", is_boundary)
+        .withColumn("shot_id", F.sum("_b").over(cum).cast("long"))
+        .groupBy(vid_col, "shot_id")
+        .agg(
+            F.min(idx_col).cast("long").alias("start_idx"),
+            F.max(idx_col).cast("long").alias("end_idx"),
+            F.count("*").cast("long").alias("n_frames"),
+        )
+    )

@@ -118,3 +118,44 @@ def test_video_dup_pairs_planted(spark):
         for r in video_dup_pairs(frames, min_frac=0.5).collect()
     }
     assert got == want, (got, want)
+
+
+# ----------------------------------------------------- shot boundaries
+
+def test_shot_boundaries_golden(spark):
+    from fuzzymatch_spark.operators.multimodal import shot_boundaries
+
+    base_a, base_b = 0x2AAA5555AAAA5555, 0x1234FEDC9876ABCD
+    rows = [
+        # video v1: frames 0-2 near base_a (<=2 bit flips), 3-5 near base_b
+        ("v1", 0, base_a), ("v1", 1, base_a ^ 3), ("v1", 2, base_a ^ 1),
+        ("v1", 3, base_b), ("v1", 4, base_b ^ 2), ("v1", 5, base_b ^ 3),
+        # video v2: single shot
+        ("v2", 0, base_a), ("v2", 1, base_a ^ 1),
+    ]
+    frames = spark.createDataFrame(
+        rows, "video_id string, frame_idx int, frame_phash long"
+    )
+    out = {(r["video_id"], r["shot_id"]): r for r in
+           shot_boundaries(frames).collect()}
+    assert len(out) == 3
+    assert out[("v1", 1)]["start_idx"] == 0
+    assert out[("v1", 1)]["end_idx"] == 2
+    assert out[("v1", 1)]["n_frames"] == 3
+    assert out[("v1", 2)]["start_idx"] == 3
+    assert out[("v1", 2)]["n_frames"] == 3
+    assert out[("v2", 1)]["n_frames"] == 2
+
+
+def test_shot_boundaries_threshold(spark):
+    from fuzzymatch_spark.operators.multimodal import shot_boundaries
+
+    # 20-bit jump: a boundary at the default 16 threshold, not at 24
+    a = 0xFF
+    b = a ^ ((1 << 20) - 1) ^ 0xF  # flips bits 4..19 -> hamming 16? compute:
+    frames = spark.createDataFrame(
+        [("v", 0, a), ("v", 1, a ^ 0x1FFFFF)],  # 21 bits flipped
+        "video_id string, frame_idx int, frame_phash long",
+    )
+    assert shot_boundaries(frames, max_hamming=16).count() == 2
+    assert shot_boundaries(frames, max_hamming=24).count() == 1
