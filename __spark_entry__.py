@@ -253,9 +253,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("clip_id") + F.lit(1)).alias("b_id"),
             )
         )
-        return audio_verify_pairs(cand, clips).orderBy("a_id", "b_id")
+        verify = audio_verify_pairs(cand, clips).select(
+            F.lit("verify").alias("section"),
+            F.col("a_id").cast("string").alias("k1"),
+            F.col("b_id").cast("string").alias("k2"),
+            F.lit(None).cast("long").alias("cnt"),
+            F.col("rel_rms").alias("m1"),
+            F.lit(None).cast("double").alias("m2"),
+        )
+        # widened r6: + silence/active-segment stats over the same base
+        # envelopes (one aggregate fold per clip; the ((id*31+i*7)%97)/97
+        # synth spreads values over [0,1), so threshold 0.2 yields
+        # varied, non-trivial run structures per clip)
+        from fuzzymatch_spark.operators.multimodal import audio_segments
 
-    q["audio_envelope_verify"] = audio_envelope_verify
+        segs = audio_segments(base, threshold=0.2).select(
+            F.lit("segments").alias("section"),
+            F.col("clip_id").cast("string").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("n_segments").alias("cnt"),
+            F.col("longest_run").cast("double").alias("m1"),
+            F.col("active_frac").alias("m2"),
+        )
+        return verify.unionByName(segs)
+
+    q["audio_analysis_suite"] = audio_envelope_verify
 
     def jaccard_prefix_pairs(spark, sf):
         # ORACLE-CHECKED PPJoin prefix-filtered exact Jaccard join: same
@@ -2268,7 +2290,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.a_id, n.doc_id AS b_id, 'exact' AS source
             FROM g JOIN norm n ON n.t = g.t AND n.doc_id <> g.a_id
         """,
-        "audio_envelope_verify": """
+        "audio_analysis_suite": """
             WITH base AS (
               SELECT CAST(doc_id AS BIGINT) AS clip_id,
                      list_transform(range(0, 64),
@@ -2304,9 +2326,59 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_sum(list_transform(ea, x -> x * x)) / 64)
                         + 1e-9) AS rel
               FROM j
+            ),
+            runs AS (
+              -- gaps-and-islands over per-frame activity, rebuilt from
+              -- the synth formula directly (no list needed): frame i of
+              -- clip c is active iff ((c*31 + i*7) % 97)/97.0 >= 0.2
+              SELECT clip_id, i,
+                     CASE WHEN ((clip_id * 31 + i * 7) % 97) / 97.0 >= 0.2
+                          THEN 1 ELSE 0 END AS a
+              FROM base, (SELECT unnest(range(0, 64)) AS i)
+            ),
+            isl AS (
+              SELECT clip_id, i, a,
+                     sum(CASE WHEN a = 1 AND coalesce(pa, 0) = 0
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY clip_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS seg_id
+              FROM (
+                SELECT clip_id, i, a,
+                       lag(a) OVER (PARTITION BY clip_id ORDER BY i) AS pa
+                FROM runs
+              )
+            ),
+            seglen AS (
+              SELECT clip_id, seg_id, count(*) AS run_len
+              FROM isl WHERE a = 1 GROUP BY clip_id, seg_id
+            ),
+            segstats AS (
+              SELECT b.clip_id,
+                     CAST(coalesce(count(sl.seg_id), 0) AS BIGINT)
+                       AS n_segments,
+                     CAST(coalesce(max(sl.run_len), 0) AS DOUBLE)
+                       AS longest_run,
+                     round(CAST(coalesce(sum(sl.run_len), 0) AS DOUBLE)
+                           / 64, 6) AS active_frac
+              FROM base b LEFT JOIN seglen sl USING (clip_id)
+              GROUP BY b.clip_id
             )
-            SELECT a_id, b_id, round(rel, 6) AS rel_rms
+            SELECT 'verify' AS section,
+                   CAST(a_id AS VARCHAR) AS k1,
+                   CAST(b_id AS VARCHAR) AS k2,
+                   CAST(NULL AS BIGINT) AS cnt,
+                   round(rel, 6) AS m1,
+                   CAST(NULL AS DOUBLE) AS m2
             FROM m WHERE rel <= 0.1
+            UNION ALL
+            SELECT 'segments' AS section,
+                   CAST(clip_id AS VARCHAR) AS k1,
+                   CAST(NULL AS VARCHAR) AS k2,
+                   n_segments AS cnt,
+                   longest_run AS m1,
+                   active_frac AS m2
+            FROM segstats
         """,
         # wide entry: BPE pre-tokenization counts + PII masking over ONE
         # shared planted set (contractions/digits/punct + all 3 masking

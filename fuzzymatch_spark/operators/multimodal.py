@@ -332,3 +332,60 @@ def shot_boundaries(
             F.count("*").cast("long").alias("n_frames"),
         )
     )
+
+
+def audio_segments(
+    clips_df: DataFrame,
+    id_col: str = "clip_id",
+    env_col: str = "envelope",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Active-segment / silence statistics over the stored RMS-envelope
+    digest — the audio analog of video shot segmentation: silence-split
+    segments are the natural units for per-segment sampling and for
+    dropping silent/near-silent clips from a training corpus.
+
+    A frame is ACTIVE when its envelope RMS >= ``threshold``; segments
+    are maximal runs of active frames.  Computed as ONE ``aggregate``
+    fold over the envelope array — within-row, whole-stage codegen, zero
+    shuffle, audio bytes never touched (the digest was computed where
+    the bytes live, ``sources/audio.py``).
+
+    Returns (``id_col``, n_frames, n_active, n_segments, longest_run,
+    active_frac) per clip.
+    """
+    from pyspark.sql import functions as F2
+
+    thr = float(threshold)
+    init = F2.struct(
+        F2.lit(0).alias("run"),
+        F2.lit(0).alias("best"),
+        F2.lit(0).alias("segs"),
+        F2.lit(0).alias("act"),
+    )
+
+    def step(acc, v):
+        a = v.cast("double") >= thr
+        run = F2.when(a, acc["run"] + 1).otherwise(F2.lit(0))
+        return F2.struct(
+            run.alias("run"),
+            F2.greatest(acc["best"], run).alias("best"),
+            (
+                acc["segs"]
+                + F2.when(a & (acc["run"] == 0), 1).otherwise(0)
+            ).alias("segs"),
+            (acc["act"] + a.cast("int")).alias("act"),
+        )
+
+    agg = F2.aggregate(F2.col(env_col), init, step)
+    n = F2.size(F2.col(env_col))
+    return clips_df.select(
+        F2.col(id_col),
+        n.cast("long").alias("n_frames"),
+        agg["act"].cast("long").alias("n_active"),
+        agg["segs"].cast("long").alias("n_segments"),
+        agg["best"].cast("long").alias("longest_run"),
+        F2.round(
+            agg["act"] / F2.greatest(n, F2.lit(1)), 6
+        ).alias("active_frac"),
+    )

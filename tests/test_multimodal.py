@@ -159,3 +159,25 @@ def test_shot_boundaries_threshold(spark):
     )
     assert shot_boundaries(frames, max_hamming=16).count() == 2
     assert shot_boundaries(frames, max_hamming=24).count() == 1
+
+
+# ------------------------------------------------------ audio segments
+
+def test_audio_segments_golden(spark):
+    from fuzzymatch_spark.operators.multimodal import audio_segments
+
+    rows = [
+        (1, [0.5, 0.6, 0.1, 0.1, 0.7, 0.8, 0.9, 0.0]),  # runs: 2, 3
+        (2, [0.0, 0.05, 0.1]),                           # all silent
+        (3, [0.9, 0.9, 0.9]),                            # one full run
+        (4, []),                                         # empty envelope
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, envelope array<double>")
+    out = {r["clip_id"]: r for r in
+           audio_segments(df, threshold=0.2).collect()}
+    r1 = out[1]
+    assert (r1["n_segments"], r1["longest_run"], r1["n_active"]) == (2, 3, 5)
+    assert r1["active_frac"] == 0.625
+    assert (out[2]["n_segments"], out[2]["longest_run"]) == (0, 0)
+    assert (out[3]["n_segments"], out[3]["longest_run"]) == (1, 3)
+    assert (out[4]["n_frames"], out[4]["active_frac"]) == (0, 0.0)
