@@ -331,6 +331,14 @@ def shot_boundaries(
             F.max(idx_col).cast("long").alias("end_idx"),
             F.count("*").cast("long").alias("n_frames"),
         )
+        # the per-shot sampling contract: one representative frame per
+        # shot (the temporal middle), ready to join back against the
+        # frame table for keyframe extraction
+        .withColumn(
+            "keyframe_idx",
+            ((F.col("start_idx") + F.col("end_idx")) / 2)
+            .cast("long"),
+        )
     )
 
 

@@ -145,6 +145,8 @@ def test_shot_boundaries_golden(spark):
     assert out[("v1", 2)]["start_idx"] == 3
     assert out[("v1", 2)]["n_frames"] == 3
     assert out[("v2", 1)]["n_frames"] == 2
+    assert out[("v1", 1)]["keyframe_idx"] == 1   # middle of [0,2]
+    assert out[("v1", 2)]["keyframe_idx"] == 4   # middle of [3,5]
 
 
 def test_shot_boundaries_threshold(spark):
