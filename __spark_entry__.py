@@ -668,15 +668,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         ld = line_dedup_stats(pseudo, "doc_id", "text")
         # widened r6: + Lee et al. substring-level exact-dup coverage
-        # (L=32-char windows, stride=4 — detects every shared run
-        # >= 35 chars) over the RAW text, same doc grain.  The corpus's
-        # exact-dup docs guarantee non-trivial coverage values.
+        # (L=32-char windows, content-defined 1-in-4 sampling — windows
+        # kept iff wkey % 4 == 0, so detection is alignment-free) over
+        # the RAW text, same doc grain.  The corpus's exact-dup docs
+        # guarantee non-trivial coverage values.
         from fuzzymatch_spark.operators.suffix import (
             repeated_substring_stats,
         )
 
         rs = repeated_substring_stats(
-            docs, "doc_id", "text", window_len=32, stride=4
+            docs, "doc_id", "text", window_len=32, sample_mod=4
         ).select(
             "doc_id", "n_windows", "n_dup_windows",
             "dup_span_chars", "dup_span_frac",
@@ -2897,21 +2898,24 @@ def oracle_sql() -> dict[str, str]:
                          '')) AS kept_fp
               FROM marked GROUP BY doc_id
             ),
-            -- Lee et al. substring windows over the RAW text: L=32, S=4
+            -- Lee et al. substring windows over the RAW text: L=32,
+            -- content-defined 1-in-4 sampling (wkey % 4 = 0)
             rs0 AS (
               SELECT doc_id, text, len(text) AS n_chars,
                      CASE WHEN len(text) >= 32
-                          THEN (len(text) - 32) // 4 + 1
+                          THEN len(text) - 32 + 1
                           ELSE 0 END AS n_pos
               FROM documents
             ),
             rsk AS (
-              SELECT doc_id,
-                     1 + CAST(i AS INT) * 4 AS pos,
-                     CAST(('0x' || substr(md5(
-                       substr(text, 1 + CAST(i AS INT) * 4, 32)
-                     ), 1, 15)) AS BIGINT) AS wkey
-              FROM rs0, unnest(range(0, n_pos)) AS r(i)
+              SELECT doc_id, pos, wkey FROM (
+                SELECT doc_id,
+                       1 + CAST(i AS INT) AS pos,
+                       CAST(('0x' || substr(md5(
+                         substr(text, 1 + CAST(i AS INT), 32)
+                       ), 1, 15)) AS BIGINT) AS wkey
+                FROM rs0, unnest(range(0, n_pos)) AS r(i)
+              ) WHERE wkey % 4 = 0
             ),
             rsd AS (
               SELECT doc_id, pos FROM (

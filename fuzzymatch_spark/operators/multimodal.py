@@ -330,14 +330,16 @@ def shot_boundaries(
             F.min(idx_col).cast("long").alias("start_idx"),
             F.max(idx_col).cast("long").alias("end_idx"),
             F.count("*").cast("long").alias("n_frames"),
-        )
-        # the per-shot sampling contract: one representative frame per
-        # shot (the temporal middle), ready to join back against the
-        # frame table for keyframe extraction
-        .withColumn(
-            "keyframe_idx",
-            ((F.col("start_idx") + F.col("end_idx")) / 2)
-            .cast("long"),
+            # the per-shot sampling contract: one representative frame
+            # per shot — the middle EXISTING index (frame tables may be
+            # sparse/sampled, so the arithmetic midpoint need not be a
+            # real frame; this always joins back to the frame table)
+            F.element_at(
+                F.array_sort(F.collect_list(F.col(idx_col))),
+                ((F.count("*") + 1) / 2).cast("int"),
+            )
+            .cast("long")
+            .alias("keyframe_idx"),
         )
     )
 

@@ -139,38 +139,52 @@ def repeated_substring_stats(
     id_col: str,
     text_col: str,
     window_len: int = 32,
-    stride: int = 1,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Substring-level exact-dup statistics — the per-document view of
     Lee et al., "Deduplicating Training Data Makes Language Models
     Better" (arXiv:2107.06499): how much of each document is covered by
     length-``window_len`` character windows that occur MORE THAN ONCE
     corpus-wide.  (The paper removes such spans with a suffix array;
-    here the windows are hashed relationally, which finds every
-    duplicated span of length >= window_len + stride - 1 — exact at
-    ``stride=1`` — and coverage is reported per doc so a curation pass
-    can cut or drop by threshold.)
+    here the windows are hashed relationally and coverage is reported
+    per doc so a curation pass can cut or drop by threshold.)
+
+    ``sample_mod=1`` hashes every position — exact.  ``sample_mod=k>1``
+    keeps a window iff its CONTENT hash ≡ 0 (mod k): content-defined
+    sampling is ALIGNMENT-FREE (every occurrence of the same substring
+    is kept or dropped identically, wherever it sits in its document —
+    positional striding would miss ~(k-1)/k of cross-doc duplicates
+    whose occurrences are not congruent mod k), at the cost of a
+    probabilistic guarantee: a shared run with m = R - L + 1 window
+    positions is missed with probability ~(1-1/k)^m, and the reported
+    coverage is a LOWER BOUND built from the sampled windows (exact at
+    k=1).  Same modular-sampling scheme as this module's winnowed
+    substring join above.
 
     Scale shape: windows are hashed to 60-bit md5 keys WHERE THE TEXT
-    LIVES — only (key, id, pos) rows ride the one corpus-wide exchange
-    (the window body never shuffles, unlike line dedup where the kept
-    text is needed downstream).  Duplicate marking is a count-over-key
+    LIVES and sampling drops (k-1)/k of rows in-task — only surviving
+    (key, id, pos) rows ride the one corpus-wide exchange (the window
+    body never shuffles).  Duplicate marking is a count-over-key
     window; per-doc span coverage is a lead()-window interval union
     (sum of min(L, next_pos - pos)) plus one exchange back on the doc
     id.  All exact integers — engine-portable by construction.
 
     Returns one row per input doc: (doc_id, n_chars, n_windows,
-    n_dup_windows, dup_span_chars, dup_span_frac).
+    n_dup_windows, dup_span_chars, dup_span_frac); n_windows counts all
+    stride-1 positions (the denominator semantics don't depend on k).
     """
     from pyspark.sql import Window
 
-    L, S = int(window_len), int(stride)
-    if L < 2 or S < 1:
-        raise ValueError("repeated_substring_stats: need L >= 2, S >= 1")
+    from fuzzymatch_spark.operators.textstats import md5_fingerprint64
+
+    L, K = int(window_len), int(sample_mod)
+    if L < 2 or K < 1:
+        raise ValueError(
+            "repeated_substring_stats: need window_len >= 2, "
+            "sample_mod >= 1"
+        )
     n_chars = F.length(F.col(text_col))
-    n_pos = F.when(
-        n_chars >= L, ((n_chars - L) / S).cast("int") + 1
-    ).otherwise(F.lit(0))
+    n_pos = F.when(n_chars >= L, n_chars - L + 1).otherwise(F.lit(0))
 
     keyed = (
         df.select(
@@ -178,28 +192,20 @@ def repeated_substring_stats(
             F.col(text_col).alias("_t"),
             F.explode(
                 F.when(
-                    n_pos > 0,
-                    F.transform(
-                        F.sequence(F.lit(0), n_pos - 1),
-                        lambda i: F.lit(1) + i * S,
-                    ),
+                    n_pos > 0, F.sequence(F.lit(1), n_pos)
                 ).otherwise(F.array().cast("array<int>"))
             ).alias("pos"),
         )
         .select(
             "_rs_id",
             "pos",
-            F.conv(
-                F.substring(
-                    F.md5(F.expr(f"substring(_t, pos, {L})")), 1, 15
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("wkey"),
+            md5_fingerprint64(
+                F.expr(f"substring(_t, pos, {L})")
+            ).alias("wkey"),
         )
     )
+    if K > 1:
+        keyed = keyed.filter(F.pmod(F.col("wkey"), F.lit(K)) == 0)
     dup_pos = (
         keyed.withColumn(
             "n_occ", F.count("*").over(Window.partitionBy("wkey"))

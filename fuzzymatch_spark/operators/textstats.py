@@ -82,10 +82,13 @@ def token_sorted_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> Data
     )
 
 
-def md5_fingerprint64(text_col: str):
+def md5_fingerprint64(text_col):
     """60-bit fingerprint from the md5 hex prefix — identical SQL exists in
-    DuckDB (``('0x' || substr(md5(x),1,15))::BIGINT``)."""
-    return F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("long")
+    DuckDB (``('0x' || substr(md5(x),1,15))::BIGINT``).  Accepts a column
+    name or a Column expression (the ONE definition of the engine's
+    oracle-portable hash — never reimplement inline)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def fingerprint_bands(
@@ -284,8 +287,11 @@ def normalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         "prefix", F.regexp_extract("nf", _URL_PREFIX_PAT, 1)
     ).withColumn("rest", F.expr("substring(nf, length(prefix) + 1)"))
     pfx = F.lower(F.col("prefix"))
-    pfx = F.regexp_replace(pfx, r"^(http://[^:/]+):80$", "$1")
-    pfx = F.regexp_replace(pfx, r"^(https://[^:/]+):443$", "$1")
+    # `.+` (not `[^:/]+`): authorities may contain ':' themselves
+    # (userinfo passwords, IPv6 literals) — the port is whatever trails
+    # the LAST colon, and a `:443$` suffix can only be the port
+    pfx = F.regexp_replace(pfx, r"^(http://.+):80$", "$1")
+    pfx = F.regexp_replace(pfx, r"^(https://.+):443$", "$1")
     path = F.substring_index(F.col("rest"), "?", 1)
     qs = F.when(
         F.instr("rest", "?") > 0,

@@ -145,16 +145,30 @@ def test_shot_boundaries_golden(spark):
     assert out[("v1", 2)]["start_idx"] == 3
     assert out[("v1", 2)]["n_frames"] == 3
     assert out[("v2", 1)]["n_frames"] == 2
-    assert out[("v1", 1)]["keyframe_idx"] == 1   # middle of [0,2]
-    assert out[("v1", 2)]["keyframe_idx"] == 4   # middle of [3,5]
+    assert out[("v1", 1)]["keyframe_idx"] == 1   # middle of [0,1,2]
+    assert out[("v1", 2)]["keyframe_idx"] == 4   # middle of [3,4,5]
+
+
+def test_shot_boundaries_keyframe_is_existing_frame(spark):
+    from fuzzymatch_spark.operators.multimodal import shot_boundaries
+
+    # sparse/sampled frame indices: the keyframe must be a REAL index
+    # (the arithmetic midpoint of {0, 10, 40} is 20 — not a frame)
+    a = 0x0F0F
+    frames = spark.createDataFrame(
+        [("v", 0, a), ("v", 10, a ^ 1), ("v", 40, a ^ 2)],
+        "video_id string, frame_idx int, frame_phash long",
+    )
+    out = shot_boundaries(frames).collect()
+    assert len(out) == 1
+    assert out[0]["keyframe_idx"] == 10  # middle EXISTING index
 
 
 def test_shot_boundaries_threshold(spark):
     from fuzzymatch_spark.operators.multimodal import shot_boundaries
 
-    # 20-bit jump: a boundary at the default 16 threshold, not at 24
+    # 21-bit jump: a boundary at the default 16 threshold, not at 24
     a = 0xFF
-    b = a ^ ((1 << 20) - 1) ^ 0xF  # flips bits 4..19 -> hamming 16? compute:
     frames = spark.createDataFrame(
         [("v", 0, a), ("v", 1, a ^ 0x1FFFFF)],  # 21 bits flipped
         "video_id string, frame_idx int, frame_phash long",

@@ -259,7 +259,7 @@ def test_repeated_substring_stats_golden(spark):
     ], "doc_id long, text string")
     out = {r["doc_id"]: r for r in
            repeated_substring_stats(docs, "doc_id", "text",
-                                    window_len=8, stride=1).collect()}
+                                    window_len=8, sample_mod=1).collect()}
     r1 = out[1]
     assert (r1["n_windows"], r1["n_dup_windows"]) == (11, 3)
     assert r1["dup_span_chars"] == 10           # union of [1,8],[2,9],[3,10]
@@ -274,18 +274,53 @@ def test_repeated_substring_stats_golden(spark):
     assert r4["dup_span_frac"] == 1.0
 
 
-def test_repeated_substring_stats_stride_guarantee(spark):
+def test_repeated_substring_stats_sampling_is_alignment_free(spark):
+    import string
+
     from fuzzymatch_spark.operators.suffix import repeated_substring_stats
 
-    # stride S still detects any shared run of length >= L + S - 1:
-    # a 12-char shared run with L=8, S=4 must produce dup windows
+    # content-defined sampling keeps/drops a window by its CONTENT, so a
+    # shared run is detected regardless of where it sits in each doc —
+    # including offsets NOT congruent mod k (the case positional
+    # striding provably misses).  60-char shared run, offsets 4 and 1.
+    run = (string.ascii_lowercase + string.digits +
+           string.ascii_uppercase)[:60]
     docs = spark.createDataFrame([
-        (1, "QQQQ0123456789abWWWW"),
-        (2, "0123456789ab"),
+        (1, "!@#$" + run + "%^&*"),   # run starts at pos 5 (1-based)
+        (2, run + "~~~~"),            # run starts at pos 1: 5 != 1 mod 4
     ], "doc_id long, text string")
     out = {r["doc_id"]: r for r in
            repeated_substring_stats(docs, "doc_id", "text",
-                                    window_len=8, stride=4).collect()}
-    assert out[2]["n_dup_windows"] >= 1
+                                    window_len=8, sample_mod=4).collect()}
     assert out[1]["n_dup_windows"] >= 1
+    assert out[2]["n_dup_windows"] >= 1
+    # both docs sample the IDENTICAL windows of the run
+    assert out[1]["n_dup_windows"] == out[2]["n_dup_windows"]
     assert out[1]["dup_span_chars"] >= 8
+    # k=1 on the same data is exact and covers the full run
+    exact = {r["doc_id"]: r for r in
+             repeated_substring_stats(docs, "doc_id", "text",
+                                      window_len=8,
+                                      sample_mod=1).collect()}
+    assert exact[1]["dup_span_chars"] == 60
+    # sampled coverage is a lower bound of the exact coverage
+    assert out[1]["dup_span_chars"] <= exact[1]["dup_span_chars"]
+
+
+def test_normalize_urls_colon_authorities(spark):
+    from fuzzymatch_spark.operators.textstats import normalize_urls
+
+    # authorities containing ':' (IPv6 literal, userinfo password): the
+    # default-port strip must still apply so refetch pairs share a key
+    df = spark.createDataFrame([
+        (1, "https://[2001:db8::1]:443/x"),
+        (2, "https://[2001:db8::1]/x"),
+        (3, "http://user:pw@host.io:80/y"),
+        (4, "http://user:pw@host.io/y"),
+        (5, "https://host.io:8443/z"),   # non-default port: preserved
+    ], "doc_id long, url string")
+    out = {r["doc_id"]: r for r in
+           normalize_urls(df, "doc_id", "url").collect()}
+    assert out[1]["url_key"] == out[2]["url_key"]
+    assert out[3]["url_key"] == out[4]["url_key"]
+    assert out[5]["url_norm"].endswith(":8443/z")
