@@ -172,6 +172,14 @@ def repeated_substring_stats(
     Returns one row per input doc: (doc_id, n_chars, n_windows,
     n_dup_windows, dup_span_chars, dup_span_frac); n_windows counts all
     stride-1 positions (the denominator semantics don't depend on k).
+
+    Cost note: the relational form pays one md5 per character position
+    (O(L) each) before sampling — right for a curation report at corpus
+    sample scale.  The 10^12-row path replaces the hashing stage with a
+    Karp-Rabin ROLLING hash inside mapInPandas (O(1) per position,
+    emitting only sampled (key, id, pos) rows) or a true distributed
+    suffix array; the downstream dup-marking and coverage plan is
+    unchanged.
     """
     from pyspark.sql import Window
 
