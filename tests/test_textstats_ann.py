@@ -324,3 +324,39 @@ def test_normalize_urls_colon_authorities(spark):
     assert out[1]["url_key"] == out[2]["url_key"]
     assert out[3]["url_key"] == out[4]["url_key"]
     assert out[5]["url_norm"].endswith(":8443/z")
+
+
+def test_repeated_substring_rolling_matches_relational_exact(spark):
+    import string
+
+    from fuzzymatch_spark.operators.suffix import (
+        repeated_substring_stats,
+        repeated_substring_stats_rolling,
+    )
+
+    run = (string.ascii_lowercase + string.digits)[:30]
+    docs = spark.createDataFrame([
+        (1, "!@#$" + run + "%^&*"),
+        (2, run + "~~~~"),
+        (3, "no duplicates in here at all x"),
+        (4, "AB"),  # shorter than L
+    ], "doc_id long, text string")
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    rel = snap(repeated_substring_stats(
+        docs, "doc_id", "text", window_len=8, sample_mod=1))
+    rol = snap(repeated_substring_stats_rolling(
+        docs, "doc_id", "text", window_len=8, sample_mod=1))
+    assert rel == rol  # identical stats: both detect equal windows
+
+    # content-defined sampling in the rolling variant is alignment-free
+    # and a lower bound of exact coverage
+    rol4 = {r["doc_id"]: r for r in repeated_substring_stats_rolling(
+        docs, "doc_id", "text", window_len=8, sample_mod=3).collect()}
+    rel1 = {r["doc_id"]: r for r in repeated_substring_stats(
+        docs, "doc_id", "text", window_len=8, sample_mod=1).collect()}
+    for d in (1, 2):
+        assert rol4[d]["dup_span_chars"] <= rel1[d]["dup_span_chars"]
+    assert rol4[1]["n_dup_windows"] == rol4[2]["n_dup_windows"]
