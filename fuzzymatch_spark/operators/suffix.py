@@ -174,12 +174,14 @@ def repeated_substring_stats(
     stride-1 positions (the denominator semantics don't depend on k).
 
     Cost note: the relational form pays one md5 per character position
-    (O(L) each) before sampling — right for a curation report at corpus
-    sample scale.  The 10^12-row path replaces the hashing stage with a
-    Karp-Rabin ROLLING hash inside mapInPandas (O(1) per position,
-    emitting only sampled (key, id, pos) rows) or a true distributed
-    suffix array; the downstream dup-marking and coverage plan is
-    unchanged.
+    before sampling.  Measured (BENCH.md) this is the FASTEST tested
+    hashing stage — JVM md5 in codegen beats and then ties the
+    vectorized Karp-Rabin mapInPandas variant
+    (``repeated_substring_stats_rolling``) up through 30 KB documents;
+    the variant remains for multi-MB docs and non-md5 key families, and
+    a true distributed suffix array is the full Lee-et-al. span-removal
+    path.  The downstream dup-marking + coverage plan is shared either
+    way (``_coverage_from_keyed``).
     """
     from pyspark.sql import Window
 
