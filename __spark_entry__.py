@@ -979,7 +979,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top-10 over the same query vector, unioned behind a section
         # discriminator — identical (vec_id, cos) grain and 5-dp
         # rounding, so the former two slots cost one.
-        from fuzzymatch_spark.operators.ann import ivf_topk
+        # Widened again late-r6 with the PQ/ADC compressed-domain top-10
+        # (deterministic first-16 sub-vector codebooks, m=8 subspaces,
+        # 6-dp LUTs, zero-norm guard) — the oracle re-derives codebooks,
+        # code assignment, both LUTs and the ADC fold relationally, so
+        # recall AND the exact compressed-domain scores are value-checked.
+        from fuzzymatch_spark.operators.ann import (
+            _pq_codebooks,
+            ivf_topk,
+            pq_adc_topk,
+            pq_encode,
+        )
 
         emb = _emb(spark, sf)
         qv = [float(x) for x in
@@ -990,7 +1000,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ivf = ivf_topk(
             emb, "embedding", qv, k=10, n_centroids=8, n_probe=2
         ).select(F.lit("ivf").alias("section"), "vec_id", "cos")
-        return brute.unionByName(ivf)
+        cb = _pq_codebooks(emb, "embedding", "vec_id", m=8, n_codes=16)
+        pq = pq_adc_topk(
+            pq_encode(emb, "embedding", cb), cb, qv, k=10
+        ).select(F.lit("pq").alias("section"), "vec_id", "cos")
+        return brute.unionByName(ivf).unionByName(pq)
 
     q["ann_topk_suite"] = ann_topk
 
@@ -3573,6 +3587,64 @@ def oracle_sql() -> dict[str, str]:
                 )
                 SELECT vec_id, round(dot / (na * nb), 5) AS cos
                 FROM dots
+                ORDER BY cos DESC, vec_id ASC
+                LIMIT 10
+            )
+            UNION ALL
+            SELECT 'pq' AS section, vec_id, cos FROM (
+                WITH nums AS (SELECT unnest(range(1, 65)) AS i),
+                cw AS (  -- codeword elements: sub-vectors of the first 16 rows
+                  SELECT e.vec_id AS code,
+                         ((n.i - 1) // 8) AS s, ((n.i - 1) % 8) AS j,
+                         CAST(e.embedding[n.i] AS DOUBLE) AS v
+                  FROM embeddings e, nums n
+                  WHERE e.vec_id < 16 AND n.i <= len(e.embedding)
+                ),
+                ev AS (
+                  SELECT e.vec_id,
+                         ((n.i - 1) // 8) AS s, ((n.i - 1) % 8) AS j,
+                         CAST(e.embedding[n.i] AS DOUBLE) AS v
+                  FROM embeddings e, nums n
+                  WHERE n.i <= len(e.embedding)
+                ),
+                dist AS (  -- 6-dp squared L2 per (vector, subspace, code)
+                  SELECT ev.vec_id, ev.s, cw.code,
+                         round(sum((ev.v - cw.v) * (ev.v - cw.v)), 6) AS d
+                  FROM ev JOIN cw ON ev.s = cw.s AND ev.j = cw.j
+                  GROUP BY ev.vec_id, ev.s, cw.code
+                ),
+                codes AS (  -- argmin, ties to the lower code id
+                  SELECT vec_id, s, code FROM (
+                    SELECT vec_id, s, code,
+                           row_number() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d ASC, code ASC) AS rn
+                    FROM dist
+                  ) WHERE rn = 1
+                ),
+                q AS (
+                  SELECT ((n.i - 1) // 8) AS s, ((n.i - 1) % 8) AS j,
+                         CAST(e.embedding[n.i] AS DOUBLE) AS v
+                  FROM embeddings e, nums n
+                  WHERE e.vec_id = 0 AND n.i <= len(e.embedding)
+                ),
+                lut AS (  -- the two ADC lookup tables, 6-dp like the engine
+                  SELECT cw.s, cw.code,
+                         round(sum(q.v * cw.v), 6) AS dot,
+                         round(sum(cw.v * cw.v), 6) AS nsq
+                  FROM cw JOIN q ON cw.s = q.s AND cw.j = q.j
+                  GROUP BY cw.s, cw.code
+                ),
+                qn AS (SELECT sqrt(sum(v * v)) AS qn FROM q),
+                agg AS (
+                  SELECT c.vec_id, sum(l.dot) AS adc, sum(l.nsq) AS rsq
+                  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+                  GROUP BY c.vec_id
+                )
+                SELECT a.vec_id,
+                       round(CASE WHEN a.rsq > 0 AND qn.qn > 0
+                                  THEN a.adc / (qn.qn * sqrt(a.rsq))
+                                  ELSE 0.0 END, 5) AS cos
+                FROM agg a, qn
                 ORDER BY cos DESC, vec_id ASC
                 LIMIT 10
             )

@@ -352,3 +352,34 @@ def test_unimax_is_one_corpus_pass(spark, documents):
     # from a broadcast, not a collect
     assert "EvalPython" not in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pq_adc_scan_is_jvm_only_zero_exchange(spark, embeddings, tmp_path):
+    """The ADC serving path over STORED PQ codes: the per-row math is LUT
+    lookups shipped as literals (transform + aggregate in codegen) and the
+    top-k is TakeOrdered — no Python stage, no Exchange anywhere, and the
+    scan reads only (vec_id, pq_codes), never a float vector column."""
+    import numpy as np
+
+    from fuzzymatch_spark.operators.ann import (
+        _pq_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = embeddings.limit(64)
+    cb = _pq_codebooks(emb, "embedding", "vec_id", m=8, n_codes=16)
+    path = str(tmp_path / "pq_codes.parquet")
+    # codes are stored NEXT TO the float column, as an index build would
+    pq_encode(emb, "embedding", cb).write.mode("overwrite").parquet(path)
+    codes = spark.read.parquet(path)
+
+    qv = [float(x) for x in np.asarray(cb[:, 0, :]).reshape(-1)]
+    q = pq_adc_topk(codes, cb, qv, k=10)
+    assert q.count() == 10
+    plan = formatted(q)
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m and "embedding" not in m.group(1), plan

@@ -360,3 +360,84 @@ def test_repeated_substring_rolling_matches_relational_exact(spark):
     for d in (1, 2):
         assert rol4[d]["dup_span_chars"] <= rel1[d]["dup_span_chars"]
     assert rol4[1]["n_dup_windows"] == rol4[2]["n_dup_windows"]
+
+
+def test_pq_encode_and_adc_match_numpy(spark):
+    """Product quantization: codes equal the brute-force numpy assignment,
+    codewords encode to themselves, and the ADC top-k ranking equals the
+    numpy ADC reference (including an exact planted duplicate of the
+    query, which must score cos == 1.0 alongside the query itself)."""
+    from fuzzymatch_spark.operators.ann import (
+        _pq_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim, m, n_codes = 120, 32, 4, 16
+    sub = dim // m
+    mat = rng.normal(size=(n, dim))
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(mat)]
+    rows.append((1000, [float(x) for x in mat[0]]))  # exact dup of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cb = _pq_codebooks(df, "embedding", "vec_id", m, n_codes)
+    assert cb.shape == (m, n_codes, sub)
+    # cb[s, c] is row c's s-th sub-vector
+    for c in (0, 7, 15):
+        for s in range(m):
+            assert np.allclose(cb[s, c], mat[c, s * sub:(s + 1) * sub])
+
+    # numpy reference assignment over the full corpus (+ the dup row)
+    allmat = np.vstack([mat, mat[0][None, :]])
+    mm = allmat.reshape(len(allmat), m, sub)
+    dist = np.round(((mm[:, :, None, :] - cb[None]) ** 2).sum(-1), 6)
+    want_codes = dist.argmin(axis=2)
+    ids = list(range(n)) + [1000]
+
+    got = {r["vec_id"]: list(r["pq_codes"])
+           for r in pq_encode(df, "embedding", cb).collect()}
+    for row_i, vid in enumerate(ids):
+        assert got[vid] == list(want_codes[row_i]), vid
+    for c in range(n_codes):  # codewords self-encode (distance 0)
+        assert got[c] == [c] * m
+
+    # ADC reference ranking
+    q = allmat[0]
+    qs = q.reshape(m, sub)
+    dlut = np.round(np.einsum("sj,scj->sc", qs, cb), 6)
+    nlut = np.round((cb ** 2).sum(-1), 6)
+    srange = np.arange(m)[None, :]
+    adc = dlut[srange, want_codes].sum(1)
+    rsq = nlut[srange, want_codes].sum(1)
+    cos = np.round(adc / (np.linalg.norm(q) * np.sqrt(rsq)), 5)
+    order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:10]
+    want = [(ids[i], cos[i]) for i in order]
+
+    codes_df = pq_encode(df, "embedding", cb).select("vec_id", "pq_codes")
+    out = [(r["vec_id"], r["cos"]) for r in
+           pq_adc_topk(codes_df, cb, [float(x) for x in q], k=10).collect()]
+    assert [o[0] for o in out] == [w[0] for w in want]
+    for (gi, gc), (wi, wc) in zip(out, want):
+        assert abs(gc - wc) < 2e-5, (gi, gc, wc)
+    # the query IS codeword 0 -> exact reconstruction -> cos 1.0; its
+    # exact duplicate (id 1000, same codes) ties at 1.0 right behind it
+    assert out[0] == (0, 1.0)
+    assert out[1] == (1000, 1.0)
+
+
+def test_pq_adc_zero_norm_guard(spark):
+    """An all-zero codeword reconstruction pins cos := 0 (never NaN/inf),
+    mirroring the k-means zero-norm convention."""
+    from fuzzymatch_spark.operators.ann import pq_adc_topk
+    import numpy as np
+
+    cb = np.zeros((2, 2, 2))
+    cb[:, 1, :] = 1.0  # code 1 is nonzero; code 0 reconstructs to zero
+    codes_df = spark.createDataFrame(
+        [(0, [0, 0]), (1, [1, 1])], "vec_id long, pq_codes array<int>"
+    )
+    out = {r["vec_id"]: r["cos"] for r in
+           pq_adc_topk(codes_df, cb, [1.0, 1.0, 1.0, 1.0], k=2).collect()}
+    assert out[0] == 0.0
+    assert abs(out[1] - 1.0) < 1e-9
