@@ -1230,50 +1230,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["video_analysis_suite"] = video_containment_relational
 
-    def phash_hamming_pairs(spark, sf):
-        # ORACLE-CHECKED Hamming pair join from a STORED phash column (the
-        # input_hint's phash:int64 shape; only the stub *decode* is
-        # non-portable, the join itself is pure integer SQL).  The Manku
+    def image_dedup_suite(spark, sf):
+        # ONE image-dedup entry (late-r6 slot consolidation): the former
+        # phash_hamming_pairs and phash_tier2_pairs plus the NEW tile-
+        # containment section, unioned behind a section discriminator on
+        # a shared (a_id, b_id, m1) pair grain — two slots became one
+        # with strictly more coverage.
+        #
+        # 'hamming': ORACLE-CHECKED Hamming pair join from a STORED phash
+        # column (the input_hint's phash:int64 shape).  The Manku
         # C(m, m-k) band join is recall-complete by pigeonhole and the
         # bit_count verify is exact, so its output EQUALS the brute-force
-        # Hamming<=k pair set — the oracle is that brute-force join, which
-        # value-checks both the recall (banding loses nothing) and the
-        # precision (verify admits nothing) of the decomposition.
+        # Hamming<=k pair set — the oracle is that brute-force join,
+        # value-checking recall AND precision of the decomposition.
         # Reference analog: the popcount-bound prefilter
-        # (`Sources/FuzzyMatch/Prefilters.swift:496-503`).
-        # The stored column is the deterministic 60-bit md5 fingerprint
-        # (same as doc_fingerprint); planted near-twins flip 2 bits.
-        docs = _docs(spark, sf).select(
-            "doc_id", md5_fingerprint64("text").alias("phash")
-        )
-        planted = docs.filter(F.col("doc_id") < 30).select(
-            (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
-            F.col("phash").bitwiseXOR(F.lit(1025)).alias("phash"),
-        )
-        return phash_band_edges(
-            docs.unionByName(planted), CFG, id_col="doc_id",
-            phash_col="phash",
-        ).orderBy("a_id", "b_id")
-
-    q["phash_hamming_pairs"] = phash_hamming_pairs
-
-    def phash_tier2_pairs(spark, sf):
-        # ORACLE-CHECKED tier-2 verify (r6 density control): pairs must be
-        # within Hamming 6 on the primary stored digest AND within 8 on an
-        # INDEPENDENT stored digest (the dhash role; here a salted md5
-        # fingerprint so both engines compute it).  Planted rows per base
-        # doc (doc_id < 30): a true twin (2 bits flipped in BOTH digests —
-        # must survive) and a tier-1-only collision (2 bits in the primary,
-        # ~22 bits in the secondary — tier-1 admits it, tier-2 must kill
-        # it).  The oracle is the brute-force two-digest join, so recall
-        # AND precision of the banded+carried-digest plan are value-checked.
+        # (`Sources/FuzzyMatch/Prefilters.swift:496-503`).  Stored column:
+        # the 60-bit md5 fingerprint; planted near-twins flip 2 bits.
+        #
+        # 'tier2': the independent-digest verify (r6 density control) —
+        # pairs within Hamming 6 on the primary AND 8 on a second stored
+        # digest; planted per base doc: a true twin (close in both) and a
+        # tier-1-only collision the second digest must kill.
+        #
+        # 'tiles': positional tile containment (partial-edit resistance)
+        # from a STORED 9-tile hash table — planted banner twins replace
+        # tiles 0-2 with a SHARED banner hash and jitter tile 4 by 2 bits,
+        # so each (orig, twin) pair matches 6/9 >= 0.6 while twin-twin
+        # pairs share only the 3 banner tiles (3/9, filtered): the oracle
+        # value-checks recall, the Hamming tolerance AND the threshold's
+        # rejection of the shared-edit trap in one shot.
+        docs = _docs(spark, sf).select("doc_id", "text")
         d1 = md5_fingerprint64("text")
+
+        ham_rows = docs.select("doc_id", d1.alias("phash")).unionByName(
+            docs.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+                d1.bitwiseXOR(F.lit(1025)).alias("phash"),
+            )
+        )
+        ham = phash_band_edges(
+            ham_rows, CFG, id_col="doc_id", phash_col="phash"
+        ).select(
+            F.lit("hamming").alias("section"), "a_id", "b_id",
+            F.lit(None).cast("double").alias("m1"),
+        )
+
         d2 = F.conv(
             F.substring(F.md5(F.concat(F.lit("t2"), F.col("text"))), 1, 15),
             16, 10,
         ).cast("long")
-        docs = _docs(spark, sf).select("doc_id", "text")
-        rows = (
+        t2_rows = (
             docs.select("doc_id", d1.alias("phash"), d2.alias("dhash"))
             .unionByName(
                 docs.filter(F.col("doc_id") < 30).select(
@@ -1290,11 +1296,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         )
-        return phash_band_edges(
-            rows, CFG, id_col="doc_id", phash_col="phash", verify_col="dhash"
-        ).orderBy("a_id", "b_id")
+        t2 = phash_band_edges(
+            t2_rows, CFG, id_col="doc_id", phash_col="phash",
+            verify_col="dhash",
+        ).select(
+            F.lit("tier2").alias("section"), "a_id", "b_id",
+            F.lit(None).cast("double").alias("m1"),
+        )
 
-    q["phash_tier2_pairs"] = phash_tier2_pairs
+        from fuzzymatch_spark.operators.multimodal import tile_dup_pairs
+
+        def tile_struct(i: int, planted: bool):
+            base = md5_fingerprint64(
+                F.concat("text", F.lit(f"#tile{i}"))
+            )
+            if planted and i < 3:
+                th = md5_fingerprint64(F.lit(f"banner#tile{i}"))
+            elif planted and i == 4:
+                th = base.bitwiseXOR(F.lit(17))
+            else:
+                th = base
+            return F.struct(F.lit(i).alias("t"), th.alias("th"))
+
+        def tile_rows(src, planted: bool):
+            return src.select(
+                "doc_id",
+                F.explode(
+                    F.array(*[tile_struct(i, planted) for i in range(9)])
+                ).alias("s"),
+            ).select(
+                "doc_id",
+                F.col("s.t").alias("tile_idx"),
+                F.col("s.th").alias("tile_phash"),
+            )
+
+        tiles = tile_rows(docs, False).unionByName(
+            tile_rows(
+                docs.filter(F.col("doc_id") < 25).select(
+                    (F.col("doc_id") + F.lit(70_000_000)).alias("doc_id"),
+                    "text",
+                ),
+                True,
+            )
+        )
+        tl = tile_dup_pairs(
+            tiles, n_tiles=9, id_col="doc_id", tile_col="tile_idx",
+            phash_col="tile_phash", max_hamming=4, min_frac=0.6,
+        ).select(
+            F.lit("tiles").alias("section"), "a_id", "b_id",
+            F.col("matched_frac").alias("m1"),
+        )
+
+        return (
+            ham.unionByName(t2).unionByName(tl)
+            .orderBy("section", "a_id", "b_id")
+        )
+
+    q["image_dedup_suite"] = image_dedup_suite
 
     def phash_knn_capped_pairs(spark, sf):
         # ORACLE-CHECKED degree cap (r6 density control): union-of-kNN
@@ -1889,32 +1947,68 @@ def oracle_sql() -> dict[str, str]:
             )"""
     # brute-force Hamming oracle: the Manku band join is recall-complete
     # (pigeonhole) and bit_count-verified, so its output equals this set
-    phash_pairs_sql = f"""
-            WITH {phash_rows}
-            SELECT a.doc_id AS a_id, b.doc_id AS b_id, 'phash' AS source
-            FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.phash, b.phash)) <= 6
-    """
     _fp2 = "CAST(('0x' || substr(md5('t2' || text), 1, 15)) AS BIGINT)"
-    # brute-force two-digest oracle for the tier-2 verify: primary radius
-    # 6 AND independent-digest radius 8 (cfg.phash_verify_max_hamming)
-    phash_tier2_sql = f"""
-            WITH t2rows AS (
-              SELECT doc_id, {_fp} AS phash, {_fp2} AS dhash FROM documents
-              UNION ALL
-              SELECT doc_id + 50000000 AS doc_id, xor({_fp}, 1025) AS phash,
-                     xor({_fp2}, 9) AS dhash
-              FROM documents WHERE doc_id < 30
-              UNION ALL
-              SELECT doc_id + 60000000 AS doc_id, xor({_fp}, 18) AS phash,
-                     xor({_fp2}, 271644049215) AS dhash
-              FROM documents WHERE doc_id < 30
+    # the positional-tile fingerprints for the 'tiles' section: one 60-bit
+    # hash per (doc, grid position); planted banner twins replace t<3 with
+    # a SHARED banner hash and 2-bit-jitter t=4
+    _tfp = ("CAST(('0x' || substr(md5(text || '#tile' || "
+            "CAST(n.t AS VARCHAR)), 1, 15)) AS BIGINT)")
+    _bfp = ("CAST(('0x' || substr(md5('banner#tile' || "
+            "CAST(n.t AS VARCHAR)), 1, 15)) AS BIGINT)")
+    # merged image-dedup oracle: brute-force Hamming join ('hamming'),
+    # brute-force two-digest join ('tier2': primary radius 6 AND
+    # independent-digest radius 8), and the brute-force positional tile
+    # containment ('tiles': same-position Hamming<=4 matches, >=0.6 of 9)
+    image_dedup_sql = f"""
+            SELECT 'hamming' AS section, a_id, b_id,
+                   CAST(NULL AS DOUBLE) AS m1 FROM (
+                WITH {phash_rows}
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 6
             )
-            SELECT a.doc_id AS a_id, b.doc_id AS b_id, 'phash' AS source
-            FROM t2rows a JOIN t2rows b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.phash, b.phash)) <= 6
-              AND bit_count(xor(a.dhash, b.dhash)) <= 8
-            ORDER BY a_id, b_id
+            UNION ALL
+            SELECT 'tier2' AS section, a_id, b_id,
+                   CAST(NULL AS DOUBLE) AS m1 FROM (
+                WITH t2rows AS (
+                  SELECT doc_id, {_fp} AS phash, {_fp2} AS dhash FROM documents
+                  UNION ALL
+                  SELECT doc_id + 50000000 AS doc_id, xor({_fp}, 1025) AS phash,
+                         xor({_fp2}, 9) AS dhash
+                  FROM documents WHERE doc_id < 30
+                  UNION ALL
+                  SELECT doc_id + 60000000 AS doc_id, xor({_fp}, 18) AS phash,
+                         xor({_fp2}, 271644049215) AS dhash
+                  FROM documents WHERE doc_id < 30
+                )
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM t2rows a JOIN t2rows b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 6
+                  AND bit_count(xor(a.dhash, b.dhash)) <= 8
+            )
+            UNION ALL
+            SELECT 'tiles' AS section, a_id, b_id, m1 FROM (
+                WITH nums AS (SELECT unnest(range(0, 9)) AS t),
+                tiles AS (
+                  SELECT doc_id, n.t, {_tfp} AS th FROM documents, nums n
+                  UNION ALL
+                  SELECT doc_id + 70000000 AS doc_id, n.t,
+                         CASE WHEN n.t < 3 THEN {_bfp}
+                              WHEN n.t = 4 THEN xor({_tfp}, 17)
+                              ELSE {_tfp} END AS th
+                  FROM documents, nums n WHERE doc_id < 25
+                ),
+                m AS (
+                  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                         count(DISTINCT a.t) AS c
+                  FROM tiles a
+                  JOIN tiles b ON a.t = b.t AND a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.th, b.th)) <= 4
+                  GROUP BY a.doc_id, b.doc_id
+                )
+                SELECT a_id, b_id, round(c / 9.0, 6) AS m1 FROM m
+                WHERE round(c / 9.0, 6) >= 0.6
+            )
     """
     # union-of-kNN degree cap oracle: integer Hamming distance, ties by
     # neighbor id, an edge survives if EITHER endpoint ranks it in its cap
@@ -2155,8 +2249,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "winnow_fingerprints": winnow_sql,
         "simhash_token_pairs": simhash_pairs_sql,
-        "phash_hamming_pairs": phash_pairs_sql,
-        "phash_tier2_pairs": phash_tier2_sql,
+        "image_dedup_suite": image_dedup_sql,
         "phash_knn_capped_pairs": phash_knn_sql,
         "video_analysis_suite": video_containment_sql,
         "multimodal_dedup_clusters_relational": multimodal_rel_sql,

@@ -186,7 +186,7 @@ class DedupConfig:
     # (measured ×7.1 edges for ×4 images at radius 6, BENCH.md).  Planted
     # twins are their own nearest neighbors, so recall is unaffected at
     # any sane cap.  None = pure radius semantics (the oracle default —
-    # `phash_hamming_pairs` stays hash-exact).
+    # `image_dedup_suite` 'hamming' section stays hash-exact).
     phash_degree_cap: int | None = None
     # Tier-2 verify threshold on an independent digest (dhash64), active
     # when phash_band_edges(verify_col=...) names a stored digest column.

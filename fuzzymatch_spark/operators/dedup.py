@@ -549,7 +549,7 @@ def phash_band_edges(
       DENSE true-dup cliques that pass every digest (boilerplate).
 
     Both default off: the bare radius semantics stay the oracle path
-    (`phash_hamming_pairs` hash-exact)."""
+    (`image_dedup_suite` 'hamming' section hash-exact)."""
     return _hamming_band_edges(
         images_df, id_col, phash_col, 8, cfg.phash_max_hamming, "phash",
         cfg.max_bucket_size, degree_cap=cfg.phash_degree_cap,

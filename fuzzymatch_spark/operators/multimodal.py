@@ -284,6 +284,118 @@ def video_dup_pairs(
     )
 
 
+def tile_dup_pairs(
+    tiles_df: DataFrame,
+    n_tiles: int,
+    id_col: str = "image_id",
+    tile_col: str = "tile_idx",
+    phash_col: str = "tile_phash",
+    max_hamming: int = 4,
+    min_frac: float = 0.6,
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """Partial-edit-resistant image near-duplicate pairs from a per-tile
+    pHash table ``(image_id, tile_idx, tile_phash)``.
+
+    A localized edit (watermark, logo overlay, caption banner, border)
+    can push the WHOLE-image pHash past any usable Hamming radius while
+    leaving most of the picture untouched.  Tile containment recovers
+    those pairs: two images match when at least ``min_frac`` of the grid
+    positions agree within ``max_hamming`` AT THE SAME POSITION.
+    Positional alignment is the point — an edit changes its own tiles
+    only, so same-position agreement elsewhere is evidence, while
+    cross-position matches are background (a flat banner shared by many
+    edited images matches only at its own positions and stays under
+    ``min_frac``; see the planted test).
+
+    Plan shape: the same Manku combination-key decomposition as every
+    other Hamming join, but bucketed on (tile position, fused band key) —
+    ONE exchange of (id, hash, tile, bk) rows with in-task pair
+    expansion and ``bit_count`` verify in codegen, then one small
+    exchange on the pair key for the matched-tile count.  The tile table
+    is digests-only (``grid² × 8`` bytes per image), so this composes
+    with the payload invariant: bytes are read once by the tile UDF and
+    never shuffle.  Everything below the UDF is integer SQL —
+    oracle-checked from a stored tile table (``image_dedup_suite``).
+    """
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.dedup import hamming_band_keys
+
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    k = min(max_hamming, 7)
+    bands = hamming_band_keys(
+        tiles_df.select(
+            F.col(id_col).alias("id"),
+            F.col(tile_col).alias("t"),
+            F.col(phash_col).alias("th"),
+        ),
+        "id", "th", n_bands=8, max_hamming=max_hamming,
+        split_band_key=False, carry_cols=["t"],
+    )
+    grouped = (
+        bands.groupBy("t", "bk")
+        .agg(F.collect_list(F.struct("id", "th")).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
+    )
+    matched = (
+        grouped.select("t", F.explode("ms").alias("a"), "ms")
+        .select("t", "a", F.explode("ms").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            F.bit_count(F.col("a.th").bitwiseXOR(F.col("b.th"))) <= F.lit(k)
+        )
+        .select(
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), "t"
+        )
+        .dropDuplicates(["a_id", "b_id", "t"])
+    )
+    return (
+        matched.groupBy("a_id", "b_id")
+        .agg(F.countDistinct("t").alias("n_matched"))
+        .withColumn(
+            "matched_frac",
+            F.round(F.col("n_matched") / F.lit(float(n_tiles)), 6),
+        )
+        .filter(F.col("matched_frac") >= F.lit(min_frac))
+        .select("a_id", "b_id", "matched_frac")
+    )
+
+
+def image_tile_dup_pairs(
+    images_df: DataFrame,
+    grid: int = 3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 4,
+    min_frac: float = 0.6,
+) -> DataFrame:
+    """End-to-end tile-containment dedup over raw image rows: decode +
+    per-tile pHash where the bytes live (``make_tile_phash_udf``), then
+    the positional containment join of ``tile_dup_pairs``.  The payload
+    column is consumed by the UDF at the scan and never shuffles — only
+    (id, grid² longs) continues."""
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.sources.images import make_tile_phash_udf
+
+    tiles = (
+        images_df.select(
+            F.col(id_col).alias("image_id"),
+            make_tile_phash_udf(grid)(F.col(bytes_col)).alias("ths"),
+        )
+        .select(
+            "image_id",
+            F.posexplode("ths").alias("tile_idx", "tile_phash"),
+        )
+    )
+    return tile_dup_pairs(
+        tiles, n_tiles=grid * grid, max_hamming=max_hamming,
+        min_frac=min_frac,
+    )
+
+
 def shot_boundaries(
     frames: DataFrame,
     vid_col: str = "video_id",

@@ -316,6 +316,41 @@ def make_phash_udf():
     return phash_from_bytes
 
 
+def make_tile_phash_udf(grid: int = 3):
+    """bytes -> ``array<long>`` of ``grid*grid`` per-tile pHashes
+    (row-major over the tile grid, integer pixel boundaries
+    ``i*h//grid``), Arrow-batched.
+
+    The tile grid is the partial-edit-resistant complement to the whole-
+    image pHash: a localized edit (watermark, logo, caption banner,
+    border) rewrites ITS tiles' hashes and leaves the rest untouched, so
+    downstream positional containment (``tile_dup_pairs``) can still bind
+    the pair after the global hash has drifted past any usable Hamming
+    radius.  Computed where the bytes live, like every digest — only the
+    ``grid²``-long hash array rides any shuffle."""
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def tile_phash_from_bytes(blobs: pd.Series) -> pd.Series:
+        out: list = []
+        for d in blobs:
+            if d is None:
+                out.append(None)
+                continue
+            px = decode_image(bytes(d))
+            h, w = px.shape
+            hs = []
+            for r in range(grid):
+                for c in range(grid):
+                    y0, y1 = r * h // grid, (r + 1) * h // grid
+                    x0, x1 = c * w // grid, (c + 1) * w // grid
+                    hs.append(phash64(px[y0:y1, x0:x1]))
+            out.append(hs)
+        return pd.Series(out)
+
+    return tile_phash_from_bytes
+
+
 def decode_stats_schema() -> str:
     return "image_id string, w int, h int, px_mean double, px_std double, psnr_db double"
 

@@ -345,3 +345,85 @@ def test_real_codec_roundtrip_when_pil_available():
     assert psnr(px, jdecoded) >= 40.0             # input_hint invariant
     ham = bin(phash64(px) ^ phash64(jdecoded)).count("1")
     assert ham <= 6                               # twin within dedup radius
+
+
+class TestTileDedup:
+    """Partial-edit-resistant tile-hash containment (the image-axis
+    complement to the whole-image pHash join)."""
+
+    def test_tile_udf_matches_numpy(self, spark):
+        from fuzzymatch_spark.sources.images import (
+            make_tile_phash_udf,
+            synth_pixels,
+        )
+
+        ids = [f"img_{i}" for i in range(6)]
+        rows = [(i, encode_image(synth_pixels(i), "png")) for i in ids]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        got = {r["image_id"]: list(r["ths"]) for r in df.select(
+            "image_id", make_tile_phash_udf(3)("bytes").alias("ths")
+        ).collect()}
+        for i in ids:
+            px = synth_pixels(i)
+            want = []
+            for r in range(3):
+                for c in range(3):
+                    want.append(phash64(
+                        px[r * 48 // 3:(r + 1) * 48 // 3,
+                           c * 48 // 3:(c + 1) * 48 // 3]))
+            assert got[i] == want, i
+
+    def test_banner_overlay_caught_by_tiles_missed_by_global(self, spark):
+        """A caption-banner overlay (bottom third rewritten) pushes the
+        GLOBAL pHash far past the radius-6 join, but leaves 6 of 9 tiles
+        bit-identical — tile containment at min_frac 0.6 recovers every
+        planted pair, and the shared flat banner does NOT link unrelated
+        images (its cross-matches stay at 3/9 < 0.6)."""
+        import numpy as np
+
+        from fuzzymatch_spark.kernels.phash import hamming64
+        from fuzzymatch_spark.operators.multimodal import (
+            image_tile_dup_pairs,
+        )
+        from fuzzymatch_spark.sources.images import synth_pixels
+
+        n = 24
+        rows, globals_ = [], {}
+        banner = np.zeros((16, 48), dtype=np.uint8)
+        banner[:, :] = 235
+        banner[6:10, 4:44] = 20  # a fake caption stripe
+        for i in range(n):
+            px = synth_pixels(f"base_{i}")
+            rows.append((f"orig_{i:03d}", encode_image(px, "png")))
+            twin = px.copy()
+            twin[32:48, :] = banner
+            rows.append((f"twin_{i:03d}", encode_image(twin, "png")))
+            globals_[i] = hamming64(phash64(px), phash64(twin))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+
+        # the edit defeats the whole-image hash for most pairs (this is
+        # the regime the operator exists for)
+        assert sum(1 for d in globals_.values() if d > 6) >= n * 0.7, globals_
+
+        got = {(r["a_id"], r["b_id"]): r["matched_frac"] for r in
+               image_tile_dup_pairs(
+                   df, grid=3, max_hamming=4, min_frac=0.6
+               ).collect()}
+        planted = {(f"orig_{i:03d}", f"twin_{i:03d}") for i in range(n)}
+        assert planted <= set(got), sorted(planted - set(got))
+        for p in planted:
+            assert got[p] >= 0.6
+        # no unrelated links: the shared banner alone is 3/9 tiles
+        extra = set(got) - planted
+        assert not extra, extra
+
+    def test_tile_dup_pairs_validates_n_tiles(self, spark):
+        import pytest as _pytest
+
+        from fuzzymatch_spark.operators.multimodal import tile_dup_pairs
+
+        df = spark.createDataFrame(
+            [("a", 0, 1)], "image_id string, tile_idx int, tile_phash long"
+        )
+        with _pytest.raises(ValueError):
+            tile_dup_pairs(df, n_tiles=0)
