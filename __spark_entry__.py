@@ -1451,6 +1451,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_exact_dup_edges"] = image_exact_dup_edges_q
 
+    def mirror_dup_pairs_q(spark, sf):
+        # rows-only (decode + numpy canonicalization aren't SQL-
+        # reproducible): flip/rotation-resistant dedup via the dihedral-
+        # canonical pHash (exactly D4-invariant — min of phash64 over the
+        # 8 square symmetries of the FULL-RES pixels), then the unchanged
+        # banded Hamming join.  Planted: 20 mirrored/rotated twins, all
+        # at canonical Hamming 0; the planted pytest additionally pins
+        # that the PLAIN pHash loses >=70% of them at radius 6 and that
+        # the operator emits exactly the planted pair set.
+        from fuzzymatch_spark.operators.multimodal import mirror_dup_pairs
+        from fuzzymatch_spark.sources.images import (
+            build_images_df,
+            make_flip_png_udf,
+        )
+
+        flip_png = make_flip_png_udf()
+        images = build_images_df(spark, _docs(spark, sf), "doc_id", "text")
+        sub = images.filter(
+            F.col("image_id").isin([f"img_{i}" for i in range(200)])
+        )
+        flipped = sub.filter(
+            F.col("image_id").isin([f"img_{i}" for i in range(20)])
+        ).select(
+            F.concat(F.col("image_id"), F.lit("_mir")).alias("image_id"),
+            flip_png("bytes").alias("bytes"),
+        )
+        return mirror_dup_pairs(
+            sub.select("image_id", "bytes").unionByName(flipped), CFG
+        ).orderBy("a_id", "b_id")
+
+    q["mirror_dup_pairs"] = mirror_dup_pairs_q
+
     def datasource_phash_pairs(spark, sf):
         # rows-only by nature: the input is the Spark 4 Python DataSource
         # (custom partition-parallel source — no DuckDB analog), feeding

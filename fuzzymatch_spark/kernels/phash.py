@@ -98,5 +98,52 @@ def dhash64(pixels: np.ndarray) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
+def dihedral_transforms(pixels: np.ndarray):
+    """The 8 symmetries of the square (D4) applied to a 2-D array:
+    identity, 3 rotations, and the 4 reflections.  Views, no copies."""
+    f = np.fliplr(pixels)
+    return (
+        pixels,
+        np.rot90(pixels, 1),
+        np.rot90(pixels, 2),
+        np.rot90(pixels, 3),
+        f,
+        np.rot90(f, 1),
+        np.rot90(f, 2),
+        np.rot90(f, 3),
+    )
+
+
+def phash64_canonical(pixels: np.ndarray) -> int:
+    """Dihedral-canonical pHash: the minimum (as uint64) of ``phash64``
+    over the 8 symmetries of the square (signed int64 on return, like
+    every stored digest).
+
+    EXACTLY invariant under any flip/rotation of the input: the D4
+    transforms form a group, so ``{t(g(px)) for t in D4}`` is the same
+    set as ``{t(px) for t in D4}`` for any ``g`` in D4 — the min is over
+    an identical candidate set, not an approximately-equal one.  (Each
+    transform is applied to the FULL-resolution array before its own
+    resize, because the area-average grid boundaries ``i*w//32`` are not
+    mirror-symmetric when the side is not a multiple of 32 — hashing
+    transformed thumbnails instead would break the exact-group
+    argument.)
+
+    Mirrored and rotated re-posts are a real duplicate class the plain
+    pHash misses: ``fliplr`` negates every odd-column DCT coefficient,
+    so roughly half the 8x8 sign block flips — far past any usable
+    Hamming radius (asserted in the planted test).  A canonical-hash
+    column restores them to Hamming 0 and reuses the existing banded
+    Hamming join unchanged.  ~8x the hashing cost of ``phash64``
+    (8 resizes + 8 tiny DCTs); decode still dominates the UDF.
+    """
+    best = None
+    for t in dihedral_transforms(pixels):
+        h = phash64(t) & 0xFFFFFFFFFFFFFFFF
+        if best is None or h < best:
+            best = h
+    return best - (1 << 64) if best >= (1 << 63) else best
+
+
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

@@ -396,6 +396,36 @@ def image_tile_dup_pairs(
     )
 
 
+def mirror_dup_pairs(
+    images_df: DataFrame,
+    cfg,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Flip/rotation-resistant image near-duplicate pairs: dihedral-
+    canonical pHash (``phash64_canonical`` — exactly invariant under the
+    8 symmetries of the square) computed where the bytes live, then the
+    UNCHANGED banded Hamming join (``phash_band_edges``).
+
+    Mirrored re-posts are a real dup class the plain pHash misses —
+    ``fliplr`` negates every odd-column DCT coefficient, pushing ~half
+    the sign block past any usable radius (asserted in the planted
+    test), while the canonical hash restores the pair to Hamming 0.
+    Same plan shape and scale story as the primary pHash leg: only
+    (id, long) rides the exchange; payloads never shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.dedup import phash_band_edges
+    from fuzzymatch_spark.sources.images import make_canonical_phash_udf
+
+    hashes = images_df.select(
+        F.col(id_col).alias("image_id"),
+        make_canonical_phash_udf()(F.col(bytes_col)).alias("cphash"),
+    )
+    return phash_band_edges(hashes, cfg, phash_col="cphash")
+
+
 def shot_boundaries(
     frames: DataFrame,
     vid_col: str = "video_id",

@@ -316,6 +316,54 @@ def make_phash_udf():
     return phash_from_bytes
 
 
+def make_flip_png_udf():
+    """bytes -> horizontally-mirrored image re-encoded as PNG (planted-
+    twin generator for the mirror-dedup tests/driver entry; PNG so the
+    flipped pixels round-trip exactly)."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def flip_png(blobs: pd.Series) -> pd.Series:
+        return pd.Series([
+            encode_image(
+                np.ascontiguousarray(np.fliplr(decode_image(bytes(d)))),
+                "png",
+            )
+            for d in blobs
+        ])
+
+    return flip_png
+
+
+def make_canonical_phash_udf():
+    """bytes -> dihedral-canonical phash long, Arrow-batched.
+
+    ``phash64_canonical`` is exactly invariant under the 8 flip/rotation
+    symmetries, so a mirrored or rotated re-post lands at Hamming 0 from
+    its source and the existing banded Hamming join recovers it
+    unchanged (``mirror_dup_pairs``).  Computed where the bytes live,
+    like every digest."""
+    from fuzzymatch_spark.kernels.phash import phash64_canonical
+
+    @F.pandas_udf(LongType())
+    def canonical_phash_from_bytes(blobs: pd.Series) -> pd.Series:
+        out = np.zeros(len(blobs), dtype=np.int64)
+        items = [
+            (k, bytes(d)) for k, d in enumerate(blobs) if d is not None
+        ]
+        jpegs = [(k, d) for k, d in items if d[:2] == b"\xff\xd8"]
+        for (k, _), px in zip(
+            jpegs, jpeg_decode_batch([d for _, d in jpegs])
+        ):
+            out[k] = phash64_canonical(px)
+        for k, d in items:
+            if d[:2] != b"\xff\xd8":
+                out[k] = phash64_canonical(decode_image(d))
+        return pd.Series(out)
+
+    return canonical_phash_from_bytes
+
+
 def make_tile_phash_udf(grid: int = 3):
     """bytes -> ``array<long>`` of ``grid*grid`` per-tile pHashes
     (row-major over the tile grid, integer pixel boundaries

@@ -427,3 +427,50 @@ class TestTileDedup:
         )
         with _pytest.raises(ValueError):
             tile_dup_pairs(df, n_tiles=0)
+
+
+class TestMirrorDedup:
+    """Dihedral-canonical pHash: flip/rotation-resistant dedup."""
+
+    def test_canonical_exactly_invariant_under_d4(self):
+        from fuzzymatch_spark.kernels.phash import (
+            dihedral_transforms,
+            phash64_canonical,
+        )
+
+        # non-square on purpose: side not a multiple of 32, so the
+        # full-res-transform-then-resize order is load-bearing
+        for iid, (w, h) in [("m_0", (48, 48)), ("m_1", (50, 34))]:
+            px = synth_pixels(iid, w=w, h=h)
+            want = phash64_canonical(px)
+            for t in dihedral_transforms(px):
+                assert phash64_canonical(np.ascontiguousarray(t)) == want
+
+    def test_mirror_twins_recovered_missed_by_plain_phash(self, spark):
+        """fliplr defeats the plain pHash for most pairs (odd-column DCT
+        signs negate) but the canonical hash restores Hamming 0, so the
+        unchanged banded join recovers every planted mirror/rotation
+        twin with zero false links."""
+        from fuzzymatch_spark.operators.multimodal import mirror_dup_pairs
+
+        n = 20
+        rows, plain = [], {}
+        for i in range(n):
+            px = synth_pixels(f"mb_{i}")
+            rows.append((f"orig_{i:03d}", encode_image(px, "png")))
+            tw = np.fliplr(px) if i % 2 == 0 else np.rot90(px, 1)
+            rows.append(
+                (f"twin_{i:03d}", encode_image(np.ascontiguousarray(tw), "png"))
+            )
+            plain[i] = hamming64(phash64(px), phash64(tw))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+
+        # the regime the operator exists for: the plain hash loses most
+        # mirrored/rotated twins at the radius-6 join
+        assert sum(1 for d in plain.values() if d > 6) >= n * 0.7, plain
+
+        got = {(r["a_id"], r["b_id"]) for r in
+               mirror_dup_pairs(df, DedupConfig()).collect()}
+        planted = {(f"orig_{i:03d}", f"twin_{i:03d}") for i in range(n)}
+        assert planted <= got, sorted(planted - got)
+        assert got == planted, sorted(got - planted)
