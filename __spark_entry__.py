@@ -1354,6 +1354,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_dedup_suite"] = image_dedup_suite
 
+    def image_caption_gate_q(spark, sf):
+        # ORACLE-CHECKED LAION-style metadata curation gate over the
+        # north rule's image+caption table shape: per-row keep / first-
+        # failing-reason from (w, h, fmt, caption) with zero payload
+        # touches (the pre-decode stage).  Metadata synthesized
+        # deterministically from doc_id (both engines run the same
+        # arithmetic); caption = text; six planted rows pin every branch
+        # (keep + all five reject reasons) regardless of corpus content.
+        from fuzzymatch_spark.operators.multimodal import image_caption_gate
+
+        meta = _docs(spark, sf).select(
+            F.concat(F.lit("img_"), F.col("doc_id")).alias("image_id"),
+            (F.lit(32) + (F.col("doc_id") * 7919) % 1200)
+            .cast("int").alias("w"),
+            (F.lit(32) + (F.col("doc_id") * 104729) % 1200)
+            .cast("int").alias("h"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("gif"))
+            .when(F.col("doc_id") % 2 == 0, F.lit("png"))
+            .otherwise(F.lit("jpeg")).alias("fmt"),
+            F.col("text").alias("caption"),
+        )
+        planted = spark.createDataFrame(
+            [
+                ("p_keep", 100, 150, "png", "a good caption here"),
+                ("p_small", 10, 500, "png", "a good caption here"),
+                ("p_aspect", 100, 900, "png", "a good caption here"),
+                ("p_fmt", 100, 100, "tiff", "a good caption here"),
+                ("p_short", 100, 100, "png", "hi there"),
+                ("p_alpha", 100, 100, "png", "123 456 789 000"),
+            ],
+            "image_id string, w int, h int, fmt string, caption string",
+        )
+        return (
+            image_caption_gate(meta.unionByName(planted))
+            .withColumn("keep", F.col("keep").cast("int"))
+            .orderBy("image_id")
+        )
+
+    q["image_caption_gate"] = image_caption_gate_q
+
     def phash_knn_capped_pairs(spark, sf):
         # ORACLE-CHECKED degree cap (r6 density control): union-of-kNN
         # sparsification of the Hamming pair graph, cap 2, distance =
@@ -2282,6 +2322,61 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": winnow_sql,
         "simhash_token_pairs": simhash_pairs_sql,
         "image_dedup_suite": image_dedup_sql,
+        # LAION-style metadata gate: deterministic doc_id-derived
+        # metadata + six planted branch-pinning rows; first-failing-rule
+        # CASE order matches the operator's pinned precedence; DuckDB
+        # regexp_replace needs the 'g' flag (Spark's is global already)
+        "image_caption_gate": """
+            WITH meta AS (
+              SELECT 'img_' || CAST(doc_id AS VARCHAR) AS image_id,
+                     CAST(32 + (doc_id * 7919) % 1200 AS INTEGER) AS w,
+                     CAST(32 + (doc_id * 104729) % 1200 AS INTEGER) AS h,
+                     CASE WHEN doc_id % 11 = 0 THEN 'gif'
+                          WHEN doc_id % 2 = 0 THEN 'png'
+                          ELSE 'jpeg' END AS fmt,
+                     text AS caption
+              FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                ('p_keep', 100, 150, 'png', 'a good caption here'),
+                ('p_small', 10, 500, 'png', 'a good caption here'),
+                ('p_aspect', 100, 900, 'png', 'a good caption here'),
+                ('p_fmt', 100, 100, 'tiff', 'a good caption here'),
+                ('p_short', 100, 100, 'png', 'hi there'),
+                ('p_alpha', 100, 100, 'png', '123 456 789 000')
+              ) AS v(image_id, w, h, fmt, caption)
+            ),
+            g AS (
+              SELECT image_id, w, h, fmt,
+                     round(CAST(greatest(w, h) AS DOUBLE)
+                           / least(w, h), 6) AS aspect,
+                     CAST(len(list_filter(string_split(caption, ' '),
+                                          x -> x <> '')) AS INTEGER)
+                       AS caption_tokens,
+                     CASE WHEN length(caption) = 0 THEN 0.0
+                          ELSE round(CAST(length(regexp_replace(caption,
+                                   '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                               / length(caption), 6)
+                     END AS alpha_ratio
+              FROM meta
+            ),
+            r AS (
+              SELECT *,
+                     CASE WHEN least(w, h) < 64 THEN 'too_small'
+                          WHEN aspect > 3.0 THEN 'bad_aspect'
+                          WHEN fmt NOT IN ('png', 'jpeg')
+                            THEN 'bad_format'
+                          WHEN caption_tokens < 3 THEN 'short_caption'
+                          WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+                     END AS reject_reason
+              FROM g
+            )
+            SELECT image_id, w, h, fmt, aspect, caption_tokens,
+                   alpha_ratio, reject_reason,
+                   CAST(CASE WHEN reject_reason IS NULL
+                        THEN 1 ELSE 0 END AS INTEGER) AS keep
+            FROM r ORDER BY image_id
+        """,
         "phash_knn_capped_pairs": phash_knn_sql,
         "video_analysis_suite": video_containment_sql,
         "multimodal_dedup_clusters_relational": multimodal_rel_sql,

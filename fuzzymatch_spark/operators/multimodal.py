@@ -396,6 +396,71 @@ def image_tile_dup_pairs(
     )
 
 
+def image_caption_gate(
+    images_df: DataFrame,
+    min_side: int = 64,
+    max_aspect: float = 3.0,
+    formats: tuple = ("png", "jpeg"),
+    min_caption_tokens: int = 3,
+    min_alpha_ratio: float = 0.5,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """LAION-style metadata curation gate over the north rule's
+    image+caption table: per-row keep/reject from (w, h, fmt, caption)
+    WITHOUT touching the payload bytes — the stage that runs before any
+    decode so rejected rows never cost a codec pass.
+
+    Rules, in PINNED precedence order (``reject_reason`` is the FIRST
+    failing rule; NULL when kept):
+
+    1. ``too_small``      — min(w, h) < ``min_side``
+    2. ``bad_aspect``     — max(w,h)/min(w,h) > ``max_aspect``
+    3. ``bad_format``     — fmt not in ``formats``
+    4. ``short_caption``  — non-empty-token count < ``min_caption_tokens``
+    5. ``low_alpha``      — [a-zA-Z] fraction of caption < ``min_alpha_ratio``
+
+    Everything is a portable column expression (single-space
+    tokenization, Java/RE2-common regex, round-6dp ratios, zero-length
+    guards) so the driver oracle reproduces it bit-for-bit in DuckDB.
+    Scale shape: one projection, zero shuffles, zero Python — runs at
+    scan speed and prunes to metadata columns only.
+    """
+    from pyspark.sql import functions as F
+
+    cap = F.col("caption")
+    aspect = F.round(
+        F.greatest("w", "h").cast("double")
+        / F.least("w", "h").cast("double"),
+        6,
+    )
+    toks = F.size(F.filter(F.split(cap, " "), lambda x: x != F.lit("")))
+    alpha = F.when(F.length(cap) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.length(F.regexp_replace(cap, "[^a-zA-Z]", "")).cast("double")
+            / F.length(cap).cast("double"),
+            6,
+        )
+    )
+    reason = (
+        F.when(F.least("w", "h") < F.lit(min_side), F.lit("too_small"))
+        .when(aspect > F.lit(max_aspect), F.lit("bad_aspect"))
+        .when(~F.col("fmt").isin(*formats), F.lit("bad_format"))
+        .when(toks < F.lit(min_caption_tokens), F.lit("short_caption"))
+        .when(alpha < F.lit(min_alpha_ratio), F.lit("low_alpha"))
+    )
+    return images_df.select(
+        F.col(id_col).alias("image_id"),
+        F.col("w"),
+        F.col("h"),
+        F.col("fmt"),
+        aspect.alias("aspect"),
+        toks.alias("caption_tokens"),
+        alpha.alias("alpha_ratio"),
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
 def mirror_dup_pairs(
     images_df: DataFrame,
     cfg,

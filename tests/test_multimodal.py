@@ -197,3 +197,40 @@ def test_audio_segments_golden(spark):
     assert (out[2]["n_segments"], out[2]["longest_run"]) == (0, 0)
     assert (out[3]["n_segments"], out[3]["longest_run"]) == (1, 3)
     assert (out[4]["n_frames"], out[4]["active_frac"]) == (0, 0.0)
+
+
+def test_image_caption_gate_branches_and_plan(spark):
+    """Every rule binds at its pinned precedence (first-failing wins),
+    and the gate is pure projection — zero shuffles, zero Python."""
+    from fuzzymatch_spark.operators.multimodal import image_caption_gate
+
+    rows = [
+        # precedence: a row failing EVERY rule reports too_small
+        ("all_bad", 10, 900, "tiff", "x 1 2"),
+        ("keep", 256, 256, "jpeg", "three alpha words"),
+        ("small", 63, 256, "png", "three alpha words"),
+        ("aspect", 100, 301, "png", "three alpha words"),
+        ("fmt", 100, 100, "webp", "three alpha words"),
+        ("short", 100, 100, "png", "two  words"),  # double space: 2 toks
+        ("alpha", 100, 100, "png", "a1 b2 c3 9999999"),
+        ("empty_cap", 100, 100, "png", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, caption string"
+    )
+    out = image_caption_gate(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
+    got = {r["image_id"]: r for r in out.collect()}
+    want = {
+        "all_bad": "too_small", "keep": None, "small": "too_small",
+        "aspect": "bad_aspect", "fmt": "bad_format",
+        "short": "short_caption", "alpha": "low_alpha",
+        "empty_cap": "short_caption",
+    }
+    for iid, reason in want.items():
+        assert got[iid]["reject_reason"] == reason, (iid, got[iid])
+        assert got[iid]["keep"] == (reason is None)
+    assert got["short"]["caption_tokens"] == 2
+    assert got["empty_cap"]["alpha_ratio"] == 0.0
+    assert got["aspect"]["aspect"] == 3.01
