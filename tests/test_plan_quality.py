@@ -383,3 +383,28 @@ def test_pq_adc_scan_is_jvm_only_zero_exchange(spark, embeddings, tmp_path):
     assert "TakeOrderedAndProject" in plan, plan
     m = re.search(r"ReadSchema: (.*)", plan)
     assert m and "embedding" not in m.group(1), plan
+
+
+def test_tile_and_mirror_dedup_payload_below_exchange(spark):
+    """The r6 image-dedup additions keep the payload invariant: the
+    per-tile / canonical pHash UDF consumes the binary column at the
+    scan, and only (id, long) attribute refs ride above any exchange."""
+    from fuzzymatch_spark.config import DedupConfig
+    from fuzzymatch_spark.operators.multimodal import (
+        image_tile_dup_pairs,
+        mirror_dup_pairs,
+    )
+    from fuzzymatch_spark.sources.images import encode_image, synth_pixels
+
+    df = spark.createDataFrame(
+        [(f"i{k}", encode_image(synth_pixels(f"i{k}"), "png"))
+         for k in range(4)],
+        "image_id string, bytes binary",
+    )
+    for out in (
+        image_tile_dup_pairs(df, grid=3),
+        mirror_dup_pairs(df, DedupConfig()),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        first_ex = plan.index("Exchange")
+        assert "bytes#" not in plan[:first_ex], plan[:first_ex]
