@@ -1341,7 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         tl = tile_dup_pairs(
             tiles, n_tiles=9, id_col="doc_id", tile_col="tile_idx",
-            phash_col="tile_phash", max_hamming=4, min_frac=0.6,
+            phash_col="tile_phash", max_hamming=2, min_frac=0.6,
         ).select(
             F.lit("tiles").alias("section"), "a_id", "b_id",
             F.col("matched_frac").alias("m1"),
@@ -2075,7 +2075,7 @@ def oracle_sql() -> dict[str, str]:
                          count(DISTINCT a.t) AS c
                   FROM tiles a
                   JOIN tiles b ON a.t = b.t AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.th, b.th)) <= 4
+                  WHERE bit_count(xor(a.th, b.th)) <= 2
                   GROUP BY a.doc_id, b.doc_id
                 )
                 SELECT a_id, b_id, round(c / 9.0, 6) AS m1 FROM m

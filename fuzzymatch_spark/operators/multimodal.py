@@ -290,9 +290,10 @@ def tile_dup_pairs(
     id_col: str = "image_id",
     tile_col: str = "tile_idx",
     phash_col: str = "tile_phash",
-    max_hamming: int = 4,
+    max_hamming: int = 2,
     min_frac: float = 0.6,
     max_bucket_size: int = 100_000,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Partial-edit-resistant image near-duplicate pairs from a per-tile
     pHash table ``(image_id, tile_idx, tile_phash)``.
@@ -317,6 +318,24 @@ def tile_dup_pairs(
     with the payload invariant: bytes are read once by the tile UDF and
     never shuffle.  Everything below the UDF is integer SQL —
     oracle-checked from a stored tile table (``image_dedup_suite``).
+
+    Default config (m=4 blocks, radius 2), deliberately cheaper than the
+    whole-image leg's (m=8, k=6): the Manku combo count is C(m, m-k), so
+    8/4 would cost 70 keys per TILE (630 band rows per image — a 22x
+    heavier exchange than the whole-image join) where 4/2 costs SIX
+    combos of 32-bit keys (54 band rows per image).  Same-source tiles
+    are bit-identical and re-encode jitter is a few bits (measured twin
+    pHash jitter <= 4 over 600 real-JPEG pairs, BENCH.md), and the
+    containment threshold already tolerates a jittery minority of
+    positions — a tile pushed past the radius only drops ONE of the
+    >= ceil(min_frac*n) agreeing positions the pair needs.  32-bit keys
+    scoped per position stay bounded at 10^12 rows (~230 members/bucket
+    before the cap; the whole-image leg lives with 16-bit keys).  The
+    (position, band-key) pair is folded into ONE xxhash64 group column —
+    the fused-key lesson from the MinHash exchange; a cross-position
+    hash collision only merges buckets, and the ``a.t == b.t`` candidate
+    filter keeps the output exact.  A/B + two-core-count scaling:
+    `scripts/probe_tile_scale.py`.
     """
     from pyspark.sql import functions as F
 
@@ -324,30 +343,33 @@ def tile_dup_pairs(
 
     if n_tiles < 1:
         raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
-    k = min(max_hamming, 7)
+    k = min(max_hamming, n_bands - 1)
     bands = hamming_band_keys(
         tiles_df.select(
             F.col(id_col).alias("id"),
             F.col(tile_col).alias("t"),
             F.col(phash_col).alias("th"),
         ),
-        "id", "th", n_bands=8, max_hamming=max_hamming,
+        "id", "th", n_bands=n_bands, max_hamming=max_hamming,
         split_band_key=False, carry_cols=["t"],
     )
     grouped = (
-        bands.groupBy("t", "bk")
-        .agg(F.collect_list(F.struct("id", "th")).alias("ms"))
+        bands.select(F.xxhash64("t", "bk").alias("tbk"), "id", "th", "t")
+        .groupBy("tbk")
+        .agg(F.collect_list(F.struct("id", "th", "t")).alias("ms"))
         .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
     )
     matched = (
-        grouped.select("t", F.explode("ms").alias("a"), "ms")
-        .select("t", "a", F.explode("ms").alias("b"))
+        grouped.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
         .filter(F.col("a.id") < F.col("b.id"))
+        .filter(F.col("a.t") == F.col("b.t"))
         .filter(
             F.bit_count(F.col("a.th").bitwiseXOR(F.col("b.th"))) <= F.lit(k)
         )
         .select(
-            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), "t"
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+            F.col("a.t").alias("t"),
         )
         .dropDuplicates(["a_id", "b_id", "t"])
     )
@@ -368,7 +390,7 @@ def image_tile_dup_pairs(
     grid: int = 3,
     id_col: str = "image_id",
     bytes_col: str = "bytes",
-    max_hamming: int = 4,
+    max_hamming: int = 2,
     min_frac: float = 0.6,
 ) -> DataFrame:
     """End-to-end tile-containment dedup over raw image rows: decode +

@@ -407,7 +407,7 @@ class TestTileDedup:
 
         got = {(r["a_id"], r["b_id"]): r["matched_frac"] for r in
                image_tile_dup_pairs(
-                   df, grid=3, max_hamming=4, min_frac=0.6
+                   df, grid=3, max_hamming=2, min_frac=0.6
                ).collect()}
         planted = {(f"orig_{i:03d}", f"twin_{i:03d}") for i in range(n)}
         assert planted <= set(got), sorted(planted - set(got))
