@@ -85,3 +85,27 @@ def test_char_bitmask_is_a_union_homomorphism(a, b):
     na = normalize_bytes(a.encode("utf-8"))
     nb = normalize_bytes(b.encode("utf-8"))
     assert char_bitmask(na + nb) == char_bitmask(na) | char_bitmask(nb)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=8, max_value=57),
+    st.integers(min_value=8, max_value=57),
+    st.integers(min_value=0, max_value=7),
+)
+def test_canonical_phash_d4_invariant(seed, h, w, which):
+    """phash64_canonical(t(px)) == phash64_canonical(px) for every D4
+    transform t, on arbitrary (including non-square, non-multiple-of-32)
+    shapes — the exact-group property the mirror-dedup join relies on."""
+    import numpy as np
+
+    from fuzzymatch_spark.kernels.phash import (
+        dihedral_transforms,
+        phash64_canonical,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    t = np.ascontiguousarray(dihedral_transforms(px)[which])
+    assert phash64_canonical(t) == phash64_canonical(px)
