@@ -2347,13 +2347,16 @@ def oracle_sql() -> dict[str, str]:
               ) AS v(image_id, w, h, fmt, caption)
             ),
             g AS (
+              -- coalesce pins the NULL-caption convention (reject as
+              -- short_caption), matching the operator
               SELECT image_id, w, h, fmt,
                      round(CAST(greatest(w, h) AS DOUBLE)
                            / least(w, h), 6) AS aspect,
-                     CAST(len(list_filter(string_split(caption, ' '),
-                                          x -> x <> '')) AS INTEGER)
+                     CAST(len(list_filter(string_split(
+                              coalesce(caption, ''), ' '),
+                              x -> x <> '')) AS INTEGER)
                        AS caption_tokens,
-                     CASE WHEN length(caption) = 0 THEN 0.0
+                     CASE WHEN length(coalesce(caption, '')) = 0 THEN 0.0
                           ELSE round(CAST(length(regexp_replace(caption,
                                    '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                                / length(caption), 6)

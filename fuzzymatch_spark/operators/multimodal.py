@@ -371,8 +371,10 @@ def tile_dup_pairs(
             F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
             F.col("a.t").alias("t"),
         )
-        .dropDuplicates(["a_id", "b_id", "t"])
     )
+    # countDistinct dedupes the multi-combo repeats of the same (pair, t)
+    # itself (Expand + two-phase aggregate — ONE exchange); a
+    # dropDuplicates first would add a second exchange for nothing
     return (
         matched.groupBy("a_id", "b_id")
         .agg(F.countDistinct("t").alias("n_matched"))
@@ -449,7 +451,11 @@ def image_caption_gate(
     """
     from pyspark.sql import functions as F
 
-    cap = F.col("caption")
+    # NULL captions must take the same branch in both engines: Spark's
+    # size(split(NULL)) is -1 (-> short_caption) while SQL NULL would
+    # fall through every WHEN (-> keep).  Coalesce pins the convention:
+    # a NULL caption is an empty caption, rejected as short_caption.
+    cap = F.coalesce(F.col("caption"), F.lit(""))
     aspect = F.round(
         F.greatest("w", "h").cast("double")
         / F.least("w", "h").cast("double"),

@@ -214,6 +214,7 @@ def test_image_caption_gate_branches_and_plan(spark):
         ("short", 100, 100, "png", "two  words"),  # double space: 2 toks
         ("alpha", 100, 100, "png", "a1 b2 c3 9999999"),
         ("empty_cap", 100, 100, "png", ""),
+        ("null_cap", 100, 100, "png", None),
     ]
     df = spark.createDataFrame(
         rows, "image_id string, w int, h int, fmt string, caption string"
@@ -226,7 +227,7 @@ def test_image_caption_gate_branches_and_plan(spark):
         "all_bad": "too_small", "keep": None, "small": "too_small",
         "aspect": "bad_aspect", "fmt": "bad_format",
         "short": "short_caption", "alpha": "low_alpha",
-        "empty_cap": "short_caption",
+        "empty_cap": "short_caption", "null_cap": "short_caption",
     }
     for iid, reason in want.items():
         assert got[iid]["reject_reason"] == reason, (iid, got[iid])
