@@ -535,6 +535,7 @@ def simhash_band_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
 def phash_band_edges(
     images_df: DataFrame, cfg: DedupConfig, id_col: str = "image_id",
     phash_col: str = "phash", verify_col: str | None = None,
+    source: str = "phash",
 ) -> DataFrame:
     """8 blocks, c = 8-k block combos per key: guaranteed recall for
     Hamming <= cfg.phash_max_hamming (default 6 -> C(8,2)=28 16-bit keys).
@@ -551,7 +552,7 @@ def phash_band_edges(
     Both default off: the bare radius semantics stay the oracle path
     (`image_dedup_suite` 'hamming' section hash-exact)."""
     return _hamming_band_edges(
-        images_df, id_col, phash_col, 8, cfg.phash_max_hamming, "phash",
+        images_df, id_col, phash_col, 8, cfg.phash_max_hamming, source,
         cfg.max_bucket_size, degree_cap=cfg.phash_degree_cap,
         verify2=(verify_col, cfg.phash_verify_max_hamming)
         if verify_col else None,

@@ -49,6 +49,11 @@ class DedupPipeline:
     id_col: str = "image_id"
     text_col: str = "caption"
     phash_col: str | None = None  # set to use the pHash image stage
+    # stored dihedral-canonical pHash (kernels.phash.phash64_canonical,
+    # computed at ingest by make_canonical_phash_udf): adds the
+    # flip/rotation-resistant edge source ('mirror') via the same banded
+    # Hamming join — mirrored re-posts land at canonical Hamming 0
+    cphash_col: str | None = None
     use_suffix_stage: bool = True
     metrics: list = field(default_factory=list)
     partition_metrics: list = field(default_factory=list)
@@ -105,9 +110,8 @@ class DedupPipeline:
             f.write(self.cfg.to_json())
 
         # stage 1: signatures (project away binary payloads immediately)
-        cols = [self.id_col, self.text_col] + (
-            [self.phash_col] if self.phash_col else []
-        )
+        hash_cols = [c for c in (self.phash_col, self.cphash_col) if c]
+        cols = [self.id_col, self.text_col] + hash_cols
         narrow = input_df.select(*cols)
         sig = self._load_or_compute(
             "signatures",
@@ -115,7 +119,7 @@ class DedupPipeline:
             .join(
                 narrow.select(
                     F.col(self.id_col).alias("id"),
-                    *([F.col(self.phash_col)] if self.phash_col else []),
+                    *[F.col(c) for c in hash_cols],
                 ),
                 on="id",
             ),
@@ -129,6 +133,11 @@ class DedupPipeline:
                 ph = phash_band_edges(sig, self.cfg, id_col="id",
                                       phash_col=self.phash_col)
                 edges = edges.unionByName(ph)
+            if self.cphash_col:
+                mr = phash_band_edges(sig, self.cfg, id_col="id",
+                                      phash_col=self.cphash_col,
+                                      source="mirror")
+                edges = edges.unionByName(mr)
             if self.use_suffix_stage:
                 sx = suffix_run_pairs(sig, "id", "caption_norm",
                                       run_len=self.cfg.suffix_min_run)

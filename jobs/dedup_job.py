@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--id-col", default="image_id")
     ap.add_argument("--text-col", default="caption")
     ap.add_argument("--phash-col", default=None)
+    ap.add_argument("--cphash-col", default=None,
+                    help="stored dihedral-canonical pHash column: adds the"
+                         " flip/rotation-resistant 'mirror' edge source")
     ap.add_argument("--work-dir", required=True)
     ap.add_argument("--profile", default="default",
                     choices=["default", "web_dense"])
@@ -65,6 +68,7 @@ def main() -> None:
         id_col=args.id_col,
         text_col=args.text_col,
         phash_col=args.phash_col,
+        cphash_col=args.cphash_col,
     )
     clusters = pipe.run(df)
     n_rows = clusters.count()

@@ -75,3 +75,44 @@ def test_full_rerun_idempotent(spark, documents, workdir):
     assert first == second
     assert all(m["recomputed"] is False for m in p2.metrics
                if m["stage"] != "metrics")
+
+
+def test_pipeline_mirror_edge_source(spark, workdir):
+    """A stored dihedral-canonical pHash column adds the 'mirror' edge
+    source: a mirrored re-post whose caption LSH (deliberately weak 1x16
+    banding here) misses is still clustered via canonical Hamming 0 +
+    caption verify — and without cphash_col the same input leaves the
+    pair split (the control that proves the source added recall)."""
+    cfg = DedupConfig(min_score=0.55, num_perm=16, bands=1,
+                      rows_per_band=16)
+    rows = [
+        ("m1", "a striking red barn standing in a green summer field "
+               "under clouds", 777123),
+        ("m2", "a striking red barn standing in a quiet autumn field "
+               "under clouds", 777123),  # mirrored: same canonical hash
+        ("x1", "completely unrelated caption about city traffic at night",
+         111),
+        ("x2", "another different caption describing a mountain lake",
+         222),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, caption string, cphash long"
+    )
+
+    ctrl = DedupPipeline(spark, os.path.join(workdir, "ctrl"), cfg,
+                         use_suffix_stage=False).run(df)
+    c = {r["id"]: r["cluster_id"] for r in ctrl.collect()}
+    assert c["m1"] != c["m2"], (
+        "control must not link the pair (caption LSH found it; weaken "
+        "the caption overlap)"
+    )
+
+    mdir = os.path.join(workdir, "with_mirror")
+    out = DedupPipeline(spark, mdir, cfg, cphash_col="cphash",
+                        use_suffix_stage=False).run(df)
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert got["m1"] == got["m2"]
+    assert got["x1"] != got["x2"] != got["m1"]
+
+    cand = spark.read.parquet(os.path.join(mdir, "candidate_edges"))
+    assert {r["source"] for r in cand.collect()} >= {"mirror"}
