@@ -474,6 +474,12 @@ def make_phash_dedup_sink(
          no shuffle on the history side beyond the join itself)
       3. JVM ``bit_count`` verify on both legs
       4. write edges + phashes to ``<table>/batch=<id>``, then the marker
+
+    The hash column is generic: pass ``phash_col="cphash"`` (the stored
+    dihedral-canonical pHash from ``make_canonical_phash_udf``) and the
+    same sink does incremental MIRROR dedup — flipped/rotated re-posts
+    arriving in later batches link to their originals at canonical
+    Hamming 0 with zero new machinery.
     """
     from pyspark.sql import functions as F
 
