@@ -2367,7 +2367,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT *,
                      CASE WHEN least(w, h) < 64 THEN 'too_small'
                           WHEN aspect > 3.0 THEN 'bad_aspect'
-                          WHEN fmt NOT IN ('png', 'jpeg')
+                          WHEN lower(fmt) NOT IN ('png', 'jpeg')
                             THEN 'bad_format'
                           WHEN caption_tokens < 3 THEN 'short_caption'
                           WHEN alpha_ratio < 0.5 THEN 'low_alpha'

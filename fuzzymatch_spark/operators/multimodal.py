@@ -439,7 +439,7 @@ def image_caption_gate(
 
     1. ``too_small``      — min(w, h) < ``min_side``
     2. ``bad_aspect``     — max(w,h)/min(w,h) > ``max_aspect``
-    3. ``bad_format``     — fmt not in ``formats``
+    3. ``bad_format``     — lower(fmt) not in ``formats`` (lowercase)
     4. ``short_caption``  — non-empty-token count < ``min_caption_tokens``
     5. ``low_alpha``      — [a-zA-Z] fraction of caption < ``min_alpha_ratio``
 
@@ -472,7 +472,7 @@ def image_caption_gate(
     reason = (
         F.when(F.least("w", "h") < F.lit(min_side), F.lit("too_small"))
         .when(aspect > F.lit(max_aspect), F.lit("bad_aspect"))
-        .when(~F.col("fmt").isin(*formats), F.lit("bad_format"))
+        .when(~F.lower("fmt").isin(*formats), F.lit("bad_format"))
         .when(toks < F.lit(min_caption_tokens), F.lit("short_caption"))
         .when(alpha < F.lit(min_alpha_ratio), F.lit("low_alpha"))
     )

@@ -215,6 +215,7 @@ def test_image_caption_gate_branches_and_plan(spark):
         ("alpha", 100, 100, "png", "a1 b2 c3 9999999"),
         ("empty_cap", 100, 100, "png", ""),
         ("null_cap", 100, 100, "png", None),
+        ("upper_fmt", 100, 100, "JPEG", "three alpha words"),
     ]
     df = spark.createDataFrame(
         rows, "image_id string, w int, h int, fmt string, caption string"
@@ -228,6 +229,7 @@ def test_image_caption_gate_branches_and_plan(spark):
         "aspect": "bad_aspect", "fmt": "bad_format",
         "short": "short_caption", "alpha": "low_alpha",
         "empty_cap": "short_caption", "null_cap": "short_caption",
+        "upper_fmt": None,
     }
     for iid, reason in want.items():
         assert got[iid]["reject_reason"] == reason, (iid, got[iid])
