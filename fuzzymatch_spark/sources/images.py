@@ -316,6 +316,91 @@ def make_phash_udf():
     return phash_from_bytes
 
 
+def make_image_digests_udf(grid: int = 3):
+    """bytes -> struct(phash, dhash, cphash, tiles): EVERY stored digest
+    the image-dedup ladder consumes, from ONE decode per image.
+
+    The fused-single-pass doctrine from the caption pipeline's signature
+    UDF applied to the image side: decode dominates the per-image cost
+    (~1.1 ms JPEG / ~0.24 ms PNG vs 0.1-0.9 ms for all the hashing), so
+    a caller that wants the Hamming leg (phash), the tier-2 verify
+    (dhash), the mirror leg (cphash) and the tile-containment leg
+    (tiles) from separate UDFs pays the decode up to four times.  This
+    UDF decodes once (JPEG rows batch-decoded through the vectorized
+    fast path) and emits all four digests; only ~ (3 + grid²) longs per
+    image ever leave the scan.  Measured: 1.48x over the three separate
+    UDF passes (min-of-3, 20k mixed png/jpeg rows, local[8]: 9.68 ->
+    6.54 s) — less than the decode multiple alone because the canonical
+    hash's 8 DCT passes are a real share of the per-image cost.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType as _Long,
+        StructField,
+        StructType,
+    )
+
+    from fuzzymatch_spark.kernels.phash import (
+        dhash64,
+        phash64_canonical,
+    )
+
+    schema = StructType([
+        StructField("phash", _Long()),
+        StructField("dhash", _Long()),
+        StructField("cphash", _Long()),
+        StructField("tiles", ArrayType(_Long())),
+    ])
+
+    def digests(px):
+        h, w = px.shape
+        tiles = []
+        for r in range(grid):
+            for c in range(grid):
+                y0, y1 = r * h // grid, (r + 1) * h // grid
+                x0, x1 = c * w // grid, (c + 1) * w // grid
+                tiles.append(phash64(px[y0:y1, x0:x1]))
+        return {
+            "phash": phash64(px),
+            "dhash": dhash64(px),
+            "cphash": phash64_canonical(px),
+            "tiles": tiles,
+        }
+
+    @F.pandas_udf(schema)
+    def image_digests_from_bytes(blobs: pd.Series) -> pd.DataFrame:
+        out: list = [None] * len(blobs)
+        items = [
+            (k, bytes(d)) for k, d in enumerate(blobs) if d is not None
+        ]
+        jpegs = [(k, d) for k, d in items if d[:2] == b"\xff\xd8"]
+        for (k, _), px in zip(
+            jpegs, jpeg_decode_batch([d for _, d in jpegs])
+        ):
+            out[k] = digests(px)
+        for k, d in items:
+            if d[:2] != b"\xff\xd8":
+                out[k] = digests(decode_image(d))
+        # nullable Int64 extension arrays: a None row must NOT coerce
+        # the hash columns to float64 (which silently rounds past 2^53)
+        return pd.DataFrame({
+            "phash": pd.array(
+                [o["phash"] if o else None for o in out], dtype="Int64"
+            ),
+            "dhash": pd.array(
+                [o["dhash"] if o else None for o in out], dtype="Int64"
+            ),
+            "cphash": pd.array(
+                [o["cphash"] if o else None for o in out], dtype="Int64"
+            ),
+            "tiles": pd.Series(
+                [o["tiles"] if o else None for o in out], dtype=object
+            ),
+        })
+
+    return image_digests_from_bytes
+
+
 def make_flip_png_udf():
     """bytes -> horizontally-mirrored image re-encoded as PNG (planted-
     twin generator for the mirror-dedup tests/driver entry; PNG so the

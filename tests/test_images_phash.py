@@ -474,3 +474,44 @@ class TestMirrorDedup:
         planted = {(f"orig_{i:03d}", f"twin_{i:03d}") for i in range(n)}
         assert planted <= got, sorted(planted - got)
         assert got == planted, sorted(got - planted)
+
+
+class TestFusedDigests:
+    """One-decode fused digest UDF == the four individual digest paths."""
+
+    def test_fused_equals_individual_digests(self, spark):
+        from fuzzymatch_spark.kernels.phash import (
+            dhash64,
+            phash64_canonical,
+        )
+        from fuzzymatch_spark.sources.images import (
+            make_image_digests_udf,
+            synth_pixels,
+        )
+
+        rows, want = [], {}
+        for i in range(8):
+            iid = f"fd_{i}"
+            px = synth_pixels(iid)
+            fmt = "jpeg" if i % 2 else "png"
+            data = encode_image(px, fmt, quality=95)
+            rows.append((iid, data))
+            dec = decode_image(data)  # digests are over DECODED pixels
+            tiles = []
+            for r in range(3):
+                for c in range(3):
+                    tiles.append(phash64(
+                        dec[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16]))
+            want[iid] = (phash64(dec), dhash64(dec),
+                         phash64_canonical(dec), tiles)
+        rows.append(("fd_null", None))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        got = {r["image_id"]: r["d"] for r in df.select(
+            "image_id", make_image_digests_udf(3)("bytes").alias("d")
+        ).collect()}
+        for iid, (p, d, cp, tl) in want.items():
+            g = got[iid]
+            assert (g["phash"], g["dhash"], g["cphash"]) == (p, d, cp), iid
+            assert list(g["tiles"]) == tl, iid
+        gn = got["fd_null"]
+        assert gn["phash"] is None and gn["tiles"] is None
