@@ -519,6 +519,70 @@ def mirror_dup_pairs(
     return phash_band_edges(hashes, cfg, phash_col="cphash")
 
 
+def image_dedup_edges(
+    images_df: DataFrame,
+    cfg,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    grid: int = 3,
+    tile_max_hamming: int = 2,
+    tile_min_frac: float = 0.6,
+) -> DataFrame:
+    """The full image near-dup candidate surface from ONE decode per
+    image: fused digests (``make_image_digests_udf``) feed every leg —
+
+    * ``phash``  — banded Hamming join on the whole-image pHash with the
+      tier-2 independent-dHash verify riding the bucket struct
+      (re-encode twins; diffuse background killed by the second digest)
+    * ``mirror`` — the same join on the dihedral-canonical pHash
+      (flipped/rotated re-posts, canonical Hamming 0)
+    * ``tiles``  — positional tile containment (localized edits:
+      watermark / banner / border)
+
+    Returns distinct (a_id, b_id, source) edges ready for the verify /
+    clustering stages.  The digest table persists LAZILY so the decode
+    UDF evaluates once across the three branches (the decontaminate_fuzzy
+    lesson — uncached lineage re-runs the UDF per branch); payloads are
+    consumed at the scan and never shuffle.  A pair found by several
+    legs appears once per source — source multiplicity is evidence the
+    caller may weigh, so it is not collapsed here.
+    """
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.operators.dedup import phash_band_edges
+    from fuzzymatch_spark.sources.images import make_image_digests_udf
+
+    dig = (
+        images_df.select(
+            F.col(id_col).alias("image_id"),
+            make_image_digests_udf(grid)(F.col(bytes_col)).alias("d"),
+        )
+        .select(
+            "image_id",
+            F.col("d.phash").alias("phash"),
+            F.col("d.dhash").alias("dhash"),
+            F.col("d.cphash").alias("cphash"),
+            F.col("d.tiles").alias("tiles"),
+        )
+        .persist()
+    )
+    ham = phash_band_edges(dig, cfg, phash_col="phash", verify_col="dhash")
+    mir = phash_band_edges(dig, cfg, phash_col="cphash", source="mirror")
+    tiles = dig.select(
+        "image_id", F.posexplode("tiles").alias("tile_idx", "tile_phash")
+    )
+    tl = tile_dup_pairs(
+        tiles, n_tiles=grid * grid, max_hamming=tile_max_hamming,
+        min_frac=tile_min_frac,
+    ).select("a_id", "b_id", F.lit("tiles").alias("source"))
+    return (
+        ham.select("a_id", "b_id", "source")
+        .unionByName(mir.select("a_id", "b_id", "source"))
+        .unionByName(tl)
+        .dropDuplicates(["a_id", "b_id", "source"])
+    )
+
+
 def shot_boundaries(
     frames: DataFrame,
     vid_col: str = "video_id",

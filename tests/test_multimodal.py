@@ -237,3 +237,43 @@ def test_image_caption_gate_branches_and_plan(spark):
     assert got["short"]["caption_tokens"] == 2
     assert got["empty_cap"]["alpha_ratio"] == 0.0
     assert got["aspect"]["aspect"] == 3.01
+
+
+def test_image_dedup_edges_one_decode_all_legs(spark):
+    """The fused composite recovers each planted dup class via its leg —
+    re-encode (phash+tier2), mirror (canonical), banner (tiles) — from
+    one digest pass, with no cross-image false links."""
+    import numpy as np
+
+    from fuzzymatch_spark.config import DedupConfig
+    from fuzzymatch_spark.operators.multimodal import image_dedup_edges
+    from fuzzymatch_spark.sources.images import encode_image, synth_pixels
+
+    rows = []
+    banner = np.full((16, 48), 235, dtype=np.uint8)
+    banner[6:10, 4:44] = 20
+    for i in range(10):
+        px = synth_pixels(f"cb_{i}")
+        rows.append((f"orig_{i}", encode_image(px, "png")))
+        if i < 3:       # re-encode twin -> phash leg
+            rows.append((f"twin_{i}", encode_image(px, "jpeg", quality=85)))
+        elif i < 6:     # mirrored twin -> mirror leg
+            rows.append((f"twin_{i}", encode_image(
+                np.ascontiguousarray(np.fliplr(px)), "png")))
+        elif i < 9:     # banner twin -> tiles leg
+            tw = px.copy()
+            tw[32:48, :] = banner
+            rows.append((f"twin_{i}", encode_image(tw, "png")))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+
+    edges = image_dedup_edges(df, DedupConfig()).collect()
+    srcs = {}
+    for r in edges:
+        srcs.setdefault((r["a_id"], r["b_id"]), set()).add(r["source"])
+    for i in range(9):
+        pair = (f"orig_{i}", f"twin_{i}")
+        want = "phash" if i < 3 else ("mirror" if i < 6 else "tiles")
+        assert pair in srcs and want in srcs[pair], (pair, srcs.get(pair))
+    # no cross-image links: every edge pairs a base with ITS twin
+    for (a, b) in srcs:
+        assert a.split("_")[1] == b.split("_")[1], (a, b)

@@ -401,9 +401,12 @@ def test_tile_and_mirror_dedup_payload_below_exchange(spark):
          for k in range(4)],
         "image_id string, bytes binary",
     )
+    from fuzzymatch_spark.operators.multimodal import image_dedup_edges
+
     for out in (
         image_tile_dup_pairs(df, grid=3),
         mirror_dup_pairs(df, DedupConfig()),
+        image_dedup_edges(df, DedupConfig()),
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         first_ex = plan.index("Exchange")
