@@ -1523,6 +1523,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mirror_dup_pairs"] = mirror_dup_pairs_q
 
+    def image_dedup_clusters_all(spark, sf):
+        # rows-only (real codec bytes aren't SQL-reproducible): the full
+        # image-side pipeline over the one-decode composite — planted
+        # re-encode + mirror + banner twins (one per class per base doc,
+        # doc_id < 10 each) -> image_dedup_edges (phash+tier2 ∪ mirror ∪
+        # tiles from ONE digest pass) -> connected components.  Each twin
+        # must land in its base's cluster; evidence grain is the
+        # (cluster, members) assignment, deterministic from seeded synth.
+        import numpy as np
+        import pandas as pd
+
+        from fuzzymatch_spark.operators.cluster import cluster_assignments
+        from fuzzymatch_spark.operators.multimodal import image_dedup_edges
+        from fuzzymatch_spark.sources.images import (
+            encode_image,
+            synth_pixels,
+        )
+
+        def gen(batches):
+            banner = np.full((16, 48), 235, dtype=np.uint8)
+            banner[6:10, 4:44] = 20
+            for pdf in batches:
+                ids, blobs = [], []
+                for rid in pdf["doc_id"].astype(str):
+                    px = synth_pixels(f"cl_{rid}")
+                    ids.append(f"o_{rid}")
+                    blobs.append(encode_image(px, "png"))
+                    i = int(rid)
+                    if i < 10:  # re-encode twin
+                        ids.append(f"re_{rid}")
+                        blobs.append(encode_image(px, "jpeg", quality=85))
+                    if i < 20 and i >= 10:  # mirror twin
+                        ids.append(f"mi_{rid}")
+                        blobs.append(encode_image(
+                            np.ascontiguousarray(np.fliplr(px)), "png"))
+                    if i < 30 and i >= 20:  # banner twin
+                        tw = px.copy()
+                        tw[32:48, :] = banner
+                        ids.append(f"ba_{rid}")
+                        blobs.append(encode_image(tw, "png"))
+                yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+        images = (
+            _docs(spark, sf).select("doc_id").filter(F.col("doc_id") < 100)
+            .mapInPandas(gen, "image_id string, bytes binary")
+        )
+        edges = image_dedup_edges(images, CFG).select("a_id", "b_id")
+        ids = images.select(F.col("image_id").alias("id"))
+        return cluster_assignments(
+            edges, ids, id_col="id"
+        ).orderBy("id")
+
+    q["image_dedup_clusters_all"] = image_dedup_clusters_all
+
     def datasource_phash_pairs(spark, sf):
         # rows-only by nature: the input is the Spark 4 Python DataSource
         # (custom partition-parallel source — no DuckDB analog), feeding
