@@ -506,6 +506,15 @@ def mirror_dup_pairs(
     test), while the canonical hash restores the pair to Hamming 0.
     Same plan shape and scale story as the primary pHash leg: only
     (id, long) rides the exchange; payloads never shuffle.
+
+    Capacity note for extreme scale: a canonical hash is the min over 8
+    per-transform hashes, so the pairwise background near-collision rate
+    at equal radius is up to ~8x8 = 64x the plain leg's (any of A's 8
+    transform hashes can sit near any of B's).  True mirrored dups are
+    at canonical Hamming ~0, so when background volume matters tighten
+    ``cfg.phash_max_hamming`` for this leg (radius 2-3 keeps re-encoded
+    mirrors; the tier-2 dHash verify can NOT back this leg up — dHash is
+    not mirror-invariant).
     """
     from pyspark.sql import functions as F
 
@@ -527,6 +536,7 @@ def image_dedup_edges(
     grid: int = 3,
     tile_max_hamming: int = 2,
     tile_min_frac: float = 0.6,
+    mirror_max_hamming: int = 4,
 ) -> DataFrame:
     """The full image near-dup candidate surface from ONE decode per
     image: fused digests (``make_image_digests_udf``) feed every leg —
@@ -567,7 +577,14 @@ def image_dedup_edges(
         .persist()
     )
     ham = phash_band_edges(dig, cfg, phash_col="phash", verify_col="dhash")
-    mir = phash_band_edges(dig, cfg, phash_col="cphash", source="mirror")
+    # tighter radius for the canonical leg: min-of-8 hashes carry up to
+    # ~64x the background near-collision rate at equal radius (see
+    # mirror_dup_pairs), while true mirrors sit at canonical Hamming
+    # ~0-4 (re-encode jitter) — and dHash cannot verify this leg
+    import dataclasses
+
+    mcfg = dataclasses.replace(cfg, phash_max_hamming=mirror_max_hamming)
+    mir = phash_band_edges(dig, mcfg, phash_col="cphash", source="mirror")
     tiles = dig.select(
         "image_id", F.posexplode("tiles").alias("tile_idx", "tile_phash")
     )
