@@ -330,7 +330,15 @@ def tile_dup_pairs(
     positions — a tile pushed past the radius only drops ONE of the
     >= ceil(min_frac*n) agreeing positions the pair needs.  32-bit keys
     scoped per position stay bounded at 10^12 rows (~230 members/bucket
-    before the cap; the whole-image leg lives with 16-bit keys).  The
+    before the cap; the whole-image leg lives with 16-bit keys).
+    ``max_bucket_size`` interacts with the threshold as a FEATURE, not a
+    recall leak: flat/boilerplate tiles (white backgrounds, black bars)
+    hash identically across millions of images and land in mega-buckets
+    the cap drops — those positions then contribute no matches while
+    the denominator stays ``n_tiles``, so a pair must reach
+    ``min_frac`` through DISCRIMINATIVE positions.  Agreement on
+    corpus-wide boilerplate is evidence of nothing; the cap encodes
+    that (pinned by the flat-tile test).  The
     (position, band-key) pair is folded into ONE xxhash64 group column —
     the fused-key lesson from the MinHash exchange; a cross-position
     hash collision only merges buckets, and the ``a.t == b.t`` candidate

@@ -417,6 +417,43 @@ class TestTileDedup:
         extra = set(got) - planted
         assert not extra, extra
 
+
+    def test_flat_tile_mega_buckets_are_dropped_not_evidence(self, spark):
+        """Boilerplate positions (one hash shared corpus-wide) exceed the
+        bucket cap and contribute NO matches: a pair agreeing on 5 flat
+        tiles + 2 distinctive tiles is below min_frac (2/9), while a pair
+        with 6 distinctive agreements still links — the cap turns the
+        containment criterion into 'min_frac of DISCRIMINATIVE
+        positions', by design."""
+        from fuzzymatch_spark.operators.multimodal import tile_dup_pairs
+
+        rows = []
+        for i in range(120):
+            for t in range(9):
+                if t < 5:
+                    th = 42  # corpus-wide flat tile (bucket size 120)
+                elif i < 2 and t < 7:
+                    th = 1000 + t  # planted pair A: 2 distinctive shares
+                elif i in (2, 3) and t != 8:
+                    th = 2000 + t  # planted pair B: 6/9 distinctive
+                else:
+                    th = i * 100 + t  # unique background
+                rows.append((f"i{i:03d}", t, th))
+        df = spark.createDataFrame(
+            rows, "image_id string, tile_idx int, tile_phash long"
+        )
+        got = {(r["a_id"], r["b_id"]) for r in tile_dup_pairs(
+            df, n_tiles=9, max_bucket_size=100
+        ).collect()}
+        # A agrees on 5 flat (capped) + 2 distinctive = 2/9 counted -> out
+        # B agrees on 4 distinctive (t=5,6,7) ... plus flats capped
+        assert ("i000", "i001") not in got
+        # control: same table with the cap lifted counts the flat tiles
+        got2 = {(r["a_id"], r["b_id"]) for r in tile_dup_pairs(
+            df, n_tiles=9, max_bucket_size=100_000
+        ).collect()}
+        assert ("i000", "i001") in got2  # 7/9 with flats counted
+
     def test_tile_dup_pairs_validates_n_tiles(self, spark):
         import pytest as _pytest
 
