@@ -454,6 +454,53 @@ class TestTileDedup:
         ).collect()}
         assert ("i000", "i001") in got2  # 7/9 with flats counted
 
+
+    def test_tile_dup_pairs_matches_brute_force_random_tables(self, spark):
+        """Randomized cross-check over configs: the banded containment
+        join equals an independent numpy brute force (same-position
+        Hamming <= k, >= min_frac of n positions) — recall completeness
+        (pigeonhole) AND precision (bit_count verify) across (n_bands,
+        radius, min_frac)."""
+        import itertools
+
+        import numpy as np
+
+        from fuzzymatch_spark.operators.multimodal import tile_dup_pairs
+
+        rng = np.random.default_rng(20260818)
+        for n_bands, k, mf in [(4, 2, 0.6), (8, 2, 0.5), (4, 1, 0.4)]:
+            n_img, n_t = 40, 6
+            # clustered hash pool so near-collisions actually occur
+            pool = rng.integers(0, 1 << 20, size=12, dtype=np.int64)
+            hashes = pool[rng.integers(0, 12, size=(n_img, n_t))]
+            hashes ^= rng.integers(0, 4, size=hashes.shape).astype(np.int64)
+            rows = [
+                (f"r{i:02d}", t, int(hashes[i, t]))
+                for i in range(n_img) for t in range(n_t)
+            ]
+            df = spark.createDataFrame(
+                rows, "image_id string, tile_idx int, tile_phash long"
+            )
+            got = {
+                (r["a_id"], r["b_id"]): r["matched_frac"]
+                for r in tile_dup_pairs(
+                    df, n_tiles=n_t, max_hamming=k, min_frac=mf,
+                    n_bands=n_bands,
+                ).collect()
+            }
+            want = {}
+            for i, j in itertools.combinations(range(n_img), 2):
+                m = sum(
+                    bin(int(hashes[i, t]) ^ int(hashes[j, t])).count("1")
+                    <= k
+                    for t in range(n_t)
+                )
+                frac = round(m / n_t, 6)
+                if frac >= mf:
+                    want[(f"r{i:02d}", f"r{j:02d}")] = frac
+            assert got == want, (n_bands, k, mf,
+                                 set(got) ^ set(want))
+
     def test_tile_dup_pairs_validates_n_tiles(self, spark):
         import pytest as _pytest
 
