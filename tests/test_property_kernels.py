@@ -109,3 +109,31 @@ def test_canonical_phash_d4_invariant(seed, h, w, which):
     px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
     t = np.ascontiguousarray(dihedral_transforms(px)[which])
     assert phash64_canonical(t) == phash64_canonical(px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=8, max_value=140),
+    st.integers(min_value=8, max_value=140),
+)
+def test_canonical_phash_fast_path_equals_per_transform(seed, h, w):
+    """The one-integral-image fast path is bit-identical to hashing each
+    materialized D4 transform (exact-integer box sums make this an
+    equality, not an approximation)."""
+    import numpy as np
+
+    from fuzzymatch_spark.kernels.phash import (
+        dihedral_transforms,
+        phash64,
+        phash64_canonical,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    ref = min(
+        phash64(np.ascontiguousarray(t)) & 0xFFFFFFFFFFFFFFFF
+        for t in dihedral_transforms(px)
+    )
+    ref = ref - (1 << 64) if ref >= (1 << 63) else ref
+    assert phash64_canonical(px) == ref
