@@ -1386,11 +1386,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
             "image_id string, w int, h int, fmt string, caption string",
         )
-        return (
+        # Widened (late r6, same per-image grain): the kept rows also get
+        # their SDXL-style aspect bucket (nearest-ratio ladder assignment
+        # + downscale flag) — the stage right after the gate in a real
+        # image-training pipeline.  Rejected rows carry typed NULLs.
+        from fuzzymatch_spark.operators.multimodal import aspect_buckets
+
+        gated = aspect_buckets(
             image_caption_gate(meta.unionByName(planted))
             .withColumn("keep", F.col("keep").cast("int"))
-            .orderBy("image_id")
         )
+        kept = F.col("keep") == 1
+        return gated.select(
+            "image_id", "w", "h", "fmt", "aspect", "caption_tokens",
+            "alpha_ratio", "reject_reason", "keep",
+            F.when(kept, F.col("bucket_w")).alias("bucket_w"),
+            F.when(kept, F.col("bucket_h")).alias("bucket_h"),
+            F.when(kept, F.col("downscale")).alias("downscale"),
+        ).orderBy("image_id")
 
     q["image_caption_gate"] = image_caption_gate_q
 
@@ -1453,9 +1466,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("a_id", "b_id")
         edges = cap_edges.unionByName(img_edges).dropDuplicates(["a_id", "b_id"])
         ids = allrows.select(F.col("doc_id"))
-        return cluster_assignments(edges, ids, id_col="doc_id").select(
+        labels = cluster_assignments(edges, ids, id_col="doc_id").select(
             "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
         )
+        # Widened (late r6, same per-image grain): image-flavor survivor
+        # selection — each cluster's highest-RESOLUTION member (pixels
+        # from the gate entry's deterministic (w, h) formula, ties by min
+        # id) is flagged canonical via the skew-immune argmin aggregate.
+        from fuzzymatch_spark.operators.multimodal import (
+            canonical_image_selection,
+        )
+
+        pix = (
+            (F.lit(32) + (F.col("doc_id") * 7919) % 1200)
+            * (F.lit(32) + (F.col("doc_id") * 104729) % 1200)
+        ).cast("long")
+        return canonical_image_selection(
+            labels.withColumn("pixels", pix), id_col="doc_id"
+        ).select("doc_id", "cluster_id", "pixels", "is_canonical")
 
     q["multimodal_dedup_clusters_relational"] = multimodal_relational
 
@@ -2229,11 +2257,22 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT w.u, e.v FROM walk w JOIN bi e ON w.v = e.u
             ),
-            mins AS (SELECT u, min(v) AS m FROM walk GROUP BY u)
-            SELECT d.doc_id,
-                   CAST(COALESCE(least(d.doc_id, r.m), d.doc_id) AS BIGINT)
-                     AS cluster_id
-            FROM allrows d LEFT JOIN mins r ON r.u = d.doc_id
+            mins AS (SELECT u, min(v) AS m FROM walk GROUP BY u),
+            labels AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(least(d.doc_id, r.m), d.doc_id)
+                          AS BIGINT) AS cluster_id,
+                     CAST((32 + (d.doc_id * 7919) % 1200)
+                          * (32 + (d.doc_id * 104729) % 1200)
+                          AS BIGINT) AS pixels
+              FROM allrows d LEFT JOIN mins r ON r.u = d.doc_id
+            )
+            SELECT doc_id, cluster_id, pixels,
+                   CAST(CASE WHEN ROW_NUMBER() OVER (
+                          PARTITION BY cluster_id
+                          ORDER BY pixels DESC, doc_id) = 1
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+            FROM labels
     """
     _ffp = lambda expr: (
         f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
@@ -2427,12 +2466,53 @@ def oracle_sql() -> dict[str, str]:
                           WHEN alpha_ratio < 0.5 THEN 'low_alpha'
                      END AS reject_reason
               FROM g
+            ),
+            fin AS (
+              SELECT image_id, w, h, fmt, aspect, caption_tokens,
+                     alpha_ratio, reject_reason,
+                     CAST(CASE WHEN reject_reason IS NULL
+                          THEN 1 ELSE 0 END AS INTEGER) AS keep
+              FROM r
+            ),
+            ladder(i, bw, bh) AS (VALUES
+              (0, 512, 2048), (1, 576, 1792), (2, 640, 1600),
+              (3, 704, 1408), (4, 768, 1344), (5, 832, 1216),
+              (6, 896, 1152), (7, 960, 1088), (8, 1024, 1024),
+              (9, 1088, 960), (10, 1152, 896), (11, 1216, 832),
+              (12, 1344, 768), (13, 1408, 704), (14, 1600, 640),
+              (15, 1792, 576), (16, 2048, 512)
+            ),
+            -- ratio distance max(a/b, b/a): pure IEEE divisions, so both
+            -- engines compute bit-identical doubles (no ln())
+            cand AS (
+              SELECT f.image_id, l.i, l.bw, l.bh,
+                     greatest(
+                       (CAST(f.w AS DOUBLE) / f.h)
+                         / (CAST(l.bw AS DOUBLE) / l.bh),
+                       (CAST(l.bw AS DOUBLE) / l.bh)
+                         / (CAST(f.w AS DOUBLE) / f.h)
+                     ) AS d
+              FROM fin f, ladder l
+            ),
+            pick AS (
+              SELECT image_id, bw, bh,
+                     ROW_NUMBER() OVER (PARTITION BY image_id
+                                        ORDER BY d, i) AS rn
+              FROM cand
             )
-            SELECT image_id, w, h, fmt, aspect, caption_tokens,
-                   alpha_ratio, reject_reason,
-                   CAST(CASE WHEN reject_reason IS NULL
-                        THEN 1 ELSE 0 END AS INTEGER) AS keep
-            FROM r ORDER BY image_id
+            SELECT f.image_id, f.w, f.h, f.fmt, f.aspect,
+                   f.caption_tokens, f.alpha_ratio, f.reject_reason,
+                   f.keep,
+                   CASE WHEN f.keep = 1 THEN p.bw END AS bucket_w,
+                   CASE WHEN f.keep = 1 THEN p.bh END AS bucket_h,
+                   CASE WHEN f.keep = 1 THEN
+                     CAST(CASE WHEN CAST(f.w AS BIGINT) * f.h
+                                    > CAST(p.bw AS BIGINT) * p.bh
+                          THEN 1 ELSE 0 END AS INTEGER)
+                   END AS downscale
+            FROM fin f JOIN pick p
+              ON p.image_id = f.image_id AND p.rn = 1
+            ORDER BY f.image_id
         """,
         "phash_knn_capped_pairs": phash_knn_sql,
         "video_analysis_suite": video_containment_sql,

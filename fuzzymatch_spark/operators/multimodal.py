@@ -723,3 +723,109 @@ def audio_segments(
             agg["act"] / F2.greatest(n, F2.lit(1)), 6
         ).alias("active_frac"),
     )
+
+
+# SDXL-style aspect ladder: every (w, h) is a multiple of 64 with area
+# <= 1024^2, symmetric around square — the shape a latent-diffusion
+# training pipeline bins resolutions into so batches share a tensor
+# shape without destructive center-crops.
+DEFAULT_ASPECT_BUCKETS: tuple = (
+    (512, 2048), (576, 1792), (640, 1600), (704, 1408), (768, 1344),
+    (832, 1216), (896, 1152), (960, 1088), (1024, 1024), (1088, 960),
+    (1152, 896), (1216, 832), (1344, 768), (1408, 704), (1600, 640),
+    (1792, 576), (2048, 512),
+)
+
+
+def aspect_buckets(
+    images_df: DataFrame,
+    buckets: tuple = DEFAULT_ASPECT_BUCKETS,
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Aspect-ratio bucketing for image training batches: assign each
+    image the ladder bucket whose aspect is nearest its own, and emit
+    the bucket's target dims plus whether reaching them is a downscale.
+
+    Nearness is the scale-free RATIO distance ``max(a/b, b/a)`` (the
+    exp of |log-aspect| distance — same argmin, but built purely from
+    IEEE divisions so Spark and the DuckDB oracle agree bit-for-bit
+    where ``log`` implementations might not); ties break toward the
+    lower bucket index.  Precondition: positive ``w``/``h`` (run the
+    metadata gate first — rejected rows never reach the bucketer).
+
+    Scale shape: the ladder is a constant-folded literal array and the
+    argmin is ``array_min`` over lexicographically-ordered structs —
+    one projection, zero shuffles, zero Python, runs at scan speed on
+    metadata columns only (payload bytes never touched).
+    """
+    from pyspark.sql import functions as F2
+
+    a = F2.col(w_col).cast("double") / F2.col(h_col).cast("double")
+    entries = []
+    for i, (bw, bh) in enumerate(buckets):
+        b = F2.lit(bw / bh)
+        entries.append(
+            F2.struct(
+                F2.greatest(a / b, b / a).alias("d"),
+                F2.lit(i).alias("i"),
+                F2.lit(int(bw)).alias("bw"),
+                F2.lit(int(bh)).alias("bh"),
+            )
+        )
+    best = F2.array_min(F2.array(*entries))
+    return (
+        images_df.withColumn("bucket_w", best["bw"])
+        .withColumn("bucket_h", best["bh"])
+        .withColumn(
+            "downscale",
+            (
+                F2.col(w_col).cast("long") * F2.col(h_col).cast("long")
+                > best["bw"].cast("long") * best["bh"].cast("long")
+            ).cast("int"),
+        )
+    )
+
+
+def canonical_image_selection(
+    labels_df: DataFrame,
+    id_col: str = "image_id",
+    cluster_col: str = "cluster_id",
+    pixels_col: str = "pixels",
+) -> DataFrame:
+    """Survivor selection, image flavor: within each dedup cluster flag
+    the highest-RESOLUTION member (max ``pixels``, ties by min id) as
+    canonical — the copy a training pipeline keeps when near-dups span
+    thumbnails and originals.  Text-side selection keeps min id
+    (`operators/cluster.py:canonical_corpus`); images rank by quality.
+
+    Scale shape: per-cluster argmin of a ``(−pixels, id)`` struct via
+    ``groupBy().agg(min(...))`` — partial aggregation combines map-side,
+    so a near-dup storm (one mega-cluster holding millions of members)
+    never serializes into the single partition-task a window over
+    ``cluster_id`` would; the winner table (one row per cluster) joins
+    back on the same key, where AQE's skew-join splits any hot label.
+    Grain preserved: output = input + ``is_canonical`` int.
+    """
+    from pyspark.sql import functions as F2
+
+    winners = (
+        labels_df.groupBy(cluster_col)
+        .agg(
+            F2.min(
+                F2.struct(
+                    (-F2.col(pixels_col)).alias("np"),
+                    F2.col(id_col).alias("wid"),
+                )
+            ).alias("_w")
+        )
+        .select(cluster_col, F2.col("_w.wid").alias("_winner"))
+    )
+    return (
+        labels_df.join(winners, cluster_col)
+        .withColumn(
+            "is_canonical",
+            (F2.col(id_col) == F2.col("_winner")).cast("int"),
+        )
+        .drop("_winner")
+    )

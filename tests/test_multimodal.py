@@ -277,3 +277,62 @@ def test_image_dedup_edges_one_decode_all_legs(spark):
     # no cross-image links: every edge pairs a base with ITS twin
     for (a, b) in srcs:
         assert a.split("_")[1] == b.split("_")[1], (a, b)
+
+
+def test_aspect_buckets_golden_and_plan(spark):
+    """Nearest-ratio ladder assignment with pinned goldens at both ends
+    of the ladder, downscale flag from true-vs-bucket area, and the
+    scale gate: pure projection, zero shuffles, zero Python."""
+    from fuzzymatch_spark.operators.multimodal import aspect_buckets
+
+    rows = [
+        ("sq", 1000, 1000),      # 1024x1024; 1e6 < 1024^2 -> no downscale
+        ("sq_big", 2000, 2000),  # 1024x1024; downscale
+        ("tall", 400, 1200),     # a=1/3: 576/1792 (d=1.037) beats 640/1600
+        ("wide", 1200, 400),     # mirrored ladder side
+        ("pan", 4000, 500),      # a=8 clamps to the ladder end
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    out = aspect_buckets(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
+    got = {r["image_id"]: r for r in out.collect()}
+    assert (
+        got["sq"]["bucket_w"], got["sq"]["bucket_h"], got["sq"]["downscale"]
+    ) == (1024, 1024, 0)
+    assert (got["sq_big"]["bucket_w"], got["sq_big"]["downscale"]) == (1024, 1)
+    assert (got["tall"]["bucket_w"], got["tall"]["bucket_h"]) == (576, 1792)
+    assert (got["wide"]["bucket_w"], got["wide"]["bucket_h"]) == (1792, 576)
+    assert (got["pan"]["bucket_w"], got["pan"]["bucket_h"]) == (2048, 512)
+    assert got["tall"]["downscale"] == 0  # 480k < 576*1792
+
+
+def test_aspect_buckets_tie_breaks_to_lower_index(spark):
+    """Two buckets with identical aspect produce exactly equal ratio
+    distances — the argmin must break toward the lower ladder index."""
+    from fuzzymatch_spark.operators.multimodal import aspect_buckets
+
+    df = spark.createDataFrame(
+        [("t", 500, 500)], "image_id string, w int, h int"
+    )
+    got = aspect_buckets(df, buckets=((128, 128), (256, 256))).collect()[0]
+    assert (got["bucket_w"], got["bucket_h"], got["downscale"]) == (128, 128, 1)
+
+
+def test_canonical_image_selection(spark):
+    """Per-cluster best-resolution survivor: max pixels, ties by min id;
+    singletons are their own canonical."""
+    from fuzzymatch_spark.operators.multimodal import (
+        canonical_image_selection,
+    )
+
+    rows = [(1, 10, 100), (2, 10, 300), (3, 10, 300), (4, 40, 50)]
+    df = spark.createDataFrame(
+        rows, "image_id long, cluster_id long, pixels long"
+    )
+    out = canonical_image_selection(df)
+    got = {r["image_id"]: r["is_canonical"] for r in out.collect()}
+    assert got == {1: 0, 2: 1, 3: 0, 4: 1}
+    assert set(out.columns) == {
+        "image_id", "cluster_id", "pixels", "is_canonical"
+    }
