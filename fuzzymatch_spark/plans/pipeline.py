@@ -2,11 +2,14 @@
 
 Stage graph (SURVEY.md §3.4):
 
+    0 gate         : (optional, image inputs) metadata keep/reject
+                     + aspect buckets — rejects never reach a codec [projection]
     1 signatures   : images/docs -> normalize+sketch table      [1 UDF pass]
     2 cand_edges   : exact + MinHash-LSH (+ SimHash if
                      cfg.simhash_candidates, + pHash)            [band joins]
     3 scored_edges : verify kernel, threshold                    [1 UDF pass]
     4 clusters     : large-star/small-star to fixpoint           [iterative]
+    4b canonical   : (optional) per-cluster max-pixels survivor  [argmin agg]
     5 metrics      : per-stage row counts / wall time            [lineage]
 
 Every stage writes a parquet checkpoint under ``work_dir`` with a _DONE
@@ -55,6 +58,14 @@ class DedupPipeline:
     # Hamming join — mirrored re-posts land at canonical Hamming 0
     cphash_col: str | None = None
     use_suffix_stage: bool = True
+    # image-input extras (both default off so text pipelines are
+    # unchanged): apply_gate needs (w, h, fmt, <text_col>) metadata
+    # columns and checkpoints a per-row keep/reject + aspect-bucket
+    # table, filtering rejects out BEFORE the signature UDF ever decodes
+    # them; select_canonical needs (w, h) and appends a per-cluster
+    # max-pixels survivor flag to the returned clusters.
+    apply_gate: bool = False
+    select_canonical: bool = False
     metrics: list = field(default_factory=list)
     partition_metrics: list = field(default_factory=list)
 
@@ -108,6 +119,47 @@ class DedupPipeline:
         os.makedirs(self.work_dir, exist_ok=True)
         with open(os.path.join(self.work_dir, "run_config.json"), "w") as f:
             f.write(self.cfg.to_json())
+
+        # stage 0 (optional): metadata gate + aspect buckets.  Pure
+        # metadata projection — payload bytes are pruned before it, and
+        # rejected rows are filtered out HERE so they never cost a codec
+        # pass in the signature stage.  The checkpointed table is the
+        # curation lineage (reject reasons + bucket assignment).
+        if self.apply_gate:
+            from fuzzymatch_spark.operators.multimodal import (
+                aspect_buckets,
+                image_caption_gate,
+            )
+
+            def _gate():
+                g = aspect_buckets(
+                    image_caption_gate(
+                        input_df.select(
+                            F.col(self.id_col),
+                            "w", "h", "fmt",
+                            F.col(self.text_col).alias("caption"),
+                        ),
+                        id_col=self.id_col,
+                    )
+                )
+                kept = F.col("keep")
+                return g.select(
+                    "image_id", "w", "h", "fmt", "reject_reason",
+                    kept.cast("int").alias("keep"),
+                    *[
+                        F.when(kept, F.col(c)).alias(c)
+                        for c in ("bucket_w", "bucket_h", "downscale")
+                    ],
+                )
+
+            gate = self._load_or_compute("gate", _gate)
+            input_df = input_df.join(
+                gate.filter(F.col("keep") == 1).select(
+                    F.col("image_id").alias(self.id_col)
+                ),
+                on=self.id_col,
+                how="leftsemi",
+            )
 
         # stage 1: signatures (project away binary payloads immediately)
         hash_cols = [c for c in (self.phash_col, self.cphash_col) if c]
@@ -166,6 +218,29 @@ class DedupPipeline:
                                        checkpoint_fn=ckpt)
 
         clusters = self._load_or_compute("clusters", _clusters)
+
+        # stage 4b (optional): per-cluster survivor selection — the
+        # keep-the-original-not-the-thumbnail rule, via the skew-immune
+        # argmin aggregate (a mega-cluster never serializes into one
+        # window task).  Joins pixels from the (post-gate) input by id.
+        if self.select_canonical:
+            from fuzzymatch_spark.operators.multimodal import (
+                canonical_image_selection,
+            )
+            gated_input = input_df
+
+            def _canon():
+                meta = gated_input.select(
+                    F.col(self.id_col).alias("id"),
+                    (
+                        F.col("w").cast("long") * F.col("h").cast("long")
+                    ).alias("pixels"),
+                )
+                return canonical_image_selection(
+                    clusters.join(meta, on="id"), id_col="id"
+                )
+
+            clusters = self._load_or_compute("canonical", _canon)
 
         # stage 5: metrics + per-partition lineage tables
         mdf = self.spark.createDataFrame(

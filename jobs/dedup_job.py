@@ -33,6 +33,13 @@ def main() -> None:
     ap.add_argument("--cphash-col", default=None,
                     help="stored dihedral-canonical pHash column: adds the"
                          " flip/rotation-resistant 'mirror' edge source")
+    ap.add_argument("--apply-gate", action="store_true",
+                    help="stage 0: metadata keep/reject + aspect buckets"
+                         " (needs w/h/fmt columns); rejects never reach"
+                         " the signature codecs")
+    ap.add_argument("--select-canonical", action="store_true",
+                    help="stage 4b: flag each cluster's max-pixels"
+                         " survivor (needs w/h columns)")
     ap.add_argument("--work-dir", required=True)
     ap.add_argument("--profile", default="default",
                     choices=["default", "web_dense"])
@@ -69,6 +76,8 @@ def main() -> None:
         text_col=args.text_col,
         phash_col=args.phash_col,
         cphash_col=args.cphash_col,
+        apply_gate=args.apply_gate,
+        select_canonical=args.select_canonical,
     )
     clusters = pipe.run(df)
     n_rows = clusters.count()

@@ -116,3 +116,56 @@ def test_pipeline_mirror_edge_source(spark, workdir):
 
     cand = spark.read.parquet(os.path.join(mdir, "candidate_edges"))
     assert {r["source"] for r in cand.collect()} >= {"mirror"}
+
+
+def test_pipeline_gate_and_canonical_stages(spark, workdir):
+    """Image-input extras: stage 0 filters gate-rejects before any codec
+    pass (and checkpoints reject reasons + aspect buckets as lineage),
+    stage 4b flags each cluster's max-pixels survivor; both stages
+    resume like every other checkpoint."""
+    rows = []
+    for i in range(40):
+        cap = f"caption number {i} " + " ".join(
+            f"tok{i * 100 + j}q" for j in range(8)
+        )
+        rows.append((i, 300 + i, 300, "png", cap))
+    # planted near-dup pair: identical captions, 101 has more pixels
+    pair_cap = "identical caption text for the planted survivor pair"
+    rows.append((100, 200, 200, "png", pair_cap))
+    rows.append((101, 400, 400, "png", pair_cap))
+    # rejected row: min side < 64 (precedence: too_small before aspect)
+    rows.append((200, 10, 500, "png", "this row never reaches a codec"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, w int, h int, fmt string, caption string"
+    )
+
+    def mk():
+        return DedupPipeline(
+            spark, WORK, DedupConfig(min_score=0.9), id_col="doc_id",
+            text_col="caption", use_suffix_stage=False,
+            apply_gate=True, select_canonical=True,
+        )
+
+    p1 = mk()
+    out1 = p1.run(df)
+    got = {r["id"]: r for r in out1.collect()}
+    assert 200 not in got
+    assert got[100]["cluster_id"] == got[101]["cluster_id"]
+    assert got[101]["is_canonical"] == 1 and got[100]["is_canonical"] == 0
+    assert got[100]["pixels"] == 40000
+    stages = [m["stage"] for m in p1.metrics]
+    assert stages[0] == "gate" and "canonical" in stages
+
+    gate = spark.read.parquet(os.path.join(WORK, "gate"))
+    grow = {r["image_id"]: r for r in gate.collect()}
+    assert grow[200]["reject_reason"] == "too_small"
+    assert grow[200]["bucket_w"] is None and grow[200]["keep"] == 0
+    assert grow[0]["keep"] == 1 and grow[0]["bucket_w"] is not None
+
+    p2 = mk()
+    out2 = p2.run(df)
+    assert not any(m["recomputed"] for m in p2.metrics)
+    key = lambda rs: {
+        (r["id"], r["cluster_id"], r["is_canonical"]) for r in rs
+    }
+    assert key(out2.collect()) == key(out1.collect())
