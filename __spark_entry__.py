@@ -1383,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ("p_fmt", 100, 100, "tiff", "a good caption here"),
                 ("p_short", 100, 100, "png", "hi there"),
                 ("p_alpha", 100, 100, "png", "123 456 789 000"),
+                ("p_nulldim", None, 500, "png", "a good caption here"),
             ],
             "image_id string, w int, h int, fmt string, caption string",
         )
@@ -2436,7 +2437,8 @@ def oracle_sql() -> dict[str, str]:
                 ('p_aspect', 100, 900, 'png', 'a good caption here'),
                 ('p_fmt', 100, 100, 'tiff', 'a good caption here'),
                 ('p_short', 100, 100, 'png', 'hi there'),
-                ('p_alpha', 100, 100, 'png', '123 456 789 000')
+                ('p_alpha', 100, 100, 'png', '123 456 789 000'),
+                ('p_nulldim', NULL, 500, 'png', 'a good caption here')
               ) AS v(image_id, w, h, fmt, caption)
             ),
             g AS (
@@ -2458,7 +2460,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             r AS (
               SELECT *,
-                     CASE WHEN least(w, h) < 64 THEN 'too_small'
+                     CASE WHEN w IS NULL OR h IS NULL
+                            OR least(w, h) < 64 THEN 'too_small'
                           WHEN aspect > 3.0 THEN 'bad_aspect'
                           WHEN lower(fmt) NOT IN ('png', 'jpeg')
                             THEN 'bad_format'

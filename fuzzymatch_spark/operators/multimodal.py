@@ -477,8 +477,18 @@ def image_caption_gate(
             6,
         )
     )
+    # NULL dims must take the same branch in both engines: greatest/
+    # least IGNORE NULLs in both (least(NULL, 500) = 500), so without an
+    # explicit guard a NULL-dim row is judged by its one known dim and
+    # can slip through to keep.  Pin the convention: missing dims reject
+    # as too_small (aspect degrades to the one-dim ratio 1.0 — identical
+    # in both engines, parity-pinned by the p_nulldim planted row).
     reason = (
-        F.when(F.least("w", "h") < F.lit(min_side), F.lit("too_small"))
+        F.when(
+            F.col("w").isNull() | F.col("h").isNull()
+            | (F.least("w", "h") < F.lit(min_side)),
+            F.lit("too_small"),
+        )
         .when(aspect > F.lit(max_aspect), F.lit("bad_aspect"))
         .when(~F.lower("fmt").isin(*formats), F.lit("bad_format"))
         .when(toks < F.lit(min_caption_tokens), F.lit("short_caption"))

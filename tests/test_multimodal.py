@@ -216,6 +216,7 @@ def test_image_caption_gate_branches_and_plan(spark):
         ("empty_cap", 100, 100, "png", ""),
         ("null_cap", 100, 100, "png", None),
         ("upper_fmt", 100, 100, "JPEG", "three alpha words"),
+        ("null_dim", None, 500, "png", "three alpha words"),
     ]
     df = spark.createDataFrame(
         rows, "image_id string, w int, h int, fmt string, caption string"
@@ -230,6 +231,7 @@ def test_image_caption_gate_branches_and_plan(spark):
         "short": "short_caption", "alpha": "low_alpha",
         "empty_cap": "short_caption", "null_cap": "short_caption",
         "upper_fmt": None,
+        "null_dim": "too_small",
     }
     for iid, reason in want.items():
         assert got[iid]["reject_reason"] == reason, (iid, got[iid])
