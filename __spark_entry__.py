@@ -1389,22 +1389,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         # Widened (late r6, same per-image grain): the kept rows also get
         # their SDXL-style aspect bucket (nearest-ratio ladder assignment
-        # + downscale flag) — the stage right after the gate in a real
-        # image-training pipeline.  Rejected rows carry typed NULLs.
-        from fuzzymatch_spark.operators.multimodal import aspect_buckets
+        # + downscale flag) AND their deterministic (shard, batch_idx)
+        # micro-batch assignment within (bucket, shard) — the two stages
+        # right after the gate in a real image-training pipeline.
+        # Rejected rows carry typed NULLs throughout.
+        from fuzzymatch_spark.operators.multimodal import (
+            aspect_buckets,
+            bucket_batches,
+        )
 
         gated = aspect_buckets(
             image_caption_gate(meta.unionByName(planted))
             .withColumn("keep", F.col("keep").cast("int"))
         )
         kept = F.col("keep") == 1
-        return gated.select(
-            "image_id", "w", "h", "fmt", "aspect", "caption_tokens",
-            "alpha_ratio", "reject_reason", "keep",
-            F.when(kept, F.col("bucket_w")).alias("bucket_w"),
-            F.when(kept, F.col("bucket_h")).alias("bucket_h"),
-            F.when(kept, F.col("downscale")).alias("downscale"),
-        ).orderBy("image_id")
+        batches = bucket_batches(
+            gated.filter(kept), batch_size=8, n_shards=4
+        ).select("image_id", "shard", "batch_idx")
+        return (
+            gated.select(
+                "image_id", "w", "h", "fmt", "aspect", "caption_tokens",
+                "alpha_ratio", "reject_reason", "keep",
+                F.when(kept, F.col("bucket_w")).alias("bucket_w"),
+                F.when(kept, F.col("bucket_h")).alias("bucket_h"),
+                F.when(kept, F.col("downscale")).alias("downscale"),
+            )
+            .join(batches, on="image_id", how="left")
+            .orderBy("image_id")
+        )
 
     q["image_caption_gate"] = image_caption_gate_q
 
@@ -2502,6 +2514,24 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY image_id
                                         ORDER BY d, i) AS rn
               FROM cand
+            ),
+            -- deterministic micro-batches over the kept rows: shard =
+            -- 60-bit md5 fingerprint mod 4, batch = (rank-1) // 8 within
+            -- (bucket, shard) in id order
+            keptrows AS (
+              SELECT f.image_id, p.bw, p.bh,
+                     CAST(('0x' || substr(md5(f.image_id), 1, 15))
+                          AS BIGINT) % 4 AS sh
+              FROM fin f JOIN pick p
+                ON p.image_id = f.image_id AND p.rn = 1
+              WHERE f.keep = 1
+            ),
+            batched AS (
+              SELECT image_id, CAST(sh AS INTEGER) AS shard,
+                     CAST((ROW_NUMBER() OVER (PARTITION BY bw, bh, sh
+                             ORDER BY image_id) - 1) // 8
+                          AS BIGINT) AS batch_idx
+              FROM keptrows
             )
             SELECT f.image_id, f.w, f.h, f.fmt, f.aspect,
                    f.caption_tokens, f.alpha_ratio, f.reject_reason,
@@ -2512,9 +2542,11 @@ def oracle_sql() -> dict[str, str]:
                      CAST(CASE WHEN CAST(f.w AS BIGINT) * f.h
                                     > CAST(p.bw AS BIGINT) * p.bh
                           THEN 1 ELSE 0 END AS INTEGER)
-                   END AS downscale
+                   END AS downscale,
+                   b.shard, b.batch_idx
             FROM fin f JOIN pick p
               ON p.image_id = f.image_id AND p.rn = 1
+            LEFT JOIN batched b ON b.image_id = f.image_id
             ORDER BY f.image_id
         """,
         "phash_knn_capped_pairs": phash_knn_sql,

@@ -839,3 +839,51 @@ def canonical_image_selection(
         )
         .drop("_winner")
     )
+
+
+def bucket_batches(
+    images_df: DataFrame,
+    batch_size: int,
+    n_shards: int = 1024,
+    id_col: str = "image_id",
+    bucket_cols: tuple = ("bucket_w", "bucket_h"),
+) -> DataFrame:
+    """Deterministic micro-batch assignment over the gate survivors:
+    within each (aspect bucket, shard) every row gets a stable
+    ``batch_idx`` — consecutive ``batch_size``-row groups in id order —
+    so a training loader reads same-tensor-shape batches straight off
+    the table with no runtime shuffling, and re-runs assign identical
+    batches (the property a ``rand()``-based batcher lacks).
+
+    The shard is the id's md5 fingerprint mod ``n_shards`` (the engine's
+    oracle-portable hash — stable under corpus growth like the hash
+    train/val/test splits).  Scale shape: the window partitions on
+    (bucket, shard), so no partition exceeds ~|kept| / (buckets *
+    n_shards) rows — batches form within shards exactly as a
+    per-worker distributed loader would, and a 17-bucket ladder never
+    collapses 10^12 rows into 17 global sorts.  Size ``n_shards`` to
+    your executor count, not to the corpus.
+    """
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window
+
+    from fuzzymatch_spark.operators.textstats import md5_fingerprint64
+
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F2.pmod(
+        md5_fingerprint64(F2.col(id_col).cast("string")), F2.lit(n_shards)
+    ).cast("int")
+    out = images_df.withColumn("shard", shard)
+    w = Window.partitionBy(*bucket_cols, "shard").orderBy(id_col)
+    rn = F2.row_number().over(w) - F2.lit(1)
+    # exact integer division: (rn - rn % b) / b divides evenly, so the
+    # double quotient is an exact integer (no float-boundary risk)
+    return out.withColumn(
+        "batch_idx",
+        (
+            (rn - F2.pmod(rn, F2.lit(batch_size))) / F2.lit(batch_size)
+        ).cast("long"),
+    )

@@ -338,3 +338,41 @@ def test_canonical_image_selection(spark):
     assert set(out.columns) == {
         "image_id", "cluster_id", "pixels", "is_canonical"
     }
+
+
+def test_bucket_batches_deterministic_and_sized(spark):
+    """Stable (shard, batch_idx) assignment: batches fill to batch_size
+    within each (bucket, shard), ids map to the same batch on re-run,
+    and invalid sizes raise."""
+    from fuzzymatch_spark.operators.multimodal import bucket_batches
+
+    rows = [(f"img_{i:03d}", 1024, 1024) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bucket_w int, bucket_h int"
+    )
+    out1 = bucket_batches(df, batch_size=4, n_shards=2)
+    got1 = {r["image_id"]: (r["shard"], r["batch_idx"]) for r in out1.collect()}
+    assert set(v[0] for v in got1.values()) <= {0, 1}
+    # within each shard: batches 0..k full at 4 except possibly the last
+    import collections
+    per = collections.defaultdict(list)
+    for iid, (sh, b) in got1.items():
+        per[(sh, b)].append(iid)
+    for (sh, b), members in per.items():
+        is_last = b == max(bb for ss, bb in per if ss == sh)
+        assert len(members) == 4 or is_last, (sh, b, members)
+    # id order within (shard, batch): batch 0 ids all sort before batch 1
+    for sh in {s for s, _ in per}:
+        batches = sorted(b for s, b in per if s == sh)
+        flat = [i for b in batches for i in sorted(per[(sh, b)])]
+        assert flat == sorted(flat)
+    # re-run identical
+    got2 = {
+        r["image_id"]: (r["shard"], r["batch_idx"])
+        for r in bucket_batches(df, batch_size=4, n_shards=2).collect()
+    }
+    assert got1 == got2
+    with pytest.raises(ValueError):
+        bucket_batches(df, batch_size=0)
+    with pytest.raises(ValueError):
+        bucket_batches(df, batch_size=4, n_shards=0)
