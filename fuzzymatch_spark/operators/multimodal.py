@@ -428,42 +428,24 @@ def image_tile_dup_pairs(
     )
 
 
-def image_caption_gate(
-    images_df: DataFrame,
-    min_side: int = 64,
-    max_aspect: float = 3.0,
-    formats: tuple = ("png", "jpeg"),
-    min_caption_tokens: int = 3,
-    min_alpha_ratio: float = 0.5,
-    id_col: str = "image_id",
-) -> DataFrame:
-    """LAION-style metadata curation gate over the north rule's
-    image+caption table: per-row keep/reject from (w, h, fmt, caption)
-    WITHOUT touching the payload bytes — the stage that runs before any
-    decode so rejected rows never cost a codec pass.
-
-    Rules, in PINNED precedence order (``reject_reason`` is the FIRST
-    failing rule; NULL when kept):
-
-    1. ``too_small``      — min(w, h) < ``min_side``
-    2. ``bad_aspect``     — max(w,h)/min(w,h) > ``max_aspect``
-    3. ``bad_format``     — lower(fmt) not in ``formats`` (lowercase)
-    4. ``short_caption``  — non-empty-token count < ``min_caption_tokens``
-    5. ``low_alpha``      — [a-zA-Z] fraction of caption < ``min_alpha_ratio``
-
-    Everything is a portable column expression (single-space
-    tokenization, Java/RE2-common regex, round-6dp ratios, zero-length
-    guards) so the driver oracle reproduces it bit-for-bit in DuckDB.
-    Scale shape: one projection, zero shuffles, zero Python — runs at
-    scan speed and prunes to metadata columns only.
-    """
+def _gate_exprs(
+    min_side: int,
+    max_aspect: float,
+    formats: tuple,
+    min_caption_tokens: int,
+    min_alpha_ratio: float,
+    caption_col: str = "caption",
+):
+    """The gate's shared column expressions (aspect, caption_tokens,
+    alpha_ratio, reject_reason) — one definition so the table-producing
+    operator and the inline-filter form cannot drift."""
     from pyspark.sql import functions as F
 
     # NULL captions must take the same branch in both engines: Spark's
     # size(split(NULL)) is -1 (-> short_caption) while SQL NULL would
     # fall through every WHEN (-> keep).  Coalesce pins the convention:
     # a NULL caption is an empty caption, rejected as short_caption.
-    cap = F.coalesce(F.col("caption"), F.lit(""))
+    cap = F.coalesce(F.col(caption_col), F.lit(""))
     aspect = F.round(
         F.greatest("w", "h").cast("double")
         / F.least("w", "h").cast("double"),
@@ -493,6 +475,64 @@ def image_caption_gate(
         .when(~F.lower("fmt").isin(*formats), F.lit("bad_format"))
         .when(toks < F.lit(min_caption_tokens), F.lit("short_caption"))
         .when(alpha < F.lit(min_alpha_ratio), F.lit("low_alpha"))
+    )
+    return aspect, toks, alpha, reason
+
+
+def gate_keep_predicate(
+    min_side: int = 64,
+    max_aspect: float = 3.0,
+    formats: tuple = ("png", "jpeg"),
+    min_caption_tokens: int = 3,
+    min_alpha_ratio: float = 0.5,
+    caption_col: str = "caption",
+):
+    """The gate's keep rule as a bare boolean Column, for callers that
+    only need to FILTER survivors (e.g. the pipeline's stage-0 input
+    cut): a `.where()` on this is a zero-shuffle scan-level predicate,
+    where semi-joining against a materialized gate table would cost a
+    full corpus exchange just to re-derive a deterministic function of
+    the row's own metadata."""
+    *_, reason = _gate_exprs(
+        min_side, max_aspect, formats, min_caption_tokens,
+        min_alpha_ratio, caption_col,
+    )
+    return reason.isNull()
+
+
+def image_caption_gate(
+    images_df: DataFrame,
+    min_side: int = 64,
+    max_aspect: float = 3.0,
+    formats: tuple = ("png", "jpeg"),
+    min_caption_tokens: int = 3,
+    min_alpha_ratio: float = 0.5,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """LAION-style metadata curation gate over the north rule's
+    image+caption table: per-row keep/reject from (w, h, fmt, caption)
+    WITHOUT touching the payload bytes — the stage that runs before any
+    decode so rejected rows never cost a codec pass.
+
+    Rules, in PINNED precedence order (``reject_reason`` is the FIRST
+    failing rule; NULL when kept):
+
+    1. ``too_small``      — min(w, h) < ``min_side`` (or NULL dims)
+    2. ``bad_aspect``     — max(w,h)/min(w,h) > ``max_aspect``
+    3. ``bad_format``     — lower(fmt) not in ``formats`` (lowercase)
+    4. ``short_caption``  — non-empty-token count < ``min_caption_tokens``
+    5. ``low_alpha``      — [a-zA-Z] fraction of caption < ``min_alpha_ratio``
+
+    Everything is a portable column expression (single-space
+    tokenization, Java/RE2-common regex, round-6dp ratios, zero-length
+    guards) so the driver oracle reproduces it bit-for-bit in DuckDB.
+    Scale shape: one projection, zero shuffles, zero Python — runs at
+    scan speed and prunes to metadata columns only.
+    """
+    from pyspark.sql import functions as F
+
+    aspect, toks, alpha, reason = _gate_exprs(
+        min_side, max_aspect, formats, min_caption_tokens, min_alpha_ratio
     )
     return images_df.select(
         F.col(id_col).alias("image_id"),
@@ -771,6 +811,8 @@ def aspect_buckets(
     """
     from pyspark.sql import functions as F2
 
+    if not buckets:
+        raise ValueError("buckets must be a non-empty ladder")
     a = F2.col(w_col).cast("double") / F2.col(h_col).cast("double")
     entries = []
     for i, (bw, bh) in enumerate(buckets):

@@ -128,6 +128,7 @@ class DedupPipeline:
         if self.apply_gate:
             from fuzzymatch_spark.operators.multimodal import (
                 aspect_buckets,
+                gate_keep_predicate,
                 image_caption_gate,
             )
 
@@ -152,13 +153,14 @@ class DedupPipeline:
                     ],
                 )
 
-            gate = self._load_or_compute("gate", _gate)
-            input_df = input_df.join(
-                gate.filter(F.col("keep") == 1).select(
-                    F.col("image_id").alias(self.id_col)
-                ),
-                on=self.id_col,
-                how="leftsemi",
+            self._load_or_compute("gate", _gate)
+            # Survivor cut: recompute the (deterministic) keep rule as a
+            # scan-level filter instead of semi-joining against the gate
+            # table — a corpus-wide exchange just to re-derive a function
+            # of the row's own metadata columns.  The checkpointed table
+            # above stays as the curation lineage.
+            input_df = input_df.where(
+                gate_keep_predicate(caption_col=self.text_col)
             )
 
         # stage 1: signatures (project away binary payloads immediately)

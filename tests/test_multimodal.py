@@ -376,3 +376,39 @@ def test_bucket_batches_deterministic_and_sized(spark):
         bucket_batches(df, batch_size=0)
     with pytest.raises(ValueError):
         bucket_batches(df, batch_size=4, n_shards=0)
+
+
+def test_gate_keep_predicate_matches_table_form(spark):
+    """The inline-filter form (the pipeline's zero-shuffle survivor cut)
+    keeps exactly the rows the table-producing gate marks keep=1, and
+    the plan is a bare Filter — no Join, no Exchange, no Python."""
+    from fuzzymatch_spark.operators.multimodal import (
+        gate_keep_predicate,
+        image_caption_gate,
+    )
+
+    rows = [
+        ("keep", 256, 256, "jpeg", "three alpha words"),
+        ("small", 63, 256, "png", "three alpha words"),
+        ("aspect", 100, 301, "png", "three alpha words"),
+        ("fmt", 100, 100, "webp", "three alpha words"),
+        ("short", 100, 100, "png", "two  words"),
+        ("alpha", 100, 100, "png", "a1 b2 c3 9999999"),
+        ("null_cap", 100, 100, "png", None),
+        ("null_dim", None, 500, "png", "three alpha words"),
+        ("keep2", 640, 480, "png", "another fine caption"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, caption string"
+    )
+    filtered = df.where(gate_keep_predicate())
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Join", "Exchange", "Python"):
+        assert bad not in plan, plan
+    got = {r["image_id"] for r in filtered.collect()}
+    want = {
+        r["image_id"]
+        for r in image_caption_gate(df).collect()
+        if r["keep"]
+    }
+    assert got == want == {"keep", "keep2"}
