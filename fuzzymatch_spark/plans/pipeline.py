@@ -66,6 +66,12 @@ class DedupPipeline:
     # max-pixels survivor flag to the returned clusters.
     apply_gate: bool = False
     select_canonical: bool = False
+    # emit_batches=<batch size> adds the final training-manifest stage:
+    # canonical survivors joined with their gate-stage aspect buckets,
+    # assigned deterministic (shard, batch_idx) micro-batches.  Requires
+    # apply_gate (buckets) and select_canonical (survivors).
+    emit_batches: int | None = None
+    batch_shards: int = 1024
     metrics: list = field(default_factory=list)
     partition_metrics: list = field(default_factory=list)
 
@@ -116,6 +122,13 @@ class DedupPipeline:
     # -- stages --------------------------------------------------------------
     def run(self, input_df: DataFrame) -> DataFrame:
         """Full pipeline; returns the clusters DataFrame (id, cluster_id)."""
+        if self.emit_batches is not None and not (
+            self.apply_gate and self.select_canonical
+        ):
+            raise ValueError(
+                "emit_batches requires apply_gate (bucket columns) and"
+                " select_canonical (survivor flags)"
+            )
         os.makedirs(self.work_dir, exist_ok=True)
         with open(os.path.join(self.work_dir, "run_config.json"), "w") as f:
             f.write(self.cfg.to_json())
@@ -243,6 +256,34 @@ class DedupPipeline:
                 )
 
             clusters = self._load_or_compute("canonical", _canon)
+
+        # stage 4c (optional): the training manifest — canonical
+        # survivors joined with their gate-stage aspect buckets and
+        # assigned deterministic (shard, batch_idx) micro-batches.  A
+        # loader reads same-tensor-shape batches off this table
+        # reproducibly; the dedup output itself is unchanged (the
+        # manifest is a side table under work_dir/manifest).
+        if self.emit_batches is not None:
+            from fuzzymatch_spark.operators.multimodal import (
+                bucket_batches,
+            )
+            final_clusters = clusters
+
+            def _manifest():
+                buckets = self.spark.read.parquet(self._path("gate")).select(
+                    F.col("image_id").alias("id"), "bucket_w", "bucket_h"
+                )
+                surv = final_clusters.filter(
+                    F.col("is_canonical") == 1
+                ).select("id")
+                return bucket_batches(
+                    surv.join(buckets, on="id"),
+                    batch_size=self.emit_batches,
+                    n_shards=self.batch_shards,
+                    id_col="id",
+                )
+
+            self._load_or_compute("manifest", _manifest)
 
         # stage 5: metrics + per-partition lineage tables
         mdf = self.spark.createDataFrame(

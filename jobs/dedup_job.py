@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--select-canonical", action="store_true",
                     help="stage 4b: flag each cluster's max-pixels"
                          " survivor (needs w/h columns)")
+    ap.add_argument("--emit-batches", type=int, default=None,
+                    help="stage 4c: write the training manifest — "
+                         "canonical survivors with (bucket, shard, "
+                         "batch_idx) at this batch size (requires "
+                         "--apply-gate and --select-canonical)")
+    ap.add_argument("--batch-shards", type=int, default=1024)
     ap.add_argument("--work-dir", required=True)
     ap.add_argument("--profile", default="default",
                     choices=["default", "web_dense"])
@@ -78,6 +84,8 @@ def main() -> None:
         cphash_col=args.cphash_col,
         apply_gate=args.apply_gate,
         select_canonical=args.select_canonical,
+        emit_batches=args.emit_batches,
+        batch_shards=args.batch_shards,
     )
     clusters = pipe.run(df)
     n_rows = clusters.count()

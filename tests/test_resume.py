@@ -144,6 +144,7 @@ def test_pipeline_gate_and_canonical_stages(spark, workdir):
             spark, WORK, DedupConfig(min_score=0.9), id_col="doc_id",
             text_col="caption", use_suffix_stage=False,
             apply_gate=True, select_canonical=True,
+            emit_batches=4, batch_shards=2,
         )
 
     p1 = mk()
@@ -161,6 +162,32 @@ def test_pipeline_gate_and_canonical_stages(spark, workdir):
     assert grow[200]["reject_reason"] == "too_small"
     assert grow[200]["bucket_w"] is None and grow[200]["keep"] == 0
     assert grow[0]["keep"] == 1 and grow[0]["bucket_w"] is not None
+
+    # stage 4c manifest: exactly the canonical survivors, bucketed and
+    # batched; at most one trailing non-full batch per (bucket, shard)
+    manifest = spark.read.parquet(os.path.join(WORK, "manifest"))
+    mrows = manifest.collect()
+    assert {r["id"] for r in mrows} == {
+        i for i, r in got.items() if r["is_canonical"] == 1
+    }
+    assert all(r["bucket_w"] is not None for r in mrows)
+    import collections
+    fill = collections.Counter(
+        (r["bucket_w"], r["bucket_h"], r["shard"], r["batch_idx"])
+        for r in mrows
+    )
+    trailing = collections.Counter()
+    for (bw, bh, sh, b), n in fill.items():
+        assert n <= 4
+        if n < 4:
+            trailing[(bw, bh, sh)] += 1
+    assert all(v == 1 for v in trailing.values())
+
+    with pytest.raises(ValueError):
+        DedupPipeline(
+            spark, WORK + "_bad", DedupConfig(), id_col="doc_id",
+            text_col="caption", emit_batches=4,
+        ).run(df)
 
     p2 = mk()
     out2 = p2.run(df)
