@@ -29,12 +29,15 @@ def _dct_matrix(n: int = _DCT_N) -> np.ndarray:
     return _DCT_M
 
 
-def _resize_to(pixels: np.ndarray, n: int = _DCT_N) -> np.ndarray:
-    """Area-average resample to n x n (deterministic, no image libs)."""
+def _resize_rect(
+    pixels: np.ndarray, out_h: int, out_w: int
+) -> np.ndarray:
+    """Area-average resample to out_h x out_w (deterministic, no image
+    libs) — integral image for O(1) box sums, degenerate boxes clamped
+    to >= 1 source pixel for upscales."""
     h, w = pixels.shape
-    ys = (np.arange(n + 1) * h // n).astype(np.int64)
-    xs = (np.arange(n + 1) * w // n).astype(np.int64)
-    # integral image for O(1) box sums
+    ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
     ii = np.zeros((h + 1, w + 1), dtype=np.float64)
     ii[1:, 1:] = np.cumsum(np.cumsum(pixels.astype(np.float64), axis=0), axis=1)
     y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
@@ -49,6 +52,11 @@ def _resize_to(pixels: np.ndarray, n: int = _DCT_N) -> np.ndarray:
     )
     areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
     return sums / areas
+
+
+def _resize_to(pixels: np.ndarray, n: int = _DCT_N) -> np.ndarray:
+    """Area-average resample to n x n (deterministic, no image libs)."""
+    return _resize_rect(pixels, n, n)
 
 
 def _hash_from_small(small: np.ndarray) -> int:

@@ -929,3 +929,54 @@ def bucket_batches(
             (rn - F2.pmod(rn, F2.lit(batch_size))) / F2.lit(batch_size)
         ).cast("long"),
     )
+
+
+def resize_to_buckets(
+    images_df: DataFrame,
+    buckets: tuple = DEFAULT_ASPECT_BUCKETS,
+) -> DataFrame:
+    """Resize every image to its aspect bucket's target dims — the
+    payload half of aspect bucketing: after this pass every image in a
+    bucket shares a tensor shape, so training batches stack without
+    runtime crops or pad waste.
+
+    The bucket is recomputed INLINE from the (w, h) metadata riding the
+    row (the same ratio-distance argmin `aspect_buckets` pins
+    cross-engine) rather than joined from a manifest table: a join
+    would shuffle the corpus — payload bytes included — to deliver two
+    small ints that are a deterministic function of columns already in
+    the row.  Plan shape: one projection + one Arrow-batched
+    ``mapInPandas`` codec pass where the bytes live; zero exchanges.
+
+    Area-average resample (`_resize_rect`, exact integral-image box
+    means), PNG output (lossless, so the resampled pixels round-trip
+    exactly).  Returns (image_id, bytes, w, h, fmt) at bucket geometry.
+    """
+    from pyspark.sql import functions as F2
+
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+    from fuzzymatch_spark.kernels.phash import _resize_rect
+
+    def go(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt")}
+            for rid, data, bw, bh in zip(
+                pdf["image_id"], pdf["bytes"],
+                pdf["bucket_w"], pdf["bucket_h"],
+            ):
+                px = decode_image(bytes(data))
+                small = np.clip(
+                    np.rint(_resize_rect(px, int(bh), int(bw))), 0, 255
+                ).astype(np.uint8)
+                out["image_id"].append(rid)
+                out["bytes"].append(encode_image(small, "png"))
+                out["w"].append(int(bw))
+                out["h"].append(int(bh))
+                out["fmt"].append("png")
+            yield pd.DataFrame(out)
+
+    return (
+        aspect_buckets(images_df, buckets=buckets)
+        .select("image_id", "bytes", "bucket_w", "bucket_h")
+        .mapInPandas(go, schema=schema)
+    )

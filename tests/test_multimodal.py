@@ -412,3 +412,67 @@ def test_gate_keep_predicate_matches_table_form(spark):
         if r["keep"]
     }
     assert got == want == {"keep", "keep2"}
+
+
+def test_resize_rect_matches_bruteforce():
+    """Rectangular area-average resize: every output cell equals the
+    mean of its source box (integral-image sums are exact integers for
+    uint8 input), across down/up/mixed-scale shapes."""
+    from fuzzymatch_spark.kernels.phash import _resize_rect, _resize_to
+
+    rng = np.random.default_rng(7)
+    for h, w, oh, ow in (
+        (37, 53, 8, 16), (64, 64, 32, 32), (5, 9, 8, 4), (100, 30, 16, 48),
+    ):
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        got = _resize_rect(px, oh, ow)
+        assert got.shape == (oh, ow)
+        ys = [i * h // oh for i in range(oh + 1)]
+        xs = [j * w // ow for j in range(ow + 1)]
+        for i in range(oh):
+            for j in range(ow):
+                y0, y1 = ys[i], min(max(ys[i + 1], ys[i] + 1), h)
+                x0, x1 = xs[j], min(max(xs[j + 1], xs[j] + 1), w)
+                want = px[y0:y1, x0:x1].astype(np.float64).mean()
+                assert got[i, j] == want, (i, j)
+    # the square path is the rect path by construction
+    px = rng.integers(0, 256, size=(41, 29), dtype=np.uint8)
+    assert np.array_equal(_resize_to(px, 32), _resize_rect(px, 32, 32))
+
+
+def test_resize_to_buckets_exact_and_plan(spark):
+    """Payload half of aspect bucketing: every image lands at its
+    bucket's exact dims, the PNG round-trips the resampled pixels
+    bit-exactly, and the plan has no Exchange (bucket dims recomputed
+    inline from row metadata — no manifest join, bytes never shuffle)."""
+    from fuzzymatch_spark.kernels.phash import _resize_rect
+    from fuzzymatch_spark.operators.multimodal import resize_to_buckets
+    from fuzzymatch_spark.sources.images import (
+        decode_image,
+        encode_image,
+        synth_pixels,
+    )
+
+    ladder = ((16, 32), (24, 24), (32, 16))
+    spec = {"a": (20, 40), "b": (30, 30), "c": (48, 20)}  # id -> (w, h)
+    pixels = {iid: synth_pixels(iid, w, h) for iid, (w, h) in spec.items()}
+    rows = [
+        (iid, encode_image(pixels[iid], "png"), w, h, "png")
+        for iid, (w, h) in spec.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = resize_to_buckets(df, buckets=ladder)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["image_id"]: r for r in out.collect()}
+    want_bucket = {"a": (16, 32), "b": (24, 24), "c": (32, 16)}
+    for iid, (bw, bh) in want_bucket.items():
+        assert (got[iid]["w"], got[iid]["h"]) == (bw, bh), iid
+        back = decode_image(bytes(got[iid]["bytes"]))
+        assert back.shape == (bh, bw)
+        want_px = np.clip(
+            np.rint(_resize_rect(pixels[iid], bh, bw)), 0, 255
+        ).astype(np.uint8)
+        assert np.array_equal(back, want_px), iid
