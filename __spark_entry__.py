@@ -1618,6 +1618,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_dedup_clusters_all"] = image_dedup_clusters_all
 
+    def image_bucket_resize(spark, sf):
+        # rows-only (real codec bytes aren't SQL-reproducible): the
+        # payload half of aspect bucketing — synth images at doc_id-
+        # derived geometries -> resize_to_buckets -> every image lands
+        # at its ladder bucket's exact dims, re-encoded lossless PNG.
+        # md5 of the output bytes pins full pixel determinism (codec +
+        # exact integral-image resampler are both deterministic).
+        import pandas as pd
+
+        from fuzzymatch_spark.operators.multimodal import (
+            resize_to_buckets,
+        )
+        from fuzzymatch_spark.sources.images import (
+            encode_image,
+            synth_pixels,
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                ids, blobs, ws, hs = [], [], [], []
+                for rid in pdf["doc_id"]:
+                    i = int(rid)
+                    w = 24 + (i * 13) % 64
+                    h = 24 + (i * 29) % 64
+                    ids.append(f"rz_{i}")
+                    blobs.append(
+                        encode_image(synth_pixels(f"rz_{i}", w, h), "png")
+                    )
+                    ws.append(w)
+                    hs.append(h)
+                yield pd.DataFrame(
+                    {"image_id": ids, "bytes": blobs, "w": ws, "h": hs}
+                )
+
+        images = (
+            _docs(spark, sf).select("doc_id").filter(F.col("doc_id") < 60)
+            .mapInPandas(gen, "image_id string, bytes binary, w int, h int")
+        )
+        out = resize_to_buckets(
+            images, buckets=((24, 48), (32, 32), (48, 24))
+        )
+        return out.select(
+            "image_id", "w", "h", "fmt", F.md5("bytes").alias("px_md5")
+        ).orderBy("image_id")
+
+    q["image_bucket_resize"] = image_bucket_resize
+
     def datasource_phash_pairs(spark, sf):
         # rows-only by nature: the input is the Spark 4 Python DataSource
         # (custom partition-parallel source — no DuckDB analog), feeding
