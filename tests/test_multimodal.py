@@ -372,6 +372,15 @@ def test_bucket_batches_deterministic_and_sized(spark):
         for r in bucket_batches(df, batch_size=4, n_shards=2).collect()
     }
     assert got1 == got2
+    # invariant to input partitioning (the window orders within its
+    # partition keys, so physical layout cannot leak into batch ids)
+    got3 = {
+        r["image_id"]: (r["shard"], r["batch_idx"])
+        for r in bucket_batches(
+            df.repartition(7), batch_size=4, n_shards=2
+        ).collect()
+    }
+    assert got1 == got3
     with pytest.raises(ValueError):
         bucket_batches(df, batch_size=0)
     with pytest.raises(ValueError):
