@@ -1,0 +1,97 @@
+"""Engine-owned column-expression Bloom filter (Spark exposes
+``bloom_filter_agg`` only on the JVM side, not as a SQL routine, so the
+build and probe are written as plain Catalyst expressions that stay in
+whole-stage codegen).
+
+One definition shared by every Bloom consumer (the n-gram
+decontamination tier in ``operators/corpus.py`` and the survivor
+payload filter in ``operators/multimodal.py``) so the probe-position
+scheme can never drift between a filter built by one operator and
+probed by another.
+
+Scheme: k probe positions per key via Kirsch-Mitzenmacher double
+hashing — ``h1 + i*h2`` over two ``xxhash64`` seeds — with each hash
+reduced mod ``n_bits`` BEFORE combining (``i*h2`` on raw 64-bit hashes
+overflows under ANSI mode; the double-hash scheme is equivalent taken
+mod n_bits throughout).  The filter is a packed ``array<long>``:
+
+* **build** — every probe position becomes a ``(word, single-bit
+  mask)`` row, ``bit_or``-folded per word, one O(n_bits/64) driver
+  collect.  The exchange carries at most ``n_bits/64`` rows no matter
+  how many keys fold in.
+* **probe** — ``forall`` over the k positions, each a bit test against
+  the broadcast ``array<long>`` literal.  JVM-only, no Python stage.
+
+Scale shape: broadcast O(n_bits/8) bytes; ~``0.6185**bits_per_key``
+false-positive rate at the matched ``k = 0.7*bits_per_key``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# shiftleft takes only a literal shift amount, so single-bit masks come
+# from a 64-long literal lookup instead (index = pos % 64); 1<<63 is
+# written in its signed-long form
+_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
+def bloom_positions(key: Column, n_bits: int, k: int) -> list[Column]:
+    """The k probe positions (long Columns in [0, n_bits)) for ``key``.
+    ``key`` may be any Catalyst expression; hashing is ``xxhash64``."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(n_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(41)), F.lit(n_bits))
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)).cast("long")
+        for i in range(k)
+    ]
+
+
+def _bit_mask(pos: Column) -> Column:
+    return F.element_at(F.lit(_MASKS), (pos % 64).cast("int") + 1)
+
+
+def bloom_build(keys: DataFrame, key: Column, n_bits: int, k: int) -> list[int]:
+    """Fold every row of ``keys`` (under expression ``key``) into a
+    packed Bloom word list.  Distributed ``bit_or`` build; the one
+    driver collect is O(n_bits/64) rows regardless of key count."""
+    n_words = (n_bits + 63) // 64
+    sparse = (
+        keys.select(F.explode(F.array(*bloom_positions(key, n_bits, k))).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            _bit_mask(F.col("pos")).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in sparse:
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def bloom_might_contain(
+    words: list[int], key: Column, n_bits: int, k: int
+) -> Column:
+    """Boolean probe Column: False is definite (key never folded in),
+    True means "folded in, or a false positive" (~0.6185**bits_per_key
+    of the non-member stream at the matched k)."""
+    bf = F.lit(words)  # single array<long> literal, ships with the plan
+    return F.forall(
+        F.array(*bloom_positions(key, n_bits, k)),
+        lambda pos: (
+            F.element_at(bf, (pos / 64).cast("int") + 1)
+            .bitwiseAND(_bit_mask(pos))
+            != 0
+        ),
+    )
+
+
+def bloom_params(expected_keys: int, bits_per_key: int) -> tuple[int, int]:
+    """(n_bits, k) sized for ``expected_keys`` at ``bits_per_key`` —
+    k = 0.7*bits_per_key is the fp-minimizing probe count."""
+    n_bits = max(64, int(expected_keys) * int(bits_per_key))
+    k = max(1, int(round(0.7 * bits_per_key)))
+    return n_bits, k

@@ -33,6 +33,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from fuzzymatch_spark.functions.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_params,
+)
+
 
 # --------------------------------------------------------------------------
 # Gopher-style repetition statistics
@@ -241,13 +247,12 @@ def decontaminate_ngrams_bloom(
     eval registry: broadcast O(bits), shuffle O(hits + fp), never
     O(corpus grams).
 
-    The filter itself is an engine-owned column-expression Bloom filter
-    (Spark does not expose ``bloom_filter_agg`` as a SQL routine): k
-    double-hashed probe positions (Kirsch-Mitzenmacher, h1 + i*h2 over
-    two ``xxhash64`` seeds), built distributed as a ``bit_or`` packed
-    ``array<long>`` aggregation with one O(n_bits/64) driver collect,
-    probed JVM-side via ``forall`` bit tests against the array literal —
-    whole-stage codegen, no Python anywhere.
+    The filter itself is the engine-owned column-expression Bloom filter
+    (``functions/bloom.py`` — one shared definition with the survivor
+    payload filter): k double-hashed probe positions built distributed as
+    a ``bit_or`` packed ``array<long>`` aggregation with one O(n_bits/64)
+    driver collect, probed JVM-side via ``forall`` bit tests against the
+    array literal — whole-stage codegen, no Python anywhere.
     """
     def gram_rows(df, out_id):
         toks = F.split(F.col(text_col), " ")
@@ -262,59 +267,12 @@ def decontaminate_ngrams_bloom(
         ).alias("gram")
     ).distinct()
 
-    n_bits = max(64, int(expected_grams) * int(bits_per_gram))
-    n_words = (n_bits + 63) // 64
-    k = max(1, int(round(0.7 * bits_per_gram)))
+    n_bits, k = bloom_params(expected_grams, bits_per_gram)
+    words = bloom_build(bench_grams, F.col("gram"), n_bits, k)
 
-    def positions(gram_col):
-        # reduce each hash mod n_bits BEFORE combining: i*h2 on raw
-        # 64-bit hashes overflows under ANSI mode; the double-hash scheme
-        # is equivalent taken mod n_bits throughout
-        h1 = F.pmod(F.xxhash64(gram_col), F.lit(n_bits))
-        h2 = F.pmod(F.xxhash64(gram_col, F.lit(41)), F.lit(n_bits))
-        return [
-            F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)).cast("long")
-            for i in range(k)
-        ]
-
-    # shiftleft takes only a literal shift amount, so single-bit masks
-    # come from a 64-long literal lookup instead (index = pos % 64);
-    # 1<<63 is written in its signed-long form
-    _MASKS = F.lit([(1 << i) if i < 63 else -(1 << 63) for i in range(64)])
-
-    def bit_mask(pos):
-        return F.element_at(_MASKS, (pos % 64).cast("int") + 1)
-
-    # distributed build: every probe position becomes (word, bit mask),
-    # bit_or-folded per word — the exchange carries at most n_words rows
-    sparse = (
-        bench_grams.select(
-            F.explode(F.array(*positions(F.col("gram")))).alias("pos")
-        )
-        .select(
-            (F.col("pos") / 64).cast("int").alias("word"),
-            bit_mask(F.col("pos")).alias("m"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("m").alias("bits"))
-        .collect()
+    maybe = gram_rows(docs, "doc_id").filter(
+        bloom_might_contain(words, F.col("gram"), n_bits, k)
     )
-    words = [0] * n_words
-    for r in sparse:
-        words[int(r["word"])] = int(r["bits"])
-    bf = F.lit(words)  # single array<long> literal, ships with the plan
-
-    def might_contain(gram_col):
-        return F.forall(
-            F.array(*positions(gram_col)),
-            lambda pos: (
-                F.element_at(bf, (pos / 64).cast("int") + 1)
-                .bitwiseAND(bit_mask(pos))
-                != 0
-            ),
-        )
-
-    maybe = gram_rows(docs, "doc_id").filter(might_contain(F.col("gram")))
     hits = (
         maybe.join(bench_grams, "gram")
         .groupBy("doc_id")

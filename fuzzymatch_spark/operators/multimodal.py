@@ -980,3 +980,71 @@ def resize_to_buckets(
         .select("image_id", "bytes", "bucket_w", "bucket_h")
         .mapInPandas(go, schema=schema)
     )
+
+
+def survivor_payload_filter(
+    images_df: DataFrame,
+    drop_ids_df: DataFrame,
+    id_col: str = "image_id",
+    bits_per_id: int = 10,
+) -> DataFrame:
+    """Filter a payload table down to dedup survivors WITHOUT shuffling
+    the bytes — the delivery problem for any per-row verdict that is
+    *not* a function of the row's own columns (the canonical flag
+    depends on clustering, so — unlike the metadata gate — it cannot be
+    recomputed inline at the scan).
+
+    A plain semi/anti join against the drop set sort-merge-joins at
+    production sizes, exchanging every payload row on id.  Instead the
+    drop verdict travels as a Bloom filter (``functions/bloom.py``) and
+    only false positives ride a join — as bare ids:
+
+    1. **Bloom over the DROP ids** (non-survivors), broadcast as an
+       ``array<long>`` plan literal.  Rows whose id misses the filter
+       are DEFINITE survivors and pass at scan speed.
+    2. **False-positive recovery, ids only.**  Survivors that hit the
+       filter (~``0.6185**bits_per_id`` of them) are recovered by
+       anti-joining the *id column alone* against the drop set, then
+       broadcast back; the final keep predicate is ``NOT bloom_hit OR
+       fp``, evaluated where the bytes live.  Output is EXACT — every
+       id not in ``drop_ids_df`` survives, bit-for-bit.
+
+    Scale shape: broadcast O(|drops| * bits_per_id / 8) for the filter
+    plus O(fp_rate * |survivors|) recovered ids; the ids-only anti-join
+    exchanges O(fp_rate * |survivors| + |drops|) ids.  Payload bytes
+    never enter an Exchange (plan-gated).  When even the drop set's
+    Bloom outgrows the broadcast budget (~10^10 drops at 10 bits/id is
+    ~12 GB), run the pass per corpus shard — each shard's drop subset
+    re-bounds the filter — rather than falling back to the payload
+    shuffle.
+
+    ``drop_ids_df`` must carry ``id_col``; ids must be non-null.
+    """
+    from pyspark.sql import functions as F2
+
+    from fuzzymatch_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_params,
+    )
+
+    drops = drop_ids_df.select(id_col)
+    n_drops = drops.count()
+    if n_drops == 0:
+        return images_df
+    n_bits, k = bloom_params(n_drops, bits_per_id)
+    words = bloom_build(drops, F2.col(id_col), n_bits, k)
+    hit = bloom_might_contain(words, F2.col(id_col), n_bits, k)
+
+    # ids-only: bloom-hit ids that are NOT real drops (false positives)
+    fp_keep = (
+        images_df.select(id_col)
+        .filter(hit)
+        .join(drops, id_col, "left_anti")
+        .withColumn("_fp", F2.lit(1))
+    )
+    return (
+        images_df.join(F2.broadcast(fp_keep), id_col, "left")
+        .filter(~hit | F2.col("_fp").isNotNull())
+        .drop("_fp")
+    )

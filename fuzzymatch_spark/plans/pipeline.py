@@ -72,20 +72,48 @@ class DedupPipeline:
     # apply_gate (buckets) and select_canonical (survivors).
     emit_batches: int | None = None
     batch_shards: int = 1024
+    # emit_resized adds the payload stage: canonical survivors' bytes
+    # resized to their aspect bucket's dims (lossless PNG), written
+    # partitioned by (w, h) so a loader prunes to its tensor shape at
+    # the source.  The non-inline canonical verdict reaches the bytes
+    # via a Bloom filter over the DROP ids + ids-only false-positive
+    # recovery (survivor_payload_filter) — payload bytes never enter an
+    # Exchange.  Requires apply_gate and select_canonical.
+    emit_resized: bool = False
+    # ONE aspect-bucket ladder (None = the module default) drives BOTH
+    # the gate stage's bucket assignment and the resize targets, so the
+    # manifest's (bucket_w, bucket_h) and the resized payload dims can
+    # never diverge.
+    aspect_ladder: tuple | None = None
     metrics: list = field(default_factory=list)
     partition_metrics: list = field(default_factory=list)
 
     # -- checkpoint helpers -------------------------------------------------
+    def _ladder_kw(self) -> dict:
+        """The shared ``buckets=`` kwarg for aspect_buckets and
+        resize_to_buckets ({} = each operator's module default)."""
+        return (
+            {} if self.aspect_ladder is None
+            else {"buckets": self.aspect_ladder}
+        )
+
     def _path(self, stage: str) -> str:
         return os.path.join(self.work_dir, stage)
 
     def _done(self, stage: str) -> bool:
         return os.path.exists(os.path.join(self._path(stage), "_DONE"))
 
-    def _write(self, df: DataFrame, stage: str) -> DataFrame:
+    def _write(
+        self, df: DataFrame, stage: str, partition_cols: tuple = ()
+    ) -> DataFrame:
         path = self._path(stage)
         t0 = time.time()
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            # hive layout (no exchange: each task writes into its
+            # partitions' dirs) so downstream reads prune at the source
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
         out = self.spark.read.parquet(path)
         # per-partition lineage (FIXTURES.md metrics schema): rows per
         # partition exposes skew that a total count hides
@@ -111,22 +139,25 @@ class DedupPipeline:
         )
         return out
 
-    def _load_or_compute(self, stage: str, compute) -> DataFrame:
+    def _load_or_compute(
+        self, stage: str, compute, partition_cols: tuple = ()
+    ) -> DataFrame:
         if self._done(stage):
             out = self.spark.read.parquet(self._path(stage))
             self.metrics.append({"stage": stage, "rows": None, "wall_s": 0.0,
                                  "recomputed": False})
             return out
-        return self._write(compute(), stage)
+        return self._write(compute(), stage, partition_cols)
 
     # -- stages --------------------------------------------------------------
     def run(self, input_df: DataFrame) -> DataFrame:
         """Full pipeline; returns the clusters DataFrame (id, cluster_id)."""
-        if self.emit_batches is not None and not (
+        if (self.emit_batches is not None or self.emit_resized) and not (
             self.apply_gate and self.select_canonical
         ):
             raise ValueError(
-                "emit_batches requires apply_gate (bucket columns) and"
+                "emit_batches/emit_resized require apply_gate (bucket"
+                " columns, positive-dims precondition) and"
                 " select_canonical (survivor flags)"
             )
         os.makedirs(self.work_dir, exist_ok=True)
@@ -154,7 +185,8 @@ class DedupPipeline:
                             F.col(self.text_col).alias("caption"),
                         ),
                         id_col=self.id_col,
-                    )
+                    ),
+                    **self._ladder_kw(),
                 )
                 kept = F.col("keep")
                 return g.select(
@@ -284,6 +316,36 @@ class DedupPipeline:
                 )
 
             self._load_or_compute("manifest", _manifest)
+
+        # stage 4d (optional): the payload emit — canonical survivors'
+        # bytes resized to their aspect bucket's dims (lossless PNG),
+        # hive-partitioned by (w, h) so a loader reads one tensor shape
+        # with source-level pruning.  The canonical verdict is NOT a
+        # function of the row's own columns (it depends on clustering),
+        # so it reaches the bytes as a Bloom filter over the DROP ids
+        # with ids-only false-positive recovery — the payload never
+        # enters an Exchange (see survivor_payload_filter).
+        if self.emit_resized:
+            from fuzzymatch_spark.operators.multimodal import (
+                resize_to_buckets,
+                survivor_payload_filter,
+            )
+            resize_clusters = clusters
+            resize_input = input_df
+
+            def _resized():
+                drops = resize_clusters.filter(
+                    F.col("is_canonical") == 0
+                ).select(F.col("id").alias("image_id"))
+                payload = resize_input.select(
+                    F.col(self.id_col).alias("image_id"), "bytes", "w", "h"
+                )
+                surv = survivor_payload_filter(payload, drops)
+                return resize_to_buckets(surv, **self._ladder_kw())
+
+            self._load_or_compute(
+                "resized", _resized, partition_cols=("w", "h")
+            )
 
         # stage 5: metrics + per-partition lineage tables
         mdf = self.spark.createDataFrame(

@@ -46,6 +46,17 @@ def main() -> None:
                          "batch_idx) at this batch size (requires "
                          "--apply-gate and --select-canonical)")
     ap.add_argument("--batch-shards", type=int, default=1024)
+    ap.add_argument("--emit-resized", action="store_true",
+                    help="stage 4d: write canonical survivors' payloads "
+                         "resized to their aspect bucket's dims (lossless "
+                         "PNG), partitioned by (w, h); needs a bytes "
+                         "column (requires --apply-gate and "
+                         "--select-canonical)")
+    ap.add_argument("--aspect-ladder", default=None,
+                    help="comma-separated WxH bucket ladder (e.g. "
+                         "'512x2048,1024x1024,2048x512') driving BOTH the "
+                         "gate buckets and the resize targets; default: "
+                         "the built-in 17-rung ladder")
     ap.add_argument("--work-dir", required=True)
     ap.add_argument("--profile", default="default",
                     choices=["default", "web_dense"])
@@ -86,6 +97,14 @@ def main() -> None:
         select_canonical=args.select_canonical,
         emit_batches=args.emit_batches,
         batch_shards=args.batch_shards,
+        emit_resized=args.emit_resized,
+        aspect_ladder=(
+            tuple(
+                tuple(int(d) for d in rung.split("x"))
+                for rung in args.aspect_ladder.split(",")
+            )
+            if args.aspect_ladder else None
+        ),
     )
     clusters = pipe.run(df)
     n_rows = clusters.count()

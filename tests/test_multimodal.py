@@ -485,3 +485,47 @@ def test_resize_to_buckets_exact_and_plan(spark):
             np.rint(_resize_rect(pixels[iid], bh, bw)), 0, 255
         ).astype(np.uint8)
         assert np.array_equal(back, want_px), iid
+
+
+def test_survivor_payload_filter_exact_and_plan(spark, tmp_path):
+    """Delivering the (non-inline) canonical verdict to the bytes: the
+    kept set must be EXACTLY the non-dropped ids — including under a
+    deliberately undersized Bloom (bits_per_id=1, heavy false positives,
+    so the ids-only recovery path is exercised for real) — and the
+    payload side must stay out of every Exchange: one scan streamed
+    through a BroadcastHashJoin, ids-only shuffles confined to the
+    broadcast-build subtree, no Python stage anywhere."""
+    from fuzzymatch_spark.operators.multimodal import survivor_payload_filter
+
+    rows = [(f"img_{i}", bytes([i % 256]) * 16) for i in range(400)]
+    path = str(tmp_path / "payload")
+    spark.createDataFrame(
+        rows, "image_id string, bytes binary"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    drops = spark.createDataFrame(
+        [(f"img_{i}",) for i in range(0, 400, 3)], "image_id string"
+    )
+    expected = {f"img_{i}" for i in range(400) if i % 3 != 0}
+
+    out = survivor_payload_filter(df, drops)
+    # plan audit BEFORE collect (AQE re-prints finalized stages after):
+    # the fp-recovery subtree reads ids only (parquet prunes bytes from
+    # its scan), so every byte-bearing ref sits above the first
+    # BroadcastExchange and the only hashpartitioning Exchange (the
+    # ids-only anti-join) lives inside that subtree
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan, plan
+    bidx = plan.index("BroadcastExchange")
+    assert "bytes#" not in plan[bidx:], plan[bidx:]
+    assert "Exchange hashpartitioning" not in plan[:bidx], plan[:bidx]
+
+    assert {r["image_id"] for r in out.collect()} == expected
+
+    # undersized filter: ~38% fp rate forces the recovery join to matter
+    out_fp = survivor_payload_filter(df, drops, bits_per_id=1)
+    assert {r["image_id"] for r in out_fp.collect()} == expected
+
+    # empty drop set: identity, no bloom built
+    assert survivor_payload_filter(df, drops.limit(0)).count() == 400

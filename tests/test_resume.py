@@ -196,3 +196,74 @@ def test_pipeline_gate_and_canonical_stages(spark, workdir):
         (r["id"], r["cluster_id"], r["is_canonical"]) for r in rs
     }
     assert key(out2.collect()) == key(out1.collect())
+
+
+def test_pipeline_emit_resized_stage(spark, workdir):
+    """Stage 4d: the resized-payload emit contains EXACTLY the canonical
+    survivors, every image at its aspect bucket's dims (one ladder drives
+    gate buckets and resize targets), hive-partitioned by (w, h), and the
+    stage resumes like every other checkpoint."""
+    from fuzzymatch_spark.sources.images import decode_image, encode_image, synth_pixels
+
+    ladder = ((64, 128), (96, 96), (128, 64))
+    rows = []
+    for i in range(12):
+        w, h = 70 + 4 * i, 130 - 3 * i
+        cap = f"caption number {i} " + " ".join(
+            f"tok{i * 100 + j}q" for j in range(8)
+        )
+        rows.append((f"i{i:02d}", encode_image(synth_pixels(f"i{i:02d}", w, h), "png"),
+                     w, h, "png", cap))
+    # planted near-dup pair: identical captions; p1 has more pixels
+    pair_cap = "identical caption text for the planted survivor pair"
+    rows.append(("p0", encode_image(synth_pixels("p0", 80, 80), "png"),
+                 80, 80, "png", pair_cap))
+    rows.append(("p1", encode_image(synth_pixels("p1", 160, 160), "png"),
+                 160, 160, "png", pair_cap))
+    # gate reject: never reaches a codec, never appears downstream
+    rows.append(("rej", b"\x00", 10, 500, "png", "this row never reaches a codec"))
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string",
+    )
+
+    def mk():
+        return DedupPipeline(
+            spark, WORK, DedupConfig(min_score=0.9), use_suffix_stage=False,
+            apply_gate=True, select_canonical=True,
+            emit_batches=4, batch_shards=2, emit_resized=True,
+            aspect_ladder=ladder,
+        )
+
+    p1 = mk()
+    clusters = {r["id"]: r for r in p1.run(df).collect()}
+    assert clusters["p1"]["is_canonical"] == 1
+    assert clusters["p0"]["is_canonical"] == 0
+
+    resized = spark.read.parquet(os.path.join(WORK, "resized"))
+    got = {r["image_id"]: r for r in resized.collect()}
+    want_ids = {i for i, r in clusters.items() if r["is_canonical"] == 1}
+    assert set(got) == want_ids and "p0" not in got and "rej" not in got
+
+    gate = spark.read.parquet(os.path.join(WORK, "gate"))
+    bucket = {r["image_id"]: (r["bucket_w"], r["bucket_h"]) for r in gate.collect()}
+    for iid, r in got.items():
+        assert (r["w"], r["h"]) == bucket[iid], iid
+        assert (r["w"], r["h"]) in ladder
+        px = decode_image(bytes(r["bytes"]))
+        assert px.shape == (r["h"], r["w"]) and r["fmt"] == "png"
+
+    # hive layout: loader prunes to one tensor shape at the source
+    part_dirs = [d for d in os.listdir(os.path.join(WORK, "resized"))
+                 if d.startswith("w=")]
+    assert part_dirs, os.listdir(os.path.join(WORK, "resized"))
+
+    p2 = mk()
+    p2.run(df)
+    assert not any(m["recomputed"] for m in p2.metrics)
+    assert "resized" in [m["stage"] for m in p2.metrics]
+
+    with pytest.raises(ValueError):
+        DedupPipeline(
+            spark, WORK + "_bad", DedupConfig(), emit_resized=True,
+        ).run(df)
