@@ -1259,6 +1259,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairs share only the 3 banner tiles (3/9, filtered): the oracle
         # value-checks recall, the Hamming tolerance AND the threshold's
         # rejection of the shared-edit trap in one shot.
+        #
+        # 'waterfall' (r6 widening, same slot): per-tier marginal-
+        # contribution stats over the three sections treated as a ladder
+        # (rank 0 hamming, 1 tier2, 2 tiles) via dedup_tier_waterfall —
+        # the hamming/tier2 planted twins overlap (both plant the
+        # xor-1025 pair), so the oracle value-checks min-rank pair
+        # attribution, per-tier distinct totals AND node-level first-
+        # touch counts in one shot.  Packed into the pair grain as
+        # a_id=tier_rank, b_id=marginal_pairs, m1=total_pairs,
+        # m2=new_ids (typed-NULL m2 pads the pair sections; both
+        # harnesses canonicalize NULL identically).
         docs = _docs(spark, sf).select("doc_id", "text")
         d1 = md5_fingerprint64("text")
 
@@ -1268,9 +1279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 d1.bitwiseXOR(F.lit(1025)).alias("phash"),
             )
         )
-        ham = phash_band_edges(
+        ham_pairs = phash_band_edges(
             ham_rows, CFG, id_col="doc_id", phash_col="phash"
-        ).select(
+        ).select("a_id", "b_id")
+        ham = ham_pairs.select(
             F.lit("hamming").alias("section"), "a_id", "b_id",
             F.lit(None).cast("double").alias("m1"),
         )
@@ -1296,10 +1308,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         )
-        t2 = phash_band_edges(
+        t2_pairs = phash_band_edges(
             t2_rows, CFG, id_col="doc_id", phash_col="phash",
             verify_col="dhash",
-        ).select(
+        ).select("a_id", "b_id")
+        t2 = t2_pairs.select(
             F.lit("tier2").alias("section"), "a_id", "b_id",
             F.lit(None).cast("double").alias("m1"),
         )
@@ -1339,16 +1352,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 True,
             )
         )
-        tl = tile_dup_pairs(
+        tl_pairs = tile_dup_pairs(
             tiles, n_tiles=9, id_col="doc_id", tile_col="tile_idx",
             phash_col="tile_phash", max_hamming=2, min_frac=0.6,
-        ).select(
+        )
+        tl = tl_pairs.select(
             F.lit("tiles").alias("section"), "a_id", "b_id",
             F.col("matched_frac").alias("m1"),
         )
 
+        from fuzzymatch_spark.operators.dedup import dedup_tier_waterfall
+
+        ladder = (
+            ham_pairs.select(F.lit(0).alias("tier_rank"), "a_id", "b_id")
+            .unionByName(
+                t2_pairs.select(F.lit(1).alias("tier_rank"), "a_id", "b_id")
+            )
+            .unionByName(
+                tl_pairs.select(F.lit(2).alias("tier_rank"), "a_id", "b_id")
+            )
+        )
+        wf = dedup_tier_waterfall(ladder).select(
+            F.lit("waterfall").alias("section"),
+            F.col("tier_rank").cast("long").alias("a_id"),
+            F.col("marginal_pairs").alias("b_id"),
+            F.col("total_pairs").cast("double").alias("m1"),
+            F.col("new_ids").cast("double").alias("m2"),
+        )
+
+        pad = F.lit(None).cast("double").alias("m2")
         return (
-            ham.unionByName(t2).unionByName(tl)
+            ham.withColumn("m2", pad)
+            .unionByName(t2.withColumn("m2", pad))
+            .unionByName(tl.withColumn("m2", pad))
+            .unionByName(wf)
             .orderBy("section", "a_id", "b_id")
         )
 
@@ -2171,58 +2208,101 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n.t AS VARCHAR)), 1, 15)) AS BIGINT)")
     # merged image-dedup oracle: brute-force Hamming join ('hamming'),
     # brute-force two-digest join ('tier2': primary radius 6 AND
-    # independent-digest radius 8), and the brute-force positional tile
-    # containment ('tiles': same-position Hamming<=4 matches, >=0.6 of 9)
+    # independent-digest radius 8), the brute-force positional tile
+    # containment ('tiles': same-position Hamming<=4 matches, >=0.6 of 9),
+    # and the ladder 'waterfall' over those three pair sets (per-tier
+    # distinct totals, min-rank marginal pairs, first-touch id counts —
+    # packed a_id=rank, b_id=marginal, m1=total, m2=new_ids)
     image_dedup_sql = f"""
-            SELECT 'hamming' AS section, a_id, b_id,
-                   CAST(NULL AS DOUBLE) AS m1 FROM (
-                WITH {phash_rows}
+            WITH {phash_rows},
+            ham_pairs AS (
                 SELECT a.doc_id AS a_id, b.doc_id AS b_id
                 FROM fps a JOIN fps b ON a.doc_id < b.doc_id
                 WHERE bit_count(xor(a.phash, b.phash)) <= 6
-            )
-            UNION ALL
-            SELECT 'tier2' AS section, a_id, b_id,
-                   CAST(NULL AS DOUBLE) AS m1 FROM (
-                WITH t2rows AS (
-                  SELECT doc_id, {_fp} AS phash, {_fp2} AS dhash FROM documents
-                  UNION ALL
-                  SELECT doc_id + 50000000 AS doc_id, xor({_fp}, 1025) AS phash,
-                         xor({_fp2}, 9) AS dhash
-                  FROM documents WHERE doc_id < 30
-                  UNION ALL
-                  SELECT doc_id + 60000000 AS doc_id, xor({_fp}, 18) AS phash,
-                         xor({_fp2}, 271644049215) AS dhash
-                  FROM documents WHERE doc_id < 30
-                )
+            ),
+            t2rows AS (
+                SELECT doc_id, {_fp} AS phash, {_fp2} AS dhash FROM documents
+                UNION ALL
+                SELECT doc_id + 50000000 AS doc_id, xor({_fp}, 1025) AS phash,
+                       xor({_fp2}, 9) AS dhash
+                FROM documents WHERE doc_id < 30
+                UNION ALL
+                SELECT doc_id + 60000000 AS doc_id, xor({_fp}, 18) AS phash,
+                       xor({_fp2}, 271644049215) AS dhash
+                FROM documents WHERE doc_id < 30
+            ),
+            t2_pairs AS (
                 SELECT a.doc_id AS a_id, b.doc_id AS b_id
                 FROM t2rows a JOIN t2rows b ON a.doc_id < b.doc_id
                 WHERE bit_count(xor(a.phash, b.phash)) <= 6
                   AND bit_count(xor(a.dhash, b.dhash)) <= 8
-            )
-            UNION ALL
-            SELECT 'tiles' AS section, a_id, b_id, m1 FROM (
-                WITH nums AS (SELECT unnest(range(0, 9)) AS t),
-                tiles AS (
-                  SELECT doc_id, n.t, {_tfp} AS th FROM documents, nums n
-                  UNION ALL
-                  SELECT doc_id + 70000000 AS doc_id, n.t,
-                         CASE WHEN n.t < 3 THEN {_bfp}
-                              WHEN n.t = 4 THEN xor({_tfp}, 17)
-                              ELSE {_tfp} END AS th
-                  FROM documents, nums n WHERE doc_id < 25
-                ),
-                m AS (
-                  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                         count(DISTINCT a.t) AS c
-                  FROM tiles a
-                  JOIN tiles b ON a.t = b.t AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.th, b.th)) <= 2
-                  GROUP BY a.doc_id, b.doc_id
-                )
-                SELECT a_id, b_id, round(c / 9.0, 6) AS m1 FROM m
+            ),
+            tnums AS (SELECT unnest(range(0, 9)) AS t),
+            tiles AS (
+                SELECT doc_id, n.t, {_tfp} AS th FROM documents, tnums n
+                UNION ALL
+                SELECT doc_id + 70000000 AS doc_id, n.t,
+                       CASE WHEN n.t < 3 THEN {_bfp}
+                            WHEN n.t = 4 THEN xor({_tfp}, 17)
+                            ELSE {_tfp} END AS th
+                FROM documents, tnums n WHERE doc_id < 25
+            ),
+            tmatch AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       count(DISTINCT a.t) AS c
+                FROM tiles a
+                JOIN tiles b ON a.t = b.t AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.th, b.th)) <= 2
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            tile_pairs AS (
+                SELECT a_id, b_id, round(c / 9.0, 6) AS m1 FROM tmatch
                 WHERE round(c / 9.0, 6) >= 0.6
+            ),
+            tier_edges AS (
+                SELECT 0 AS r, a_id, b_id FROM ham_pairs
+                UNION ALL SELECT 1 AS r, a_id, b_id FROM t2_pairs
+                UNION ALL SELECT 2 AS r, a_id, b_id FROM tile_pairs
+            ),
+            wf_totals AS (
+                SELECT r, count(*) AS total FROM (
+                    SELECT DISTINCT r, a_id, b_id FROM tier_edges
+                ) GROUP BY r
+            ),
+            wf_marginal AS (
+                SELECT fr AS r, count(*) AS marg FROM (
+                    SELECT a_id, b_id, min(r) AS fr FROM tier_edges
+                    GROUP BY a_id, b_id
+                ) GROUP BY fr
+            ),
+            wf_newids AS (
+                SELECT fr AS r, count(*) AS nids FROM (
+                    SELECT id, min(r) AS fr FROM (
+                        SELECT r, a_id AS id FROM tier_edges
+                        UNION ALL
+                        SELECT r, b_id AS id FROM tier_edges
+                    ) GROUP BY id
+                ) GROUP BY fr
             )
+            SELECT 'hamming' AS section, a_id, b_id,
+                   CAST(NULL AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2
+            FROM ham_pairs
+            UNION ALL
+            SELECT 'tier2' AS section, a_id, b_id,
+                   CAST(NULL AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2
+            FROM t2_pairs
+            UNION ALL
+            SELECT 'tiles' AS section, a_id, b_id, m1,
+                   CAST(NULL AS DOUBLE) AS m2
+            FROM tile_pairs
+            UNION ALL
+            SELECT 'waterfall' AS section, t.r AS a_id,
+                   coalesce(m.marg, 0) AS b_id,
+                   CAST(t.total AS DOUBLE) AS m1,
+                   CAST(coalesce(n.nids, 0) AS DOUBLE) AS m2
+            FROM wf_totals t
+            LEFT JOIN wf_marginal m ON m.r = t.r
+            LEFT JOIN wf_newids n ON n.r = t.r
     """
     # union-of-kNN degree cap oracle: integer Hamming distance, ties by
     # neighbor id, an edge survives if EITHER endpoint ranks it in its cap

@@ -813,3 +813,68 @@ def candidate_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
         all_edges.groupBy("a_id", "b_id")
         .agg(F.min("source").alias("source"))
     )
+
+
+def dedup_tier_waterfall(
+    edges_df: DataFrame,
+    tier_col: str = "tier_rank",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Per-tier marginal-contribution analytics for a multi-tier dedup
+    ladder (the tuning question every tiered pipeline has to answer:
+    which tier is paying for its cost?).
+
+    Input: a unioned candidate-edge table where ``tier_col`` is the
+    ladder position (0 = first / cheapest tier).  Pairs need not be
+    unique across tiers — that overlap is exactly what is measured.
+    Pair orientation must already be canonical (a < b), which every
+    edge source in this module guarantees.
+
+    Output, one row per tier rank present in the ladder:
+
+    * ``total_pairs``    — distinct pairs this tier catches on its own.
+    * ``marginal_pairs`` — pairs whose MINIMUM catching rank is this
+      tier: what the tier adds beyond every tier before it.  Summing
+      marginal_pairs over tiers gives the distinct pair total.
+    * ``new_ids``        — ids first touched by an edge at this tier
+      (node-level marginal reach; an id counts once, at its min rank).
+
+    Scale shape: one exchange keyed on the (a, b) pair and one keyed on
+    the id — both min/count aggregations with map-side partial combine,
+    so the shuffle carries at most one row per distinct (pair, tier) /
+    (id, tier).  The three per-tier summaries are O(n_tiers) rows and
+    join broadcast-style.  Nothing is collected; output is O(n_tiers).
+    """
+    t = F.col(tier_col).cast("int").alias("tier_rank")
+    tiers = edges_df.select(t, a_col, b_col).distinct()
+
+    totals = tiers.groupBy("tier_rank").agg(
+        F.count(F.lit(1)).alias("total_pairs")
+    )
+    marginal = (
+        tiers.groupBy(a_col, b_col)
+        .agg(F.min("tier_rank").alias("tier_rank"))
+        .groupBy("tier_rank")
+        .agg(F.count(F.lit(1)).alias("marginal_pairs"))
+    )
+    new_ids = (
+        tiers.select(
+            "tier_rank",
+            F.explode(F.array(F.col(a_col), F.col(b_col))).alias("id"),
+        )
+        .groupBy("id")
+        .agg(F.min("tier_rank").alias("tier_rank"))
+        .groupBy("tier_rank")
+        .agg(F.count(F.lit(1)).alias("new_ids"))
+    )
+    return (
+        totals.join(marginal, "tier_rank", "left")
+        .join(new_ids, "tier_rank", "left")
+        .select(
+            "tier_rank",
+            "total_pairs",
+            F.coalesce("marginal_pairs", F.lit(0)).alias("marginal_pairs"),
+            F.coalesce("new_ids", F.lit(0)).alias("new_ids"),
+        )
+    )

@@ -426,3 +426,29 @@ def test_fold_components_matches_star(spark):
     # empty edge set
     empty = spark.createDataFrame([], "a_id long, b_id long")
     assert fold_components(empty).count() == 0
+
+
+def test_dedup_tier_waterfall(spark):
+    """Planted 4-tier ladder: totals count each tier alone, marginals
+    attribute every pair to its MIN catching rank (summing to the
+    distinct pair total), new_ids attribute each node once, and a
+    fully-redundant tier reports 0 marginal / 0 new ids; in-tier
+    duplicate rows collapse."""
+    from fuzzymatch_spark.operators.dedup import dedup_tier_waterfall
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 2), (0, 3, 4),
+            (1, 1, 2), (1, 5, 6),
+            (2, 3, 4), (2, 5, 6), (2, 7, 8), (2, 7, 8),
+            (3, 1, 2),
+        ],
+        "tier_rank int, a_id long, b_id long",
+    )
+    out = {
+        r["tier_rank"]: (r["total_pairs"], r["marginal_pairs"], r["new_ids"])
+        for r in dedup_tier_waterfall(edges).collect()
+    }
+    assert out == {0: (2, 2, 4), 1: (2, 1, 2), 2: (3, 1, 2), 3: (1, 0, 0)}
+    # marginals partition the distinct pair set
+    assert sum(m for _, m, _ in out.values()) == 4
