@@ -13,14 +13,26 @@ Scheme: k probe positions per key via Kirsch-Mitzenmacher double
 hashing — ``h1 + i*h2`` over two ``xxhash64`` seeds — with each hash
 reduced mod ``n_bits`` BEFORE combining (``i*h2`` on raw 64-bit hashes
 overflows under ANSI mode; the double-hash scheme is equivalent taken
-mod n_bits throughout).  The filter is a packed ``array<long>``:
+mod n_bits throughout).  The filter travels as ONE packed ``binary``
+plan literal (bit ``p`` lives at byte ``p//8``, bit ``p%8``):
 
 * **build** — every probe position becomes a ``(word, single-bit
-  mask)`` row, ``bit_or``-folded per word, one O(n_bits/64) driver
-  collect.  The exchange carries at most ``n_bits/64`` rows no matter
-  how many keys fold in.
-* **probe** — ``forall`` over the k positions, each a bit test against
-  the broadcast ``array<long>`` literal.  JVM-only, no Python stage.
+  mask)`` row, ``bit_or``-folded per 64-bit word, one O(n_bits/64)
+  driver collect, packed little-endian into ``bytes``.  The exchange
+  carries at most ``n_bits/64`` rows no matter how many keys fold in.
+* **probe** — ``forall`` over the k positions, each a one-byte
+  ``substr`` + bit test against the binary literal.  JVM-only, no
+  Python stage.
+
+The binary representation is a measured fix, not a style choice: an
+``array<long>`` literal goes through classic PySpark as ``CreateArray``
+of one child literal PER ELEMENT — for a 5M-bit filter that is ~78k
+py4j round-trips (~30 s driver-serial) plus analyzer/optimizer walks
+over a 78k-node expression tree on EVERY action (~4 s each), which made
+the first ``survivor_payload_filter`` shape 20x slower than the payload
+anti-join it replaces and flat from 8 to 32 cores (driver-bound).  A
+``bytes`` literal is a single plan node: construction 0.04 s, action
+overhead unmeasurable (`scripts/probe_payload_emit.py`, BENCH.md).
 
 Scale shape: broadcast O(n_bits/8) bytes; ~``0.6185**bits_per_key``
 false-positive rate at the matched ``k = 0.7*bits_per_key``.
@@ -34,6 +46,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 # from a 64-long literal lookup instead (index = pos % 64); 1<<63 is
 # written in its signed-long form
 _MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+# byte-level masks for the probe side (bit p%8 of byte p//8)
+_BYTE_MASKS = [1 << i for i in range(8)]
 
 
 def bloom_positions(key: Column, n_bits: int, k: int) -> list[Column]:
@@ -51,10 +65,17 @@ def _bit_mask(pos: Column) -> Column:
     return F.element_at(F.lit(_MASKS), (pos % 64).cast("int") + 1)
 
 
-def bloom_build(keys: DataFrame, key: Column, n_bits: int, k: int) -> list[int]:
+def bloom_build(keys: DataFrame, key: Column, n_bits: int, k: int) -> bytes:
     """Fold every row of ``keys`` (under expression ``key``) into a
-    packed Bloom word list.  Distributed ``bit_or`` build; the one
-    driver collect is O(n_bits/64) rows regardless of key count."""
+    packed Bloom byte string.  Distributed ``bit_or`` build; the one
+    driver fetch is O(n_bits/64) rows regardless of key count, pulled
+    through Arrow and packed with one vectorized scatter (a ``collect``
+    into Row objects was ~2 s of the build wall at 78k words).
+
+    Little-endian word packing puts global bit ``p`` at byte ``p//8``,
+    bit ``p%8`` — the addressing ``bloom_might_contain`` relies on."""
+    import numpy as np
+
     n_words = (n_bits + 63) // 64
     sparse = (
         keys.select(F.explode(F.array(*bloom_positions(key, n_bits, k))).alias("pos"))
@@ -64,29 +85,34 @@ def bloom_build(keys: DataFrame, key: Column, n_bits: int, k: int) -> list[int]:
         )
         .groupBy("word")
         .agg(F.bit_or("m").alias("bits"))
-        .collect()
+        .toPandas()
     )
-    words = [0] * n_words
-    for r in sparse:
-        words[int(r["word"])] = int(r["bits"])
-    return words
+    words = np.zeros(n_words, dtype=np.int64)
+    words[sparse["word"].to_numpy(dtype=np.int64)] = sparse["bits"].to_numpy(
+        dtype=np.int64
+    )
+    return words.astype("<i8").tobytes()
 
 
 def bloom_might_contain(
-    words: list[int], key: Column, n_bits: int, k: int
+    filter_bytes: bytes, key: Column, n_bits: int, k: int
 ) -> Column:
     """Boolean probe Column: False is definite (key never folded in),
     True means "folded in, or a false positive" (~0.6185**bits_per_key
     of the non-member stream at the matched k)."""
-    bf = F.lit(words)  # single array<long> literal, ships with the plan
-    return F.forall(
-        F.array(*bloom_positions(key, n_bits, k)),
-        lambda pos: (
-            F.element_at(bf, (pos / 64).cast("int") + 1)
-            .bitwiseAND(_bit_mask(pos))
-            != 0
-        ),
-    )
+    bf = F.lit(filter_bytes)  # single binary literal, ships with the plan
+    masks = F.lit(_BYTE_MASKS)  # 8-element array, constant-folded
+
+    def _test(pos: Column) -> Column:
+        # substr is 1-based; decode(ISO-8859-1) maps byte b to codepoint
+        # b, ascii returns the codepoint — a branch-free byte extractor
+        # that stays inside whole-stage codegen.
+        byte = F.ascii(
+            F.decode(bf.substr((pos / 8).cast("int") + 1, F.lit(1)), "ISO-8859-1")
+        )
+        return byte.bitwiseAND(F.element_at(masks, (pos % 8).cast("int") + 1)) != 0
+
+    return F.forall(F.array(*bloom_positions(key, n_bits, k)), _test)
 
 
 def bloom_params(expected_keys: int, bits_per_key: int) -> tuple[int, int]:

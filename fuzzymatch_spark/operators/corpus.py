@@ -250,9 +250,10 @@ def decontaminate_ngrams_bloom(
     The filter itself is the engine-owned column-expression Bloom filter
     (``functions/bloom.py`` — one shared definition with the survivor
     payload filter): k double-hashed probe positions built distributed as
-    a ``bit_or`` packed ``array<long>`` aggregation with one O(n_bits/64)
-    driver collect, probed JVM-side via ``forall`` bit tests against the
-    array literal — whole-stage codegen, no Python anywhere.
+    a ``bit_or`` packed aggregation with one O(n_bits/64) driver collect,
+    shipped as ONE ``binary`` plan literal and probed JVM-side via
+    ``forall`` byte-extract bit tests — whole-stage codegen, no Python
+    anywhere.
     """
     def gram_rows(df, out_id):
         toks = F.split(F.col(text_col), " ")
@@ -268,10 +269,10 @@ def decontaminate_ngrams_bloom(
     ).distinct()
 
     n_bits, k = bloom_params(expected_grams, bits_per_gram)
-    words = bloom_build(bench_grams, F.col("gram"), n_bits, k)
+    bf = bloom_build(bench_grams, F.col("gram"), n_bits, k)
 
     maybe = gram_rows(docs, "doc_id").filter(
-        bloom_might_contain(words, F.col("gram"), n_bits, k)
+        bloom_might_contain(bf, F.col("gram"), n_bits, k)
     )
     hits = (
         maybe.join(bench_grams, "gram")

@@ -999,9 +999,12 @@ def survivor_payload_filter(
     drop verdict travels as a Bloom filter (``functions/bloom.py``) and
     only false positives ride a join — as bare ids:
 
-    1. **Bloom over the DROP ids** (non-survivors), broadcast as an
-       ``array<long>`` plan literal.  Rows whose id misses the filter
-       are DEFINITE survivors and pass at scan speed.
+    1. **Bloom over the DROP ids** (non-survivors), broadcast as ONE
+       packed ``binary`` plan literal (a per-element ``array<long>``
+       literal is ~78k py4j calls + a 78k-node plan per action at 5M
+       bits — measured 20x slower and driver-bound; see
+       ``functions/bloom.py``).  Rows whose id misses the filter are
+       DEFINITE survivors and pass at scan speed.
     2. **False-positive recovery, ids only.**  Survivors that hit the
        filter (~``0.6185**bits_per_id`` of them) are recovered by
        anti-joining the *id column alone* against the drop set, then
@@ -1018,6 +1021,14 @@ def survivor_payload_filter(
     re-bounds the filter — rather than falling back to the payload
     shuffle.
 
+    Measured crossover (``scripts/probe_payload_emit.py``, BENCH.md):
+    with a 25% drop rate over 2M rows the plain anti-join WINS at 512 B
+    bodies (~1 GB exchange, 2.2 s vs 4.2 s — the Bloom path is bound by
+    its two fixed ids-only jobs) and LOSES at 4 KiB bodies (~8 GB
+    exchange, 13.0 s vs 7.1 s at 8 cores).  Small corpora should just
+    anti-join; this operator exists for the regime where the payload
+    exchange binds and the drop set cannot broadcast.
+
     ``drop_ids_df`` must carry ``id_col``; ids must be non-null.
     """
     from pyspark.sql import functions as F2
@@ -1033,8 +1044,8 @@ def survivor_payload_filter(
     if n_drops == 0:
         return images_df
     n_bits, k = bloom_params(n_drops, bits_per_id)
-    words = bloom_build(drops, F2.col(id_col), n_bits, k)
-    hit = bloom_might_contain(words, F2.col(id_col), n_bits, k)
+    bf = bloom_build(drops, F2.col(id_col), n_bits, k)
+    hit = bloom_might_contain(bf, F2.col(id_col), n_bits, k)
 
     # ids-only: bloom-hit ids that are NOT real drops (false positives)
     fp_keep = (
