@@ -987,6 +987,7 @@ def survivor_payload_filter(
     drop_ids_df: DataFrame,
     id_col: str = "image_id",
     bits_per_id: int = 10,
+    delivery: str = "bloom",
 ) -> DataFrame:
     """Filter a payload table down to dedup survivors WITHOUT shuffling
     the bytes — the delivery problem for any per-row verdict that is
@@ -1025,9 +1026,12 @@ def survivor_payload_filter(
     with a 25% drop rate over 2M rows the plain anti-join WINS at 512 B
     bodies (~1 GB exchange, 2.2 s vs 4.2 s — the Bloom path is bound by
     its two fixed ids-only jobs) and LOSES at 4 KiB bodies (~8 GB
-    exchange, 13.0 s vs 7.1 s at 8 cores).  Small corpora should just
-    anti-join; this operator exists for the regime where the payload
-    exchange binds and the drop set cannot broadcast.
+    exchange, 13.0 s vs 7.1 s at 8 cores).  ``delivery`` makes the
+    choice explicit: ``"bloom"`` (default — the at-scale shape) or
+    ``"anti_join"`` (the small-corpus fast path: one plain ``left_anti``
+    join, payload rides the exchange).  Output is identical either way;
+    the caller picks on the exchange-vs-fixed-cost regime, which depends
+    on deployment scale the engine cannot see from local statistics.
 
     ``drop_ids_df`` must carry ``id_col``; ids must be non-null.
     """
@@ -1039,7 +1043,11 @@ def survivor_payload_filter(
         bloom_params,
     )
 
+    if delivery not in ("bloom", "anti_join"):
+        raise ValueError(f"delivery must be 'bloom' or 'anti_join': {delivery!r}")
     drops = drop_ids_df.select(id_col)
+    if delivery == "anti_join":
+        return images_df.join(drops, id_col, "left_anti")
     n_drops = drops.count()
     if n_drops == 0:
         return images_df

@@ -529,3 +529,9 @@ def test_survivor_payload_filter_exact_and_plan(spark, tmp_path):
 
     # empty drop set: identity, no bloom built
     assert survivor_payload_filter(df, drops.limit(0)).count() == 400
+
+    # explicit small-corpus delivery: one plain anti-join, same output
+    out_aj = survivor_payload_filter(df, drops, delivery="anti_join")
+    assert {r["image_id"] for r in out_aj.collect()} == expected
+    with pytest.raises(ValueError, match="delivery"):
+        survivor_payload_filter(df, drops, delivery="semi")
