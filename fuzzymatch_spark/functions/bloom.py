@@ -26,13 +26,25 @@ plan literal (bit ``p`` lives at byte ``p//8``, bit ``p%8``):
 
 The binary representation is a measured fix, not a style choice: an
 ``array<long>`` literal goes through classic PySpark as ``CreateArray``
-of one child literal PER ELEMENT — for a 5M-bit filter that is ~78k
-py4j round-trips (~30 s driver-serial) plus analyzer/optimizer walks
-over a 78k-node expression tree on EVERY action (~4 s each), which made
-the first ``survivor_payload_filter`` shape 20x slower than the payload
-anti-join it replaces and flat from 8 to 32 cores (driver-bound).  A
-``bytes`` literal is a single plan node: construction 0.04 s, action
-overhead unmeasurable (`scripts/probe_payload_emit.py`, BENCH.md).
+of one child literal PER ELEMENT — for a 5M-bit filter (78k words) that
+is ~78k py4j round-trips (~30 s driver-serial) plus analyzer/optimizer
+walks over a 78k-node expression tree on EVERY action (~4 s each),
+which made the first ``survivor_payload_filter`` shape 20x slower than
+the payload anti-join it replaces and flat from 8 to 32 cores
+(driver-bound).  A ``bytes`` literal is a single plan node:
+construction 0.04 s, action overhead unmeasurable
+(`scripts/probe_payload_emit.py`, BENCH.md).
+
+Negative A/B, recorded so it isn't retried: rebuilding the word array
+probe-side as ``from_json`` of one json string literal DOES
+constant-fold into a ``Literal(ArrayData)`` (and a bare 20M-row
+``element_at`` microbench runs ~180M fetches/s), but in the real probe
+it measured EQUAL-OR-SLOWER than the byte extraction (0.87 s vs 0.70 s
+warm probe-scan at 78k words; 15.2 s vs 13.0 s for 20M probes at 781k
+words, where the 6 MB array blows the L2 and every fetch is a boxed
+DRAM miss).  Position hashing (2x ``xxhash64`` + k ``pmod``) dominates
+either way; the byte form keeps the smaller plan literal and no
+dependence on ``from_json`` foldability semantics.
 
 Scale shape: broadcast O(n_bits/8) bytes; ~``0.6185**bits_per_key``
 false-positive rate at the matched ``k = 0.7*bits_per_key``.
