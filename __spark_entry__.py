@@ -1260,6 +1260,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-checks recall, the Hamming tolerance AND the threshold's
         # rejection of the shared-edit trap in one shot.
         #
+        # 'decon' (r6 widening, same slot): image decontamination — the
+        # full ham_rows corpus screened against a derived benchmark set
+        # (per-doc hashes 2 bits inside / 8 bits outside the radius-6
+        # screen) via decontaminate_images' broadcast band join; full
+        # corpus grain with distinct-hit counts and min Hamming, oracle
+        # is the brute-force Hamming join (details at the section
+        # construction below).
+        #
         # 'waterfall' (r6 widening, same slot): per-tier marginal-
         # contribution stats over the three sections treated as a ladder
         # (rank 0 hamming, 1 tier2, 2 tiles) via dedup_tier_waterfall —
@@ -1380,11 +1388,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("new_ids").cast("double").alias("m2"),
         )
 
+        # 'decon' (r6 widening, same slot): image decontamination — the
+        # ham_rows corpus (base + planted twins) screened against a
+        # derived benchmark set: per %100==0 doc a hash 2 bits away
+        # (contaminated: hits the doc AND, for doc_id<30, its planted
+        # twin at distance bit_count(3^1025)=2) and per %100==50 doc a
+        # hash 8 bits away (beyond the radius-6 screen).  Full corpus
+        # grain: a_id=doc_id, b_id=distinct bench hits (0=clean),
+        # m1=min Hamming (NULL=clean).  Oracle: brute-force Hamming
+        # join, so recall AND precision of the banded broadcast
+        # delivery are value-checked.
+        from fuzzymatch_spark.operators.multimodal import (
+            decontaminate_images,
+        )
+
+        bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("bench_id"),
+            d1.bitwiseXOR(F.lit(3)).alias("phash"),
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 100 == 50).select(
+                F.col("doc_id").alias("bench_id"),
+                d1.bitwiseXOR(F.lit(255)).alias("phash"),
+            )
+        )
+        dc = decontaminate_images(
+            ham_rows, bench, corpus_id="doc_id", phash_col="phash",
+            max_hamming=6, n_bands=8,
+        ).select(
+            F.lit("decon").alias("section"),
+            F.col("doc_id").alias("a_id"),
+            F.col("n_bench_hits").alias("b_id"),
+            F.col("min_hamming").cast("double").alias("m1"),
+        )
+
         pad = F.lit(None).cast("double").alias("m2")
         return (
             ham.withColumn("m2", pad)
             .unionByName(t2.withColumn("m2", pad))
             .unionByName(tl.withColumn("m2", pad))
+            .unionByName(dc.withColumn("m2", pad))
             .unionByName(wf)
             .orderBy("section", "a_id", "b_id")
         )
@@ -2283,6 +2325,20 @@ def oracle_sql() -> dict[str, str]:
                         SELECT r, b_id AS id FROM tier_edges
                     ) GROUP BY id
                 ) GROUP BY fr
+            ),
+            dbench AS (
+                SELECT doc_id AS bench_id, xor({_fp}, 3) AS phash
+                FROM documents WHERE doc_id % 100 = 0
+                UNION ALL
+                SELECT doc_id AS bench_id, xor({_fp}, 255) AS phash
+                FROM documents WHERE doc_id % 100 = 50
+            ),
+            dhits AS (
+                SELECT f.doc_id, count(*) AS n_hits,
+                       min(bit_count(xor(f.phash, b.phash))) AS md
+                FROM fps f JOIN dbench b
+                  ON bit_count(xor(f.phash, b.phash)) <= 6
+                GROUP BY f.doc_id
             )
             SELECT 'hamming' AS section, a_id, b_id,
                    CAST(NULL AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2
@@ -2295,6 +2351,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'tiles' AS section, a_id, b_id, m1,
                    CAST(NULL AS DOUBLE) AS m2
             FROM tile_pairs
+            UNION ALL
+            SELECT 'decon' AS section, f.doc_id AS a_id,
+                   coalesce(h.n_hits, 0) AS b_id,
+                   CAST(h.md AS DOUBLE) AS m1,
+                   CAST(NULL AS DOUBLE) AS m2
+            FROM fps f LEFT JOIN dhits h ON h.doc_id = f.doc_id
             UNION ALL
             SELECT 'waterfall' AS section, t.r AS a_id,
                    coalesce(m.marg, 0) AS b_id,

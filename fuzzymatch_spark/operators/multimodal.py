@@ -1067,3 +1067,81 @@ def survivor_payload_filter(
         .filter(~hit | F2.col("_fp").isNotNull())
         .drop("_fp")
     )
+
+
+def decontaminate_images(
+    corpus_df: DataFrame,
+    bench_df: DataFrame,
+    corpus_id: str = "image_id",
+    bench_id: str = "bench_id",
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Image decontamination: flag every corpus image whose perceptual
+    hash is within ``max_hamming`` of ANY benchmark/eval image — the
+    image flavor of the text pipeline's benchmark decontamination
+    (`operators/corpus.py:decontaminate_ngrams` / `decontaminate_fuzzy`).
+    Training on eval near-dups (re-encodes, resizes — exactly what a
+    small pHash radius captures) silently inflates benchmark scores, so
+    at curation time the corpus is screened against the eval set.
+
+    Shape (mirrors the text tiers: the corpus NEVER shuffles):
+
+    1. Both sides decompose into Manku combination band keys
+       (`operators/dedup.py:hamming_band_keys`, the same fused single-
+       int64 keys as the self-join legs) — recall-complete by
+       pigeonhole at C(m, m-k), bit-exact verify after.
+    2. The benchmark side (small by construction: eval sets are 1e3-1e6
+       rows vs a 1e12 corpus) is explicitly ``broadcast()``; corpus band
+       keys are produced in-task from the stored hash column, so the
+       only rows that ever reach an Exchange are MATCHED candidates
+       (bounded by contamination volume), not the corpus.
+    3. Exact ``bit_count`` verify, distinct per (corpus, bench) pair
+       (a near pair matches through several combos), then per-corpus-id
+       hit stats broadcast back onto the full corpus grain.
+
+    Returns ``corpus_df`` + ``n_bench_hits`` (distinct benchmark images
+    within the radius), ``min_hamming`` (NULL for clean rows), and
+    ``contaminated`` (int 0/1).  Hashes must be non-null int64.
+    """
+    from pyspark.sql import functions as F2
+
+    from fuzzymatch_spark.operators.dedup import hamming_band_keys
+
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    # hamming_band_keys normalizes its id column to "id" in the output
+    bench_keys = hamming_band_keys(
+        bench_df.select(bench_id, phash_col),
+        bench_id, phash_col, n_bands, max_hamming, split_band_key=False,
+    ).select(
+        F2.col("id").alias("_bid"),
+        F2.col(phash_col).alias("_bhash"),
+        "bk",
+    )
+    corpus_keys = hamming_band_keys(
+        corpus_df.select(corpus_id, phash_col),
+        corpus_id, phash_col, n_bands, max_hamming, split_band_key=False,
+    ).select(F2.col("id").alias(corpus_id), phash_col, "bk")
+    dist = F2.bit_count(F2.col(phash_col).bitwiseXOR(F2.col("_bhash")))
+    hits = (
+        corpus_keys.join(F2.broadcast(bench_keys), "bk")
+        .filter(dist <= F2.lit(max_hamming))
+        .select(corpus_id, "_bid", dist.alias("_d"))
+        .distinct()
+        .groupBy(corpus_id)
+        .agg(
+            F2.count(F2.lit(1)).cast("long").alias("n_bench_hits"),
+            F2.min("_d").cast("int").alias("min_hamming"),
+        )
+    )
+    return (
+        corpus_df.join(F2.broadcast(hits), corpus_id, "left")
+        .withColumn(
+            "n_bench_hits", F2.coalesce("n_bench_hits", F2.lit(0).cast("long"))
+        )
+        .withColumn(
+            "contaminated", (F2.col("n_bench_hits") > 0).cast("int")
+        )
+    )

@@ -535,3 +535,56 @@ def test_survivor_payload_filter_exact_and_plan(spark, tmp_path):
     assert {r["image_id"] for r in out_aj.collect()} == expected
     with pytest.raises(ValueError, match="delivery"):
         survivor_payload_filter(df, drops, delivery="semi")
+
+
+def test_decontaminate_images_radius_and_plan(spark):
+    """Image decontamination: planted bench twins within the radius flag
+    exactly their corpus rows; at-radius matches count, radius+1 does
+    not; a hamming-0 pair matching through EVERY combo still counts one
+    distinct bench hit; and the corpus side never reaches a
+    SortMergeJoin (broadcast-only delivery)."""
+    from fuzzymatch_spark.operators.multimodal import decontaminate_images
+
+    import hashlib
+
+    def h64(i):
+        # well-spread 63-bit hashes: expected pairwise Hamming ~32, so
+        # nothing lands within radius 6 by chance among 200 rows
+        return int.from_bytes(
+            hashlib.md5(f"img{i}".encode()).digest()[:8], "big"
+        ) >> 1
+
+    corpus = spark.createDataFrame(
+        [(f"c_{i}", h64(i)) for i in range(200)],
+        "image_id string, phash long",
+    )
+    flip2 = (1 << 0) | (1 << 57)          # hamming 2 from c_5
+    flip6 = 0x3F                           # hamming 6 (at radius) from c_10
+    flip7 = 0x7F                           # hamming 7 (beyond) from c_20
+    bench = spark.createDataFrame(
+        [
+            ("b_exact", h64(5)),             # hamming 0 vs c_5
+            ("b_near", h64(5) ^ flip2),      # hamming 2 vs c_5
+            ("b_edge", h64(10) ^ flip6),     # hamming 6 vs c_10
+            ("b_far", h64(20) ^ flip7),      # hamming 7: clean
+        ],
+        "bench_id string, phash long",
+    )
+    out = decontaminate_images(corpus, bench, max_hamming=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    rows = {r["image_id"]: r for r in out.collect()}
+    assert len(rows) == 200
+    dirty = {i for i, r in rows.items() if r["contaminated"] == 1}
+    assert dirty == {"c_5", "c_10"}, dirty
+    assert rows["c_5"]["n_bench_hits"] == 2          # b_exact + b_near
+    assert rows["c_5"]["min_hamming"] == 0           # exact match wins
+    assert rows["c_10"]["n_bench_hits"] == 1
+    assert rows["c_10"]["min_hamming"] == 6          # at-radius boundary
+    assert rows["c_20"]["n_bench_hits"] == 0
+    assert rows["c_20"]["min_hamming"] is None
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        decontaminate_images(corpus, bench, max_hamming=-1)
