@@ -85,6 +85,16 @@ class DedupPipeline:
     # manifest's (bucket_w, bucket_h) and the resized payload dims can
     # never diverge.
     aspect_ladder: tuple | None = None
+    # decontaminate_bench (a parquet path with (bench_id, <phash_col>))
+    # adds stage 1b: screen the corpus against a benchmark/eval image
+    # set within decon_max_hamming of the stored pHash
+    # (operators/multimodal.py:decontaminate_images — benchmark side
+    # broadcast, corpus never shuffles).  Flagged rows checkpoint as
+    # curation lineage and are EXCLUDED from clustering and from every
+    # emit stage (training on eval near-dups inflates benchmark
+    # scores).  Requires phash_col.
+    decontaminate_bench: str | None = None
+    decon_max_hamming: int = 6
     metrics: list = field(default_factory=list)
     partition_metrics: list = field(default_factory=list)
 
@@ -160,6 +170,11 @@ class DedupPipeline:
                 " columns, positive-dims precondition) and"
                 " select_canonical (survivor flags)"
             )
+        if self.decontaminate_bench and not self.phash_col:
+            raise ValueError(
+                "decontaminate_bench requires phash_col (the benchmark"
+                " screen matches on the stored perceptual hash)"
+            )
         os.makedirs(self.work_dir, exist_ok=True)
         with open(os.path.join(self.work_dir, "run_config.json"), "w") as f:
             f.write(self.cfg.to_json())
@@ -223,6 +238,35 @@ class DedupPipeline:
                 on="id",
             ),
         )
+
+        # stage 1b (optional): benchmark decontamination on the stored
+        # pHash — flagged rows checkpoint as curation lineage (hit
+        # counts + min Hamming) and leave the corpus HERE, before any
+        # banding cost.  The dirty-id set is bounded by contamination
+        # volume (tiny by construction), so the downstream cut is an
+        # ids-only broadcast anti-join — the corpus never shuffles.
+        decon_dirty = None
+        if self.decontaminate_bench:
+            from fuzzymatch_spark.operators.multimodal import (
+                decontaminate_images,
+            )
+            sig_for_decon = sig
+
+            def _decon():
+                bench = self.spark.read.parquet(self.decontaminate_bench)
+                return decontaminate_images(
+                    sig_for_decon.select("id", self.phash_col),
+                    bench,
+                    corpus_id="id",
+                    phash_col=self.phash_col,
+                    max_hamming=self.decon_max_hamming,
+                ).select("id", "n_bench_hits", "min_hamming", "contaminated")
+
+            flagged = self._load_or_compute("decon", _decon)
+            decon_dirty = flagged.filter(
+                F.col("contaminated") == 1
+            ).select("id")
+            sig = sig.join(F.broadcast(decon_dirty), "id", "left_anti")
 
         # stage 2: candidate edges (exact + minhash [+ simhash via cfg,
         # + phash, suffix])
@@ -332,11 +376,21 @@ class DedupPipeline:
             )
             resize_clusters = clusters
             resize_input = input_df
+            resize_dirty = decon_dirty
 
             def _resized():
                 drops = resize_clusters.filter(
                     F.col("is_canonical") == 0
                 ).select(F.col("id").alias("image_id"))
+                if resize_dirty is not None:
+                    # decon-flagged ids left the corpus BEFORE clustering,
+                    # so they are absent from `clusters` and the
+                    # non-canonical drop set alone would let their bytes
+                    # through — they must drop here too (the two sets are
+                    # disjoint by construction)
+                    drops = drops.unionByName(
+                        resize_dirty.select(F.col("id").alias("image_id"))
+                    )
                 payload = resize_input.select(
                     F.col(self.id_col).alias("image_id"), "bytes", "w", "h"
                 )

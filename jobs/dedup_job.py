@@ -57,6 +57,14 @@ def main() -> None:
                          "'512x2048,1024x1024,2048x512') driving BOTH the "
                          "gate buckets and the resize targets; default: "
                          "the built-in 17-rung ladder")
+    ap.add_argument("--decontaminate-bench", default=None,
+                    help="stage 1b: parquet path of benchmark image "
+                         "hashes (bench_id, <phash-col>); corpus rows "
+                         "within --decon-max-hamming of any benchmark "
+                         "hash are checkpointed as lineage and excluded "
+                         "from clustering and every emit stage "
+                         "(requires --phash-col)")
+    ap.add_argument("--decon-max-hamming", type=int, default=6)
     ap.add_argument("--work-dir", required=True)
     ap.add_argument("--profile", default="default",
                     choices=["default", "web_dense"])
@@ -105,6 +113,8 @@ def main() -> None:
             )
             if args.aspect_ladder else None
         ),
+        decontaminate_bench=args.decontaminate_bench,
+        decon_max_hamming=args.decon_max_hamming,
     )
     clusters = pipe.run(df)
     n_rows = clusters.count()

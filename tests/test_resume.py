@@ -267,3 +267,76 @@ def test_pipeline_emit_resized_stage(spark, workdir):
         DedupPipeline(
             spark, WORK + "_bad", DedupConfig(), emit_resized=True,
         ).run(df)
+
+
+def test_pipeline_decontamination_stage(spark, workdir):
+    """Stage 1b: corpus images within the pHash radius of a benchmark
+    table are checkpointed as lineage (hit counts + min Hamming),
+    excluded from clustering, and their bytes never reach the resized
+    emit; the stage resumes like every other checkpoint."""
+    import hashlib
+
+    from fuzzymatch_spark.sources.images import encode_image, synth_pixels
+
+    def h64(i):
+        return int.from_bytes(
+            hashlib.md5(f"ph{i}".encode()).digest()[:8], "big"
+        ) >> 1
+
+    ladder = ((64, 128), (96, 96), (128, 64))
+    rows = []
+    for i in range(12):
+        w, h = 70 + 4 * i, 130 - 3 * i
+        cap = f"caption number {i} " + " ".join(
+            f"tok{i * 100 + j}q" for j in range(8)
+        )
+        rows.append((f"i{i:02d}",
+                     encode_image(synth_pixels(f"i{i:02d}", w, h), "png"),
+                     w, h, "png", cap, h64(i)))
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string,"
+        " caption string, phash long",
+    )
+    # benchmark: a 2-bit near-twin of i03's hash, plus one far hash
+    bench_path = os.path.join(WORK, "bench_in")
+    spark.createDataFrame(
+        [("ev0", h64(3) ^ 3), ("ev1", h64(999))],
+        "bench_id string, phash long",
+    ).write.parquet(bench_path)
+
+    def mk():
+        return DedupPipeline(
+            spark, WORK, DedupConfig(min_score=0.9), use_suffix_stage=False,
+            phash_col="phash", apply_gate=True, select_canonical=True,
+            emit_resized=True, aspect_ladder=ladder,
+            decontaminate_bench=bench_path,
+        )
+
+    p1 = mk()
+    clusters = {r["id"] for r in p1.run(df).collect()}
+    assert "i03" not in clusters
+    assert clusters == {f"i{i:02d}" for i in range(12) if i != 3}
+    assert "decon" in [m["stage"] for m in p1.metrics]
+
+    flagged = {r["id"]: r for r in spark.read.parquet(
+        os.path.join(WORK, "decon")).collect()}
+    assert len(flagged) == 12  # full corpus grain = lineage
+    assert flagged["i03"]["contaminated"] == 1
+    assert flagged["i03"]["n_bench_hits"] == 1
+    assert flagged["i03"]["min_hamming"] == 2
+    assert all(r["contaminated"] == 0 for i, r in flagged.items()
+               if i != "i03")
+
+    resized = spark.read.parquet(os.path.join(WORK, "resized"))
+    assert "i03" not in {r["image_id"] for r in resized.collect()}
+
+    p2 = mk()
+    p2.run(df)
+    assert not any(m["recomputed"] for m in p2.metrics)
+
+    with pytest.raises(ValueError, match="phash_col"):
+        DedupPipeline(
+            spark, WORK + "_bad", DedupConfig(),
+            decontaminate_bench=bench_path,
+        ).run(df)
