@@ -459,6 +459,8 @@ def make_phash_dedup_sink(
     max_hamming: int = 6,
     on_before_commit=None,
     maintain_labels: bool = True,
+    bench_df: DataFrame | None = None,
+    decon_max_hamming: int = 6,
 ):
     """Image-side incremental near-dup sink — the pHash half of the north
     rule's image+caption table, mirroring ``make_dedup_sink``'s idempotency
@@ -480,6 +482,17 @@ def make_phash_dedup_sink(
     same sink does incremental MIRROR dedup — flipped/rotated re-posts
     arriving in later batches link to their originals at canonical
     Hamming 0 with zero new machinery.
+
+    ``bench_df`` (a static (bench_id, <phash_col>) table) adds the
+    in-flight benchmark screen — the image analog of
+    ``make_decontamination_sink``: each micro-batch is screened with
+    ``operators/multimodal.py:decontaminate_images`` at
+    ``decon_max_hamming`` BEFORE dedup; flagged rows land in
+    ``decon/batch=<id>`` (lineage: hit counts + min Hamming) and never
+    reach the edges, phash history, or label tables — an eval near-dup
+    arriving on the stream is quarantined at ingest, not discovered at
+    training time.  Batch-scoped overwrites keep the screen replay-
+    idempotent like every other table here.
     """
     from pyspark.sql import functions as F
 
@@ -496,7 +509,31 @@ def make_phash_dedup_sink(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.select(
             F.col(id_col).alias("id"), F.col(phash_col).alias("ph")
-        ).persist()
+        )
+        if bench_df is not None:
+            from fuzzymatch_spark.operators.multimodal import (
+                decontaminate_images,
+            )
+
+            screened = decontaminate_images(
+                new,
+                bench_df.select(
+                    "bench_id", F.col(phash_col).alias("ph")
+                ),
+                corpus_id="id",
+                phash_col="ph",
+                max_hamming=decon_max_hamming,
+                n_bands=n_bands,
+            ).persist()
+            screened.filter(F.col("contaminated") == 1).select(
+                F.col("id").alias(id_col), "n_bench_hits", "min_hamming"
+            ).write.mode("overwrite").parquet(
+                f"{work_dir}/decon/batch={batch_id}"
+            )
+            new = screened.filter(F.col("contaminated") == 0).select(
+                "id", "ph"
+            )
+        new = new.persist()
         cand = _hamming_band_edges(
             new, "id", "ph", n_bands, max_hamming, "phash"
         ).select("a_id", "b_id", "source")
@@ -545,6 +582,8 @@ def make_phash_dedup_sink(
             on_before_commit(batch_id)
         _write_commit_marker(spark, commits_dir, batch_id)
         new.unpersist()
+        if bench_df is not None:
+            screened.unpersist()
 
     return sink
 
@@ -558,10 +597,14 @@ def incremental_phash_dedup(
     id_col: str = "image_id",
     phash_col: str = "phash",
     available_now: bool = True,
+    bench_df: DataFrame | None = None,
+    decon_max_hamming: int = 6,
 ):
     """File-source stream over landing (image_id, phash) shards →
     ``make_phash_dedup_sink``.  Tables under ``work_dir``: ``phashes/``,
-    ``edges/`` (batch-partitioned) + ``_commits/`` markers."""
+    ``edges/`` (batch-partitioned) + ``_commits/`` markers, plus
+    ``decon/`` when ``bench_df`` enables the in-flight benchmark
+    screen."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 32)
@@ -569,7 +612,10 @@ def incremental_phash_dedup(
     )
     writer = (
         stream.writeStream.foreachBatch(
-            make_phash_dedup_sink(spark, work_dir, id_col, phash_col)
+            make_phash_dedup_sink(
+                spark, work_dir, id_col, phash_col,
+                bench_df=bench_df, decon_max_hamming=decon_max_hamming,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
     )

@@ -473,3 +473,59 @@ def test_decontamination_sink_replay_idempotent(spark, tmp_path):
     sink(b0, 0)  # simulated at-least-once replay
     assert snap() == before == ([2], [1])
     assert committed_batches(spark, f"{work}/_commits") == [0]
+
+
+def test_phash_sink_benchmark_screen(spark, tmp_path):
+    """In-flight image decontamination: a stream row within the decon
+    radius of a static benchmark hash is quarantined into
+    decon/batch=<id> (with hit stats), excluded from edges, phash
+    history, AND labels — while clean near-dups still link cross-batch;
+    replay of the screened batch is idempotent."""
+    from pyspark.sql import functions as F
+
+    from fuzzymatch_spark.streaming.ingest import make_phash_dedup_sink
+
+    pschema = "image_id string, phash bigint"
+    base = 0x5555555555555555
+    work = str(tmp_path / "dwork")
+    bench = spark.createDataFrame(
+        [("ev0", base ^ 3)], "bench_id string, phash bigint"
+    )
+    sink = make_phash_dedup_sink(
+        spark, work, bench_df=bench, decon_max_hamming=6
+    )
+
+    # batch 0: i2 is Hamming-2 from the benchmark -> quarantined;
+    # i1/i3 clean
+    sink(spark.createDataFrame(
+        [("i1", 0), ("i2", base), ("i3", 0x0F0F0F0F0F0F0F0F)], pschema), 0)
+    # batch 1: i4 = near-twin of i1 (clean cross-batch dup);
+    # i6 = exact dup of the QUARANTINED i2 -> itself within the radius
+    # of the bench hash, so it is quarantined too (never pairs with i2)
+    sink(spark.createDataFrame(
+        [("i4", 0b10000000101), ("i6", base)], pschema), 1)
+
+    decon = spark.read.parquet(f"{work}/decon")
+    drows = {r["image_id"]: r for r in decon.collect()}
+    assert set(drows) == {"i2", "i6"}
+    assert drows["i2"]["min_hamming"] == 2
+    assert drows["i2"]["n_bench_hits"] == 1
+
+    edges = {(r["a_id"], r["b_id"])
+             for r in spark.read.parquet(f"{work}/edges").collect()}
+    assert edges == {("i1", "i4")}, edges
+
+    hist = {r["image_id"]
+            for r in spark.read.parquet(f"{work}/phashes").collect()}
+    assert hist == {"i1", "i3", "i4"}
+
+    labels = spark.read.parquet(f"{work}/labels")
+    assert {r["id"] for r in labels.collect()} == {"i1", "i3", "i4"}
+
+    # replay idempotency under the screen
+    sink(spark.createDataFrame([("i4", 0b10000000101), ("i6", base)],
+                               pschema), 1)
+    assert {r["image_id"] for r in
+            spark.read.parquet(f"{work}/decon").collect()} == {"i2", "i6"}
+    assert {(r["a_id"], r["b_id"]) for r in
+            spark.read.parquet(f"{work}/edges").collect()} == {("i1", "i4")}
