@@ -561,7 +561,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, bench, "doc_id", "text", cfg=DENSE,
             jaccard_pct=JACCARD_PCT,
         )
-        return exact.join(fuzzy, "doc_id")
+
+        # embedding tier (r6 widening, same slot): each src0 doc's
+        # vector, perturbed +0.02/element (cos ~0.987 vs its own corpus
+        # vector only — the cosine_dup_pairs planting convention), forms
+        # the benchmark; decontaminate_embeddings' broadcast screen must
+        # flag exactly the src0 rows.  Oracle: brute-force per-element
+        # cosine, round(…, 4) both engines.
+        from fuzzymatch_spark.operators.ann import decontaminate_embeddings
+
+        emb = _emb(spark, sf).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        bench_vecs = emb.join(
+            bench.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        ).select(
+            F.col("vec_id").alias("bench_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(0.02)
+            ).alias("embedding"),
+        )
+        embt = decontaminate_embeddings(
+            emb, bench_vecs, min_cosine=0.95
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("n_bench_hits").alias("emb_hits"),
+            F.col("max_cos").alias("emb_max_cos"),
+            F.col("contaminated").alias("emb_contaminated"),
+        )
+        return exact.join(fuzzy, "doc_id").join(embt, "doc_id")
 
     q["decontamination_suite"] = decontaminate_q
 
@@ -3289,6 +3318,34 @@ def oracle_sql() -> dict[str, str]:
             fh AS (
               SELECT doc_id, CAST(count(*) AS BIGINT) AS fuzzy_hits
               FROM fpairs GROUP BY doc_id
+            ),
+            ev AS (
+              SELECT e.vec_id AS bench_id,
+                     list_transform(e.embedding,
+                                    x -> CAST(x AS DOUBLE) + 0.02) AS bvec
+              FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+              WHERE d.source = 'src0'
+            ),
+            cv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            enums AS (SELECT unnest(range(1, 65)) AS i),
+            eterms AS (
+              SELECT c.vec_id, b.bench_id, c.v[n.i] AS x, b.bvec[n.i] AS y
+              FROM cv c, ev b, enums n WHERE n.i <= len(c.v)
+            ),
+            edots AS (
+              SELECT vec_id, bench_id,
+                     round(sum(x * y)
+                           / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+              FROM eterms GROUP BY vec_id, bench_id
+            ),
+            ehits AS (
+              SELECT vec_id, CAST(count(*) AS BIGINT) AS emb_hits,
+                     max(cos) AS emb_max_cos
+              FROM edots WHERE cos >= 0.95 GROUP BY vec_id
             )
             SELECT d.doc_id,
                    coalesce(hits.n, 0) AS n_gram_hits,
@@ -3296,10 +3353,15 @@ def oracle_sql() -> dict[str, str]:
                         END AS INT) AS contaminated,
                    coalesce(fh.fuzzy_hits, 0) AS fuzzy_hits,
                    CAST(CASE WHEN coalesce(fh.fuzzy_hits, 0) > 0 THEN 1
-                        ELSE 0 END AS INT) AS fuzzy_contaminated
+                        ELSE 0 END AS INT) AS fuzzy_contaminated,
+                   coalesce(eh.emb_hits, 0) AS emb_hits,
+                   eh.emb_max_cos AS emb_max_cos,
+                   CAST(CASE WHEN coalesce(eh.emb_hits, 0) > 0 THEN 1
+                        ELSE 0 END AS INT) AS emb_contaminated
             FROM documents d
             LEFT JOIN hits USING (doc_id)
             LEFT JOIN fh USING (doc_id)
+            LEFT JOIN ehits eh ON eh.vec_id = d.doc_id
         """,
         "corpus_splits_sampling": """
             WITH fr AS (

@@ -589,3 +589,89 @@ def kmeans_lloyd(
         norms = np.linalg.norm(rows, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cmat = rows / norms
+
+
+def decontaminate_embeddings(
+    corpus_df: DataFrame,
+    bench_df: DataFrame,
+    corpus_id: str = "vec_id",
+    bench_id: str = "bench_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    method: str = "broadcast",
+    n_centroids: int = 8,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus row whose
+    vector is within ``min_cosine`` of ANY benchmark/eval vector — the
+    semantic tier of benchmark decontamination, catching eval items
+    that survive the exact n-gram, fuzzy-shingle, and pHash screens
+    (paraphrases, re-crops, style transfers).
+
+    Two methods, identical output columns:
+
+    * ``"broadcast"`` (exact, default): the benchmark side — small by
+      construction — broadcasts through a BroadcastNestedLoopJoin; each
+      corpus row evaluates |bench| cosines inside whole-stage codegen
+      and the corpus itself NEVER shuffles (the text/image tiers'
+      contract).  Per-row work is O(|bench| * dim): right up to eval
+      sets of ~1e4-1e5 vectors; beyond that use ``"ivf"``.
+    * ``"ivf"`` (scale path): centroids fit on the BENCHMARK (cheap —
+      it is the small side), both sides assigned to cells in-task, and
+      the cosine check runs only against same-cell benchmark vectors —
+      SemDeDup's recall shape (`ivf_dup_pairs`): near-identical vectors
+      share a cell essentially always, and the pairs the cell partition
+      skips are the distant ones a radius screen doesn't want anyway.
+
+    Cosine is rounded to 4 decimals BEFORE thresholding so the
+    predicate is reproducible cross-engine (`cosine_dup_pairs`
+    convention).  Returns ``corpus_df`` + ``n_bench_hits``,
+    ``max_cos`` (NULL for clean rows), ``contaminated`` (int 0/1).
+    """
+    if method not in ("broadcast", "ivf"):
+        raise ValueError(f"method must be 'broadcast' or 'ivf': {method!r}")
+    bench = bench_df.select(
+        F.col(bench_id).alias("_bid"), F.col(vec_col).alias("_bvec")
+    )
+    corpus = corpus_df.select(corpus_id, vec_col)
+    cos = F.round(
+        _dot(F.col(vec_col), F.col("_bvec"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("_bvec"))),
+        4,
+    )
+    if method == "broadcast":
+        cand = corpus.crossJoin(F.broadcast(bench))
+    else:
+        # fit the codebook on the (small) benchmark side; bench ids are
+        # arbitrary, so re-index densely first (one window sort over the
+        # broadcastable side, never the corpus)
+        from pyspark.sql.window import Window
+
+        dense = bench.withColumn(
+            "_cid",
+            F.row_number().over(Window.orderBy("_bid")) - F.lit(1),
+        )
+        cents, _ = _centroid_matrix(dense, "_bvec", "_cid", n_centroids)
+        cand = ivf_assign(corpus, vec_col, cents).join(
+            F.broadcast(
+                ivf_assign(
+                    bench.withColumnRenamed("_bvec", vec_col), vec_col, cents
+                ).withColumnRenamed(vec_col, "_bvec")
+            ),
+            on="cell",
+        )
+    hits = (
+        cand.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= F.lit(min_cosine))
+        .groupBy(corpus_id)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            F.max("_cos").alias("max_cos"),
+        )
+    )
+    return (
+        corpus_df.join(F.broadcast(hits), corpus_id, "left")
+        .withColumn(
+            "n_bench_hits", F.coalesce("n_bench_hits", F.lit(0).cast("long"))
+        )
+        .withColumn("contaminated", (F.col("n_bench_hits") > 0).cast("int"))
+    )

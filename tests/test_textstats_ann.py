@@ -441,3 +441,49 @@ def test_pq_adc_zero_norm_guard(spark):
            pq_adc_topk(codes_df, cb, [1.0, 1.0, 1.0, 1.0], k=2).collect()}
     assert out[0] == 0.0
     assert abs(out[1] - 1.0) < 1e-9
+
+
+def test_decontaminate_embeddings_broadcast_and_ivf(spark):
+    """Embedding-tier decontamination: perturbed copies of two corpus
+    vectors in the benchmark flag exactly those rows (broadcast method,
+    corpus never shuffles — BroadcastNestedLoopJoin plan); the IVF scale
+    path recovers the same flags on this corpus; invalid method raises."""
+    import numpy as np
+
+    from fuzzymatch_spark.operators.ann import decontaminate_embeddings
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).astype(np.float64)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [
+            ("ev_a", [float(x) + 0.02 for x in vecs[3]]),   # ~cos 0.99 vs 3
+            ("ev_b", [float(x) + 0.02 for x in vecs[7]]),   # ~cos 0.99 vs 7
+            ("ev_far", [float(x) for x in rng.randn(16)]),  # matches nothing
+        ],
+        "bench_id string, embedding array<double>",
+    )
+
+    out = decontaminate_embeddings(corpus, bench, min_cosine=0.95)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 60
+    assert {i for i, r in rows.items() if r["contaminated"] == 1} == {3, 7}
+    assert rows[3]["n_bench_hits"] == 1 and rows[3]["max_cos"] >= 0.95
+    assert rows[5]["max_cos"] is None and rows[5]["n_bench_hits"] == 0
+
+    ivf = decontaminate_embeddings(
+        corpus, bench, min_cosine=0.95, method="ivf", n_centroids=2
+    )
+    assert {i for i, r in
+            {r["vec_id"]: r for r in ivf.collect()}.items()
+            if r["contaminated"] == 1} == {3, 7}
+
+    with pytest.raises(ValueError, match="method"):
+        decontaminate_embeddings(corpus, bench, method="lsh")
