@@ -607,35 +607,64 @@ def decontaminate_embeddings(
     that survive the exact n-gram, fuzzy-shingle, and pHash screens
     (paraphrases, re-crops, style transfers).
 
-    Two methods, identical output columns:
+    Three methods, identical output columns:
 
-    * ``"broadcast"`` (exact, default): the benchmark side — small by
-      construction — broadcasts through a BroadcastNestedLoopJoin; each
-      corpus row evaluates |bench| cosines inside whole-stage codegen
-      and the corpus itself NEVER shuffles (the text/image tiers'
-      contract).  Per-row work is O(|bench| * dim): right up to eval
-      sets of ~1e4-1e5 vectors; beyond that use ``"ivf"``.
-    * ``"ivf"`` (scale path): centroids fit on the BENCHMARK (cheap —
-      it is the small side), both sides assigned to cells in-task, and
-      the cosine check runs only against same-cell benchmark vectors —
-      SemDeDup's recall shape (`ivf_dup_pairs`): near-identical vectors
-      share a cell essentially always, and the pairs the cell partition
-      skips are the distant ones a radius screen doesn't want anyway.
+    * ``"broadcast"`` (exact, the ORACLE path): the benchmark side —
+      small by construction — broadcasts through a
+      BroadcastNestedLoopJoin; each corpus row evaluates |bench|
+      cosines via higher-order-function expressions and the corpus
+      itself NEVER shuffles (the text/image tiers' contract).
+      Measured ~30 us per cosine pair (HOF lambdas are interpreted per
+      element, not codegen'd) — fine for oracle-scale data, 100x too
+      slow for production (the 200k x 1k probe below).
+    * ``"blas"`` (exact, the SCALE path): one numpy GEMM per Arrow
+      batch against the L2-normalized benchmark matrix shipped in the
+      UDF closure (the `ivf_assign` pattern; the O(|bench| x dim)
+      driver collect mirrors the codebook collects).  Identical flags
+      to "broadcast" — measured 191 s -> 0.87 s on 200k x 1k x dim-64
+      (~220x, same 45,674 flags) — with one caveat: numpy rounds
+      half-even where the JVM rounds half-up, so a cosine EXACTLY at
+      the 4th-decimal midpoint of the threshold can flag differently
+      (measure-zero on real embeddings).  No joins at all: one in-task
+      projection.  Closure memory bounds |bench| at ~1e5-1e6 vectors
+      (dim-64 doubles: 51 MB at 1e5); beyond that, shard the benchmark
+      and OR the flags.
+    * ``"ivf"`` (candidate-pruned path): centroids fit on the
+      BENCHMARK (cheap — it is the small side), both sides assigned to
+      cells in-task, and the cosine check runs only against same-cell
+      benchmark vectors — SemDeDup's recall shape (`ivf_dup_pairs`).
+      Measured honestly SLOWER than "blas" at 1k bench (27 s vs
+      0.87 s): its per-candidate cosine is a higher-order-function
+      expression (~0.5 us/element) while the GEMM runs ~0.3 ns/element,
+      a gap no cell pruning closes at small |bench| — prefer "blas"
+      whenever the benchmark fits the closure.
 
     Cosine is rounded to 4 decimals BEFORE thresholding so the
     predicate is reproducible cross-engine (`cosine_dup_pairs`
     convention).  Returns ``corpus_df`` + ``n_bench_hits``,
     ``max_cos`` (NULL for clean rows), ``contaminated`` (int 0/1).
     """
+    if method == "blas":
+        return _decontaminate_embeddings_blas(
+            corpus_df, bench_df, bench_id, vec_col, min_cosine
+        )
     if method not in ("broadcast", "ivf"):
-        raise ValueError(f"method must be 'broadcast' or 'ivf': {method!r}")
+        raise ValueError(
+            f"method must be 'broadcast', 'blas', or 'ivf': {method!r}"
+        )
     bench = bench_df.select(
         F.col(bench_id).alias("_bid"), F.col(vec_col).alias("_bvec")
     )
     corpus = corpus_df.select(corpus_id, vec_col)
+    # zero-norm guard (the `_assign_labeled` convention, pinned on both
+    # engines in the kmeans oracle): a degenerate all-zero vector has
+    # cos := 0 to everything — under ANSI mode a bare division would
+    # abort the whole screen on one empty embedding
+    norms = _norm(F.col(vec_col)) * _norm(F.col("_bvec"))
     cos = F.round(
-        _dot(F.col(vec_col), F.col("_bvec"))
-        / (_norm(F.col(vec_col)) * _norm(F.col("_bvec"))),
+        F.when(
+            norms > 0, _dot(F.col(vec_col), F.col("_bvec")) / norms
+        ).otherwise(F.lit(0.0)),
         4,
     )
     if method == "broadcast":
@@ -674,4 +703,70 @@ def decontaminate_embeddings(
             "n_bench_hits", F.coalesce("n_bench_hits", F.lit(0).cast("long"))
         )
         .withColumn("contaminated", (F.col("n_bench_hits") > 0).cast("int"))
+    )
+
+
+def _decontaminate_embeddings_blas(
+    corpus_df: DataFrame,
+    bench_df: DataFrame,
+    bench_id: str,
+    vec_col: str,
+    min_cosine: float,
+) -> DataFrame:
+    """The GEMM screen behind ``decontaminate_embeddings(method="blas")``:
+    the benchmark matrix (normalized driver-side, O(|bench| x dim) like
+    the IVF codebook collects) rides the pandas_udf closure; each Arrow
+    batch of corpus vectors is one ``rows @ bench.T`` matmul.  Zero
+    joins, zero shuffles — the screen is a per-row projection."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = bench_df.select(bench_id, vec_col).collect()
+    if not rows:
+        return (
+            corpus_df.withColumn(
+                "n_bench_hits", F.lit(0).cast("long")
+            )
+            .withColumn("max_cos", F.lit(None).cast("double"))
+            .withColumn("contaminated", F.lit(0))
+        )
+    bmat = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    bnorm = np.linalg.norm(bmat, axis=1)
+    bnorm[bnorm == 0] = 1.0  # zero bench vector: cos := 0 convention
+    bmat = bmat / bnorm[:, None]
+    thr = float(min_cosine)
+
+    out_type = T.StructType([
+        T.StructField("n_bench_hits", T.LongType()),
+        T.StructField("max_cos", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def screen(vs: pd.Series) -> pd.DataFrame:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        if mat.size == 0:
+            return pd.DataFrame({"n_bench_hits": [], "max_cos": []})
+        rn = np.linalg.norm(mat, axis=1)
+        rn[rn == 0] = 1.0
+        cos = np.round((mat / rn[:, None]) @ bmat.T, 4)
+        hit = cos >= thr
+        n = hit.sum(axis=1).astype("int64")
+        mx = np.max(np.where(hit, cos, -np.inf), axis=1)
+        return pd.DataFrame({
+            "n_bench_hits": n,
+            "max_cos": np.where(n > 0, mx, np.nan),
+        })
+
+    s = screen(F.col(vec_col))
+    return (
+        corpus_df.withColumn("_s", s)
+        .withColumn("n_bench_hits", F.col("_s.n_bench_hits"))
+        .withColumn(
+            "max_cos",
+            F.when(F.col("_s.n_bench_hits") > 0, F.col("_s.max_cos")),
+        )
+        .withColumn(
+            "contaminated", (F.col("_s.n_bench_hits") > 0).cast("int")
+        )
+        .drop("_s")
     )

@@ -467,13 +467,19 @@ def test_decontaminate_embeddings_broadcast_and_ivf(spark):
         "bench_id string, embedding array<double>",
     )
 
+    # a zero vector (empty-doc embedding) must not abort the screen
+    # under ANSI mode: cos := 0 to everything (the kmeans convention)
+    corpus = corpus.unionByName(spark.createDataFrame(
+        [(999, [0.0] * 16)], "vec_id long, embedding array<double>"))
+
     out = decontaminate_embeddings(corpus, bench, min_cosine=0.95)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
 
     rows = {r["vec_id"]: r for r in out.collect()}
-    assert len(rows) == 60
+    assert len(rows) == 61
+    assert rows[999]["contaminated"] == 0
     assert {i for i, r in rows.items() if r["contaminated"] == 1} == {3, 7}
     assert rows[3]["n_bench_hits"] == 1 and rows[3]["max_cos"] >= 0.95
     assert rows[5]["max_cos"] is None and rows[5]["n_bench_hits"] == 0
@@ -484,6 +490,21 @@ def test_decontaminate_embeddings_broadcast_and_ivf(spark):
     assert {i for i, r in
             {r["vec_id"]: r for r in ivf.collect()}.items()
             if r["contaminated"] == 1} == {3, 7}
+
+    # GEMM scale path: flags AND stats match the broadcast oracle path
+    blas = {r["vec_id"]: r for r in decontaminate_embeddings(
+        corpus, bench, min_cosine=0.95, method="blas").collect()}
+    for i, r in rows.items():
+        assert blas[i]["contaminated"] == r["contaminated"], i
+        assert blas[i]["n_bench_hits"] == r["n_bench_hits"], i
+        if r["max_cos"] is None:
+            assert blas[i]["max_cos"] is None, i
+        else:
+            assert abs(blas[i]["max_cos"] - r["max_cos"]) < 1e-9, i
+
+    # empty benchmark: identity flags, nothing contaminated
+    empty = decontaminate_embeddings(corpus, bench.limit(0), method="blas")
+    assert empty.filter(F.col("contaminated") == 1).count() == 0
 
     with pytest.raises(ValueError, match="method"):
         decontaminate_embeddings(corpus, bench, method="lsh")
