@@ -39,6 +39,11 @@ def curate(
     drop_benchmark_ids: bool = False,
     fuzzy_decon: bool = False,
     budget_tokens: int | None = None,
+    embeddings_df=None,
+    bench_embeddings_df=None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+    emb_min_cosine: float = 0.95,
 ):
     """The composed curation DataFrame (shared by the job and tests).
 
@@ -56,6 +61,14 @@ def curate(
     ``budget_tokens`` (requires ``strata_cols``) appends a greedy
     per-stratum token-budget selection (``budget_fill``, TTR-scored)
     AFTER dedup and capping — the final "fill the training mix" stage.
+
+    ``embeddings_df`` + ``bench_embeddings_df`` (given together) add the
+    SEMANTIC decontamination tier: corpus rows whose embedding (keyed by
+    ``emb_id_col`` = the doc id) is within ``emb_min_cosine`` of any
+    benchmark embedding are dropped — paraphrased eval leaks that both
+    the exact n-gram and fuzzy-shingle tiers miss.  Runs the GEMM
+    (``method='blas'``) screen of ``decontaminate_embeddings``: one
+    matmul per Arrow batch, no joins, corpus never shuffles.
     """
     if (per_stratum_cap is None) != (not strata_cols):
         raise ValueError(
@@ -69,6 +82,12 @@ def curate(
         raise ValueError(
             "budget_tokens requires strata_cols (the budget is "
             "per-stratum; a global budget would be a global sort)"
+        )
+    if (embeddings_df is None) != (bench_embeddings_df is None):
+        raise ValueError(
+            "embeddings_df and bench_embeddings_df must be given "
+            "together (a corpus side without a benchmark side, or vice "
+            "versa, would silently skip the semantic tier)"
         )
     from fuzzymatch_spark.operators.corpus import (
         budget_fill,
@@ -102,6 +121,25 @@ def curate(
             .filter(F.col("fuzzy_contaminated") == 0)
             .drop("fuzzy_contaminated")
         )
+    if embeddings_df is not None:
+        # semantic tier on the survivors of the cheap gates; dirty ids
+        # are bounded by contamination volume, so the cut is an
+        # ids-only broadcast anti-join (the decon-stage convention)
+        from fuzzymatch_spark.operators.ann import decontaminate_embeddings
+
+        emb_dirty = (
+            decontaminate_embeddings(
+                embeddings_df,
+                bench_embeddings_df,
+                corpus_id=emb_id_col,
+                vec_col=emb_vec_col,
+                min_cosine=emb_min_cosine,
+                method="blas",
+            )
+            .filter(F.col("contaminated") == 1)
+            .select(F.col(emb_id_col).alias(id_col))
+        )
+        gated = gated.join(F.broadcast(emb_dirty), id_col, "left_anti")
     if drop_benchmark_ids:
         gated = gated.join(
             benchmark_df.select(id_col), id_col, "left_anti"
@@ -169,6 +207,18 @@ def main() -> None:
     ap.add_argument("--budget-tokens", type=int, default=None,
                     help="per-stratum token budget: keep the TTR-ranked "
                          "prefix that fits (requires --strata)")
+    ap.add_argument("--embeddings", default=None,
+                    help="parquet path of corpus embeddings "
+                         "(<emb-id-col>, embedding) keyed by the doc id: "
+                         "adds the semantic decontamination tier "
+                         "(GEMM screen vs the benchmark embeddings)")
+    ap.add_argument("--bench-embeddings", default=None,
+                    help="parquet path of benchmark embeddings "
+                         "(bench_id, embedding); defaults to the corpus "
+                         "embeddings of the benchmark ids in "
+                         "--benchmark-source mode")
+    ap.add_argument("--emb-id-col", default="vec_id")
+    ap.add_argument("--emb-min-cosine", type=float, default=0.95)
     ap.add_argument("--output", required=True)
     args = ap.parse_args()
 
@@ -186,6 +236,28 @@ def main() -> None:
     else:
         raise SystemExit("need --benchmark or --benchmark-source")
 
+    emb = bench_emb = None
+    if args.embeddings:
+        emb = spark.read.parquet(args.embeddings)
+        if args.bench_embeddings:
+            bench_emb = spark.read.parquet(args.bench_embeddings)
+        elif args.benchmark_source:
+            # benchmark rows live inside --input: their embeddings are
+            # the corpus embeddings at the benchmark ids
+            bench_emb = emb.join(
+                bench.select(
+                    F.col(args.id_col).alias(args.emb_id_col)
+                ),
+                args.emb_id_col,
+            ).select(
+                F.col(args.emb_id_col).alias("bench_id"), "embedding"
+            )
+        else:
+            raise SystemExit(
+                "--embeddings needs --bench-embeddings "
+                "(or --benchmark-source to derive them)"
+            )
+
     out = curate(
         df, args.id_col, args.text_col, bench,
         ngram_n=args.ngram_n,
@@ -197,6 +269,10 @@ def main() -> None:
         drop_benchmark_ids=bool(args.benchmark_source),
         fuzzy_decon=args.fuzzy_decontaminate,
         budget_tokens=args.budget_tokens,
+        embeddings_df=emb,
+        bench_embeddings_df=bench_emb,
+        emb_id_col=args.emb_id_col,
+        emb_min_cosine=args.emb_min_cosine,
     )
     parts = args.partition_by.split(",") if args.partition_by else []
     write_curated(spark, out, args.output, parts)

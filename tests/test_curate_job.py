@@ -119,3 +119,38 @@ def test_curate_budget_requires_strata(spark, documents):
     bench = docs.filter(F.col("source") == "src0")
     with _pytest.raises(ValueError):
         curate(docs, "doc_id", "text", bench, budget_tokens=100)
+
+
+def test_curate_embedding_tier_drops_semantic_leaks(spark, documents, embeddings):
+    """The semantic tier: a corpus doc whose EMBEDDING sits within the
+    cosine threshold of a benchmark embedding drops out even though its
+    text shares no n-grams with the benchmark; both-or-neither param
+    validation holds."""
+    import pytest
+
+    docs = documents.select("doc_id", "lang", "source", "text")
+    bench = docs.filter(F.col("source") == "src0")
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # benchmark embeddings: perturbed copies of the vectors at doc ids
+    # 1 and 3 (cos ~0.99 vs those corpus docs ONLY — driver embeddings
+    # are independent random vectors)
+    bench_emb = emb.filter(F.col("vec_id").isin(1, 3)).select(
+        F.col("vec_id").cast("string").alias("bench_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+
+    base = curate(docs, "doc_id", "text", bench, ngram_n=4)
+    out = curate(
+        docs, "doc_id", "text", bench, ngram_n=4,
+        embeddings_df=emb, bench_embeddings_df=bench_emb,
+    )
+    base_ids = {r["doc_id"] for r in base.collect()}
+    got_ids = {r["doc_id"] for r in out.collect()}
+    dropped = base_ids - got_ids
+    assert dropped == ({1, 3} & base_ids), dropped
+    assert got_ids == base_ids - {1, 3}
+
+    with pytest.raises(ValueError, match="together"):
+        curate(docs, "doc_id", "text", bench, embeddings_df=emb)
