@@ -1018,9 +1018,9 @@ def survivor_payload_filter(
     exchanges O(fp_rate * |survivors| + |drops|) ids.  Payload bytes
     never enter an Exchange (plan-gated).  When even the drop set's
     Bloom outgrows the broadcast budget (~10^10 drops at 10 bits/id is
-    ~12 GB), run the pass per corpus shard — each shard's drop subset
-    re-bounds the filter — rather than falling back to the payload
-    shuffle.
+    ~12 GB), use ``survivor_payload_filter_sharded`` — hash-aligned
+    shards re-bound each pass's filter — rather than falling back to
+    the payload shuffle.
 
     Measured crossover (``scripts/probe_payload_emit.py``, BENCH.md):
     with a 25% drop rate over 2M rows the plain anti-join WINS at 512 B
@@ -1145,3 +1145,50 @@ def decontaminate_images(
             "contaminated", (F2.col("n_bench_hits") > 0).cast("int")
         )
     )
+
+
+def survivor_payload_filter_sharded(
+    images_df: DataFrame,
+    drop_ids_df: DataFrame,
+    n_shards: int,
+    id_col: str = "image_id",
+    bits_per_id: int = 10,
+) -> DataFrame:
+    """`survivor_payload_filter` for drop sets whose Bloom outgrows the
+    broadcast budget (~10^10 drops at 10 bits/id is ~12 GB of filter):
+    split the id space into ``n_shards`` hash-aligned shards and run the
+    Bloom pass per shard.
+
+    The alignment is the whole trick: shard ``s`` of the PAYLOAD can
+    only be dropped by ids in shard ``s`` of the DROP set (same
+    ``pmod(xxhash64(id), n_shards)`` on both sides), so each pass
+    builds a filter over |drops|/n_shards ids — pick ``n_shards`` to
+    bring that under the broadcast budget.  Each shard's plan is
+    exactly the single-shard operator's (payload scanned once per
+    shard with the shard predicate pushed to the scan, bytes never in
+    an Exchange); the union of shard outputs is EXACTLY the unsharded
+    output, pinned by test.
+
+    Cost: ``n_shards`` sequential passes (one Bloom build + one
+    fp-recovery job each) and n_shards scans of the payload source —
+    each scan reading ~1/n_shards of the rows after the pushed shard
+    filter (with parquet the filter prunes row groups only as well as
+    ids cluster; hive-partitioning the payload by the same shard key
+    makes it exact partition pruning).  Driver-side loop, executor-side
+    data — nothing here collects payloads.
+    """
+    from pyspark.sql import functions as F2
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F2.pmod(F2.xxhash64(F2.col(id_col)), F2.lit(n_shards))
+    out = None
+    for s in range(n_shards):
+        part = survivor_payload_filter(
+            images_df.where(shard == s),
+            drop_ids_df.where(shard == s),
+            id_col=id_col,
+            bits_per_id=bits_per_id,
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

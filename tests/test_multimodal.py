@@ -588,3 +588,33 @@ def test_decontaminate_images_radius_and_plan(spark):
 
     with pytest.raises(ValueError, match="max_hamming"):
         decontaminate_images(corpus, bench, max_hamming=-1)
+
+
+def test_survivor_payload_filter_sharded_matches_unsharded(spark):
+    """Hash-aligned sharding: the union of per-shard Bloom passes must
+    equal the single-pass output exactly (the beyond-broadcast-budget
+    escape hatch), for shard counts that do and don't divide the data
+    evenly — including n_shards=1 (degenerate) and a forced-FP filter."""
+    from fuzzymatch_spark.operators.multimodal import (
+        survivor_payload_filter,
+        survivor_payload_filter_sharded,
+    )
+
+    rows = [(f"img_{i}", bytes([i % 256]) * 8) for i in range(300)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    drops = spark.createDataFrame(
+        [(f"img_{i}",) for i in range(0, 300, 7)], "image_id string"
+    )
+    want = {r["image_id"]
+            for r in survivor_payload_filter(df, drops).collect()}
+    for n_shards in (1, 3, 8):
+        got = {r["image_id"] for r in survivor_payload_filter_sharded(
+            df, drops, n_shards=n_shards).collect()}
+        assert got == want, n_shards
+    # undersized filter: the fp-recovery path must stay exact per shard
+    got_fp = {r["image_id"] for r in survivor_payload_filter_sharded(
+        df, drops, n_shards=4, bits_per_id=1).collect()}
+    assert got_fp == want
+
+    with pytest.raises(ValueError, match="n_shards"):
+        survivor_payload_filter_sharded(df, drops, n_shards=0)
