@@ -3338,8 +3338,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             edots AS (
               SELECT vec_id, bench_id,
-                     round(sum(x * y)
-                           / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+                     round(CASE WHEN sqrt(sum(x * x)) * sqrt(sum(y * y)) > 0
+                                THEN sum(x * y)
+                                     / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                                ELSE 0.0 END, 4) AS cos
               FROM eterms GROUP BY vec_id, bench_id
             ),
             ehits AS (
@@ -4172,7 +4174,9 @@ def oracle_sql() -> dict[str, str]:
                          sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb
                   FROM terms GROUP BY vec_id
                 )
-                SELECT vec_id, round(dot / (na * nb), 5) AS cos
+                SELECT vec_id,
+                       round(CASE WHEN na * nb > 0 THEN dot / (na * nb)
+                                  ELSE 0.0 END, 5) AS cos
                 FROM dots
                 ORDER BY cos DESC, vec_id ASC
                 LIMIT 10
@@ -4196,7 +4200,10 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY e.vec_id, c.cid
                 ),
                 scored AS (
-                  SELECT vec_id, cid, round(dot / (ne * nc), 6) AS cos FROM pairs
+                  SELECT vec_id, cid,
+                         round(CASE WHEN ne * nc > 0 THEN dot / (ne * nc)
+                                    ELSE 0.0 END, 6) AS cos
+                  FROM pairs
                 ),
                 assign AS (
                   SELECT vec_id, cid AS cell FROM (
@@ -4228,7 +4235,9 @@ def oracle_sql() -> dict[str, str]:
                          sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb
                   FROM terms GROUP BY vec_id
                 )
-                SELECT vec_id, round(dot / (na * nb), 5) AS cos
+                SELECT vec_id,
+                       round(CASE WHEN na * nb > 0 THEN dot / (na * nb)
+                                  ELSE 0.0 END, 5) AS cos
                 FROM dots
                 ORDER BY cos DESC, vec_id ASC
                 LIMIT 10
@@ -4403,8 +4412,12 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
               FROM terms GROUP BY a_id, b_id
             )
-            SELECT a_id, b_id, round(dot / (na * nb), 4) AS cos
-            FROM dots WHERE round(dot / (na * nb), 4) >= 0.9
+            SELECT a_id, b_id,
+                   round(CASE WHEN na * nb > 0 THEN dot / (na * nb)
+                              ELSE 0.0 END, 4) AS cos
+            FROM dots
+            WHERE round(CASE WHEN na * nb > 0 THEN dot / (na * nb)
+                             ELSE 0.0 END, 4) >= 0.9
         """,
         "ivf_semantic_dup_pairs": """
             WITH allv AS (
@@ -4457,7 +4470,11 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
               FROM terms GROUP BY a_id, b_id
             )
-            SELECT a_id, b_id, round(dot / (na * nb), 4) AS cos
-            FROM dots WHERE round(dot / (na * nb), 4) >= 0.9
+            SELECT a_id, b_id,
+                   round(CASE WHEN na * nb > 0 THEN dot / (na * nb)
+                              ELSE 0.0 END, 4) AS cos
+            FROM dots
+            WHERE round(CASE WHEN na * nb > 0 THEN dot / (na * nb)
+                             ELSE 0.0 END, 4) >= 0.9
         """,
     }

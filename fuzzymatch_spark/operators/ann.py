@@ -49,6 +49,17 @@ def _norm(a):
     )
 
 
+def _safe_cos(a, b):
+    """cos(a, b) under the engine's zero-norm convention (cos := 0 for a
+    degenerate all-zero vector — the `_assign_labeled` pin, mirrored in
+    every cosine oracle): under ANSI mode a bare division would abort
+    the whole job on ONE empty embedding.  For nonzero norms the value
+    is bit-identical to the bare division, so guarding changes nothing
+    on well-formed data."""
+    norms = _norm(a) * _norm(b)
+    return F.when(norms > 0, _dot(a, b) / norms).otherwise(F.lit(0.0))
+
+
 def cosine_topk(
     df: DataFrame,
     vec_col: str,
@@ -59,7 +70,7 @@ def cosine_topk(
     """Exact cosine top-k: TakeOrderedAndProject over a single projection
     pass; deterministic tie-break on id."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    cos = _safe_cos(F.col(vec_col), q)
     return (
         df.select(F.col(id_col), F.round(cos, 5).alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
@@ -83,7 +94,7 @@ def cosine_dup_pairs(
     """
     a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _safe_cos(F.col("va"), F.col("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("a_id") < F.col("b_id"))
@@ -137,7 +148,7 @@ def rhp_knn_pairs(
     )
     a = sketched.select(F.col("id").alias("a_id"), F.col("v").alias("va"))
     b = sketched.select(F.col("id").alias("b_id"), F.col("v").alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _safe_cos(F.col("va"), F.col("vb"))
     return (
         cand.join(a, on="a_id").join(b, on="b_id")
         .withColumn("cos", F.round(cos, 5))
@@ -268,7 +279,7 @@ def ivf_dup_pairs(
     b = assigned.select(
         "cell", F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb")
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _safe_cos(F.col("va"), F.col("vb"))
     return (
         a.join(b, on="cell")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -656,17 +667,7 @@ def decontaminate_embeddings(
         F.col(bench_id).alias("_bid"), F.col(vec_col).alias("_bvec")
     )
     corpus = corpus_df.select(corpus_id, vec_col)
-    # zero-norm guard (the `_assign_labeled` convention, pinned on both
-    # engines in the kmeans oracle): a degenerate all-zero vector has
-    # cos := 0 to everything — under ANSI mode a bare division would
-    # abort the whole screen on one empty embedding
-    norms = _norm(F.col(vec_col)) * _norm(F.col("_bvec"))
-    cos = F.round(
-        F.when(
-            norms > 0, _dot(F.col(vec_col), F.col("_bvec")) / norms
-        ).otherwise(F.lit(0.0)),
-        4,
-    )
+    cos = F.round(_safe_cos(F.col(vec_col), F.col("_bvec")), 4)
     if method == "broadcast":
         cand = corpus.crossJoin(F.broadcast(bench))
     else:
