@@ -675,6 +675,9 @@ def make_decontamination_sink(
     cfg: DedupConfig | None = None,
     jaccard_pct: int = 98,
     on_before_commit=None,
+    bench_embeddings_df: DataFrame | None = None,
+    emb_vec_col: str = "embedding",
+    emb_min_cosine: float = 0.95,
 ):
     """``foreachBatch`` decontamination gate: flag each micro-batch of NEW
     docs against a STATIC benchmark registry, in-flight — so contaminated
@@ -695,6 +698,14 @@ def make_decontamination_sink(
     memory-local recompute, not a re-scan).  For very large registries
     swap the exact tier to ``decontaminate_ngrams_bloom`` upstream and
     pass its residual through.
+
+    ``bench_embeddings_df`` (a static (bench_id, ``emb_vec_col``) table)
+    adds the SEMANTIC tier: stream rows must carry ``emb_vec_col``; each
+    batch runs the GEMM screen (``decontaminate_embeddings`` method
+    ``'blas'``) against the persisted benchmark matrix, so paraphrased
+    eval leaks that share no n-grams are quarantined in-flight too —
+    the flags land as ``emb_hits`` / ``emb_max_cos`` /
+    ``emb_contaminated`` next to the text tiers'.
     """
     from pyspark.sql import functions as F
 
@@ -713,28 +724,50 @@ def make_decontamination_sink(
         compute_signatures(bench, id_col, text_col, cfg).persist()
         if fuzzy else None
     )
+    bench_emb = (
+        bench_embeddings_df.persist()
+        if bench_embeddings_df is not None else None
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         flags = decontaminate_ngrams(
             batch_df, bench, id_col, text_col, n=ngram_n
         )
+        dirty = F.col("contaminated") == 1
         if fuzzy:
             fz = decontaminate_fuzzy(
                 batch_df, bench, id_col, text_col,
                 cfg=cfg, jaccard_pct=jaccard_pct, sig_bench=bench_sig,
             )
             flags = flags.join(fz, "doc_id")
-            dirty = (F.col("contaminated") == 1) | (
-                F.col("fuzzy_contaminated") == 1
+            dirty = dirty | (F.col("fuzzy_contaminated") == 1)
+        if bench_emb is not None:
+            from fuzzymatch_spark.operators.ann import (
+                decontaminate_embeddings,
             )
-        else:
-            dirty = F.col("contaminated") == 1
+
+            emb = decontaminate_embeddings(
+                batch_df.select(id_col, emb_vec_col),
+                bench_emb,
+                corpus_id=id_col,
+                vec_col=emb_vec_col,
+                min_cosine=emb_min_cosine,
+                method="blas",
+            ).select(
+                F.col(id_col).alias("doc_id"),
+                F.col("n_bench_hits").alias("emb_hits"),
+                F.col("max_cos").alias("emb_max_cos"),
+                F.col("contaminated").alias("emb_contaminated"),
+            )
+            flags = flags.join(emb, "doc_id")
+            dirty = dirty | (F.col("emb_contaminated") == 1)
         joined = batch_df.join(
             flags.withColumnRenamed("doc_id", id_col), id_col
         ).persist()
         joined.filter(~dirty).drop(
             *[c for c in ("n_gram_hits", "contaminated",
-                          "fuzzy_hits", "fuzzy_contaminated")
+                          "fuzzy_hits", "fuzzy_contaminated",
+                          "emb_hits", "emb_max_cos", "emb_contaminated")
               if c in joined.columns]
         ).write.mode("overwrite").parquet(
             f"{work_dir}/clean/batch={batch_id}"
@@ -764,6 +797,9 @@ def incremental_decontamination(
     cfg: DedupConfig | None = None,
     jaccard_pct: int = 98,
     available_now: bool = True,
+    bench_embeddings_df: DataFrame | None = None,
+    emb_vec_col: str = "embedding",
+    emb_min_cosine: float = 0.95,
 ):
     """File-source stream over landing doc shards →
     ``make_decontamination_sink``.  Tables under ``work_dir``:
@@ -779,6 +815,9 @@ def incremental_decontamination(
                 spark, work_dir, id_col, text_col, benchmark_df,
                 ngram_n=ngram_n, fuzzy=fuzzy, cfg=cfg,
                 jaccard_pct=jaccard_pct,
+                bench_embeddings_df=bench_embeddings_df,
+                emb_vec_col=emb_vec_col,
+                emb_min_cosine=emb_min_cosine,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

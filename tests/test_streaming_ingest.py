@@ -529,3 +529,49 @@ def test_phash_sink_benchmark_screen(spark, tmp_path):
             spark.read.parquet(f"{work}/decon").collect()} == {"i2", "i6"}
     assert {(r["a_id"], r["b_id"]) for r in
             spark.read.parquet(f"{work}/edges").collect()} == {("i1", "i4")}
+
+
+def test_decontamination_sink_embedding_tier(spark, tmp_path):
+    """The streaming SEMANTIC tier: a batch row whose embedding sits
+    within the cosine threshold of a benchmark embedding is flagged
+    (emb tier only — its text shares nothing with the benchmark), while
+    text-tier behavior is unchanged; clean rows keep no flag columns."""
+    import numpy as np
+
+    from fuzzymatch_spark.streaming.ingest import make_decontamination_sink
+
+    rng = np.random.RandomState(11)
+    vecs = {i: [float(x) for x in rng.randn(16)] for i in range(1, 5)}
+    schema = "doc_id long, text string, embedding array<double>"
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    bench = spark.createDataFrame(
+        [(900, bench_text)], "doc_id long, text string"
+    )
+    bench_emb = spark.createDataFrame(
+        [("ev", [x + 0.02 for x in vecs[3]])],  # ~cos 0.99 vs doc 3 only
+        "bench_id string, embedding array<double>",
+    )
+    work = str(tmp_path / "embdecon")
+    sink = make_decontamination_sink(
+        spark, work, "doc_id", "text", bench,
+        bench_embeddings_df=bench_emb,
+    )
+    rows = [
+        (1, "prefix " + bench_text + " suffix", vecs[1]),  # exact-tier leak
+        (2, "completely unrelated corpus document", vecs[2]),
+        (3, "another unrelated text entirely here", vecs[3]),  # emb leak
+        (4, "fourth clean document text goes here", vecs[4]),
+    ]
+    sink(spark.createDataFrame(rows, schema), 0)
+
+    clean = spark.read.parquet(f"{work}/clean")
+    flagged = {r["doc_id"]: r for r in
+               spark.read.parquet(f"{work}/flagged").collect()}
+    assert {r["doc_id"] for r in clean.collect()} == {2, 4}
+    assert set(flagged) == {1, 3}
+    assert flagged[3]["contaminated"] == 0          # text tiers blind
+    assert flagged[3]["fuzzy_contaminated"] == 0
+    assert flagged[3]["emb_contaminated"] == 1      # semantic tier catches
+    assert flagged[3]["emb_max_cos"] >= 0.95
+    assert flagged[1]["contaminated"] == 1 and flagged[1]["emb_contaminated"] == 0
+    assert set(clean.columns) == {"doc_id", "text", "embedding", "batch"}
