@@ -1104,6 +1104,11 @@ def decontaminate_images(
     Returns ``corpus_df`` + ``n_bench_hits`` (distinct benchmark images
     within the radius), ``min_hamming`` (NULL for clean rows), and
     ``contaminated`` (int 0/1).  Hashes must be non-null int64.
+
+    The hash column is generic (like the streaming sink's): pass
+    ``phash_col="cphash"`` with stored dihedral-canonical hashes
+    (``make_canonical_phash_udf``) and the same screen catches FLIPPED /
+    ROTATED re-posts of eval images that the plain pHash misses.
     """
     from pyspark.sql import functions as F2
 
