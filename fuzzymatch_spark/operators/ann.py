@@ -638,8 +638,9 @@ def decontaminate_embeddings(
       the 4th-decimal midpoint of the threshold can flag differently
       (measure-zero on real embeddings).  No joins at all: one in-task
       projection.  Closure memory bounds |bench| at ~1e5-1e6 vectors
-      (dim-64 doubles: 51 MB at 1e5); beyond that, shard the benchmark
-      and OR the flags.
+      (dim-64 doubles: 51 MB at 1e5); beyond that,
+      ``decontaminate_embeddings_sharded`` runs the GEMM per benchmark
+      shard and combines the flags.
     * ``"ivf"`` (candidate-pruned path): centroids fit on the
       BENCHMARK (cheap — it is the small side), both sides assigned to
       cells in-task, and the cosine check runs only against same-cell
@@ -770,4 +771,62 @@ def _decontaminate_embeddings_blas(
             "contaminated", (F.col("_s.n_bench_hits") > 0).cast("int")
         )
         .drop("_s")
+    )
+
+
+def decontaminate_embeddings_sharded(
+    corpus_df: DataFrame,
+    bench_df: DataFrame,
+    n_shards: int,
+    corpus_id: str = "vec_id",
+    bench_id: str = "bench_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """`decontaminate_embeddings(method="blas")` for benchmark sets that
+    outgrow the UDF closure (~1e5-1e6 vectors at dim-64 doubles): split
+    the BENCHMARK into ``n_shards`` hash shards, run the GEMM screen per
+    shard, and combine the flags — hits add, max cosine maxes, a row is
+    contaminated if ANY shard flags it.  Exactly the unsharded output,
+    pinned by test.
+
+    Unlike the payload filter's sharding (where hash alignment lets each
+    corpus shard face one drop shard), every corpus row must be checked
+    against EVERY benchmark shard — so the cost is ``n_shards`` corpus
+    scans of the (id, vector) projection, each at GEMM speed, and the
+    combine step exchanges only flagged ids.  Pick ``n_shards`` as
+    ceil(|bench| / closure_budget).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.pmod(F.xxhash64(F.col(bench_id).cast("string")), F.lit(n_shards))
+    parts = None
+    for s in range(n_shards):
+        p = (
+            decontaminate_embeddings(
+                corpus_df.select(corpus_id, vec_col),
+                bench_df.where(shard == s),
+                corpus_id=corpus_id,
+                bench_id=bench_id,
+                vec_col=vec_col,
+                min_cosine=min_cosine,
+                method="blas",
+            )
+            .filter(F.col("contaminated") == 1)
+            .select(corpus_id, "n_bench_hits", "max_cos")
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    hits = (
+        parts.groupBy(corpus_id)
+        .agg(
+            F.sum("n_bench_hits").cast("long").alias("n_bench_hits"),
+            F.max("max_cos").alias("max_cos"),
+        )
+    )
+    return (
+        corpus_df.join(F.broadcast(hits), corpus_id, "left")
+        .withColumn(
+            "n_bench_hits", F.coalesce("n_bench_hits", F.lit(0).cast("long"))
+        )
+        .withColumn("contaminated", (F.col("n_bench_hits") > 0).cast("int"))
     )

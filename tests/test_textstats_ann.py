@@ -508,3 +508,43 @@ def test_decontaminate_embeddings_broadcast_and_ivf(spark):
 
     with pytest.raises(ValueError, match="method"):
         decontaminate_embeddings(corpus, bench, method="lsh")
+
+
+def test_decontaminate_embeddings_sharded_matches_unsharded(spark):
+    """Benchmark sharding for closure-budget overflow: the per-shard GEMM
+    screens combine (hits add, max-cos maxes) to exactly the unsharded
+    flags — including a bench row landing alone in its shard and shard
+    counts exceeding the bench size (empty shards)."""
+    import numpy as np
+
+    from fuzzymatch_spark.operators.ann import (
+        decontaminate_embeddings,
+        decontaminate_embeddings_sharded,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 12).astype(np.float64)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(f"ev_{j}", [float(x) + 0.02 for x in vecs[j]]) for j in (2, 9, 11)]
+        + [("ev_dup", [float(x) - 0.02 for x in vecs[9]])],  # 2nd hit on 9
+        "bench_id string, embedding array<double>",
+    )
+    want = sorted(
+        (r["vec_id"], r["n_bench_hits"], r["max_cos"])
+        for r in decontaminate_embeddings(
+            corpus, bench, min_cosine=0.95).collect()
+    )
+    for n_shards in (1, 3, 8):
+        got = sorted(
+            (r["vec_id"], r["n_bench_hits"], r["max_cos"])
+            for r in decontaminate_embeddings_sharded(
+                corpus, bench, n_shards=n_shards).collect()
+        )
+        assert got == want, n_shards
+
+    with pytest.raises(ValueError, match="n_shards"):
+        decontaminate_embeddings_sharded(corpus, bench, n_shards=0)
