@@ -845,6 +845,14 @@ def dedup_tier_waterfall(
     so the shuffle carries at most one row per distinct (pair, tier) /
     (id, tier).  The three per-tier summaries are O(n_tiers) rows and
     join broadcast-style.  Nothing is collected; output is O(n_tiers).
+
+    The same analytics answer the DECONTAMINATION-ladder question (which
+    screen tier uniquely catches what) with zero new machinery: feed the
+    per-tier FLAG rows as self-edges —
+    ``dedup_tier_waterfall(flags.select(tier, id AS a_id, id AS b_id))``
+    — and ``total_pairs`` reads as docs flagged per tier,
+    ``marginal_pairs`` (= ``new_ids``) as docs whose CHEAPEST catching
+    tier is that one (pinned by test_decon_tier_waterfall_pattern).
     """
     t = F.col(tier_col).cast("int").alias("tier_rank")
     tiers = edges_df.select(t, a_col, b_col).distinct()

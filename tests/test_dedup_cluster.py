@@ -452,3 +452,24 @@ def test_dedup_tier_waterfall(spark):
     assert out == {0: (2, 2, 4), 1: (2, 1, 2), 2: (3, 1, 2), 3: (1, 0, 0)}
     # marginals partition the distinct pair set
     assert sum(m for _, m, _ in out.values()) == 4
+
+
+def test_decon_tier_waterfall_pattern(spark):
+    """The documented decon-ladder reuse of dedup_tier_waterfall: per-tier
+    flag rows fed as self-edges give flagged-doc totals and cheapest-tier
+    marginal attribution — tier 0 (exact) shadows everything it flags,
+    tiers only get credit for docs no cheaper tier caught."""
+    from fuzzymatch_spark.operators.dedup import dedup_tier_waterfall
+
+    # (tier, doc): exact flags {1,2}; fuzzy flags {2,3}; embedding {3,4,5}
+    rows = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (2, 5)]
+    flags = spark.createDataFrame(rows, "tier_rank int, doc_id long")
+    wf = {r["tier_rank"]: r for r in dedup_tier_waterfall(
+        flags.select("tier_rank",
+                     F.col("doc_id").alias("a_id"),
+                     F.col("doc_id").alias("b_id"))).collect()}
+    assert wf[0]["total_pairs"] == 2 and wf[0]["marginal_pairs"] == 2
+    assert wf[1]["total_pairs"] == 2 and wf[1]["marginal_pairs"] == 1  # doc 3
+    assert wf[2]["total_pairs"] == 3 and wf[2]["marginal_pairs"] == 2  # 4, 5
+    for r in wf.values():
+        assert r["new_ids"] == r["marginal_pairs"]  # self-edges: identical
