@@ -21,6 +21,8 @@ from fuzzymatch_spark.operators.cluster import (
 )
 from fuzzymatch_spark.operators.ann import (
     cosine_topk,
+    decontaminate_embeddings,
+    decontaminate_embeddings_sharded,
     ivf_assign,
     ivf_build,
     ivf_dup_pairs,
@@ -28,6 +30,16 @@ from fuzzymatch_spark.operators.ann import (
     ivf_topk,
     load_ivf_codebook,
     rhp_knn_pairs,
+)
+from fuzzymatch_spark.operators.corpus import (
+    decontaminate_fuzzy,
+    decontaminate_ngrams,
+    decontaminate_ngrams_bloom,
+)
+from fuzzymatch_spark.operators.multimodal import (
+    decontaminate_images,
+    survivor_payload_filter,
+    survivor_payload_filter_sharded,
 )
 from fuzzymatch_spark.operators.fuzzyjoin import (
     fuzzy_token_candidates,
@@ -51,6 +63,14 @@ __all__ = [
     "cluster_size_histogram",
     "canonical_corpus",
     "cosine_topk",
+    "decontaminate_embeddings",
+    "decontaminate_embeddings_sharded",
+    "decontaminate_fuzzy",
+    "decontaminate_images",
+    "decontaminate_ngrams",
+    "decontaminate_ngrams_bloom",
+    "survivor_payload_filter",
+    "survivor_payload_filter_sharded",
     "ivf_assign",
     "ivf_build",
     "ivf_dup_pairs",
