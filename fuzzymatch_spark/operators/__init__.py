@@ -31,20 +31,31 @@ from fuzzymatch_spark.operators.ann import (
     load_ivf_codebook,
     rhp_knn_pairs,
 )
-from fuzzymatch_spark.operators.corpus import (
-    decontaminate_fuzzy,
-    decontaminate_ngrams,
-    decontaminate_ngrams_bloom,
-)
-from fuzzymatch_spark.operators.multimodal import (
-    decontaminate_images,
-    survivor_payload_filter,
-    survivor_payload_filter_sharded,
-)
 from fuzzymatch_spark.operators.fuzzyjoin import (
     fuzzy_token_candidates,
     fuzzy_token_join,
 )
+
+# corpus/multimodal re-exports resolve LAZILY (PEP 562): multimodal
+# imports sources.images, whose import chain reaches plans.pipeline and
+# back into this package — an eager import here closes that loop into an
+# ImportError.  Lazy resolution happens after all packages initialize.
+_LAZY = {
+    "decontaminate_fuzzy": "fuzzymatch_spark.operators.corpus",
+    "decontaminate_ngrams": "fuzzymatch_spark.operators.corpus",
+    "decontaminate_ngrams_bloom": "fuzzymatch_spark.operators.corpus",
+    "decontaminate_images": "fuzzymatch_spark.operators.multimodal",
+    "survivor_payload_filter": "fuzzymatch_spark.operators.multimodal",
+    "survivor_payload_filter_sharded": "fuzzymatch_spark.operators.multimodal",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [
     "score_candidates",
