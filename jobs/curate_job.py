@@ -218,6 +218,7 @@ def main() -> None:
                          "embeddings of the benchmark ids in "
                          "--benchmark-source mode")
     ap.add_argument("--emb-id-col", default="vec_id")
+    ap.add_argument("--emb-vec-col", default="embedding")
     ap.add_argument("--emb-min-cosine", type=float, default=0.95)
     ap.add_argument("--output", required=True)
     args = ap.parse_args()
@@ -250,7 +251,7 @@ def main() -> None:
                 ),
                 args.emb_id_col,
             ).select(
-                F.col(args.emb_id_col).alias("bench_id"), "embedding"
+                F.col(args.emb_id_col).alias("bench_id"), args.emb_vec_col
             )
         else:
             raise SystemExit(
@@ -272,6 +273,7 @@ def main() -> None:
         embeddings_df=emb,
         bench_embeddings_df=bench_emb,
         emb_id_col=args.emb_id_col,
+        emb_vec_col=args.emb_vec_col,
         emb_min_cosine=args.emb_min_cosine,
     )
     parts = args.partition_by.split(",") if args.partition_by else []
