@@ -126,13 +126,31 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+# One cached RandomState, RESEEDED per use: ``RandomState(seed)`` object
+# construction measured 107 us on this numpy while ``rs.seed(seed)`` on a
+# cached instance is 1.8 us with IDENTICAL draws (same legacy MT19937
+# seeding) — the ctor was ~15% of the whole 1.4 ms/row image build.  The
+# synthesis paths are single-threaded per Python worker; each use fully
+# reseeds before drawing, so calls cannot contaminate each other.
+_RS = np.random.RandomState(0)
+
+
+def _reseeded(seed: int) -> np.random.RandomState:
+    _RS.seed(seed)
+    return _RS
+
+
 def synth_pixels(image_id: str, w: int = 48, h: int = 48) -> np.ndarray:
     """Deterministic pixels seeded by image id: low-frequency random field
-    (kron-upscaled 6x6 blocks) + mild noise so the DCT pHash is meaningful."""
+    (block-upscaled 6x6 grid, the kron shape) + mild noise so the DCT
+    pHash is meaningful.  ``repeat`` replaces the original ``np.kron``
+    (bit-identical integers, 23.5 -> 3.1 us) and the RNG is the cached
+    reseeded instance — same draws, no 107 us ctor."""
     seed = int.from_bytes(hashlib.blake2b(image_id.encode(), digest_size=4).digest(), "little")
-    rng = np.random.RandomState(seed)
+    rng = _reseeded(seed)
     base = rng.randint(0, 256, size=(6, 6))
-    up = np.kron(base, np.ones((h // 6 + 1, w // 6 + 1)))[:h, :w]
+    rep = (h // 6 + 1, w // 6 + 1)
+    up = base.repeat(rep[0], axis=0).repeat(rep[1], axis=1)[:h, :w]
     noise = rng.randint(-8, 9, size=(h, w))
     return np.clip(up + noise, 0, 255).astype(np.uint8)
 
@@ -167,16 +185,27 @@ def _iter_images(rid: str, caption, seed: int, dup_fraction: float):
         )
 
 
-def _batch_image_rows(rids, captions, seed: int, dup_fraction: float):
+def _batch_image_rows(
+    rids, captions, seed: int, dup_fraction: float, want_dhash: bool = True
+):
     """Batched equivalent of chaining ``_iter_images`` over the rows:
     identical rows in identical order (pinned by
     tests/test_images_phash.py), with the JPEG encode/decode legs routed
     through the chunked batch codec — the per-image fixed cost of the
-    vectorized codec is what dominated the per-row path."""
+    vectorized codec is what dominated the per-row path — and ALL hashes
+    computed by the bit-identical batch kernels (``phash64_batch``:
+    amortized numpy call overhead, ~1.4x over the scalar loop).
+
+    ``want_dhash=False`` emits 7-slot rows without the tier-2 dHash
+    digest: callers that never read slot 7 (``build_images_df``, the
+    scaling bench's ``build_phash_df(with_dhash=False)``) skip its
+    ~0.06 ms/image cost."""
+    from fuzzymatch_spark.kernels.phash import dhash64_batch, phash64_batch
+
     prim = []
     for rid, caption in zip(rids, captions):
         px = synth_pixels(rid)
-        rng = np.random.RandomState(
+        rng = _reseeded(
             int.from_bytes(
                 hashlib.blake2b(
                     (rid + str(seed)).encode(), digest_size=4
@@ -192,7 +221,9 @@ def _batch_image_rows(rids, captions, seed: int, dup_fraction: float):
     tdata = jpeg_encode_batch([p[2] for p in prim if p[4]], 85)
     tdec = jpeg_decode_batch(tdata)
     ji = ti = 0
-    rows = []
+    # assemble rows with decoded pixels first, hash once in batch at the end
+    staged = []
+    decoded_all = []
     for rid, caption, px, fmt, has_twin in prim:
         h0, w0 = px.shape
         if fmt == "jpeg":
@@ -201,18 +232,21 @@ def _batch_image_rows(rids, captions, seed: int, dup_fraction: float):
         else:
             data = encode_image(px, "png", quality=95)
             decoded = decode_image(data)
-        rows.append(
-            (f"img_{rid}", data, w0, h0, fmt, caption,
-             phash64(decoded), dhash64(decoded))
-        )
+        staged.append((f"img_{rid}", data, w0, h0, fmt, caption))
+        decoded_all.append(decoded)
         if has_twin:
             data2, dec2 = tdata[ti], tdec[ti]
             ti += 1
-            rows.append(
-                (f"img_{rid}_dup", data2, w0, h0, "jpeg", caption,
-                 phash64(dec2), dhash64(dec2))
-            )
-    return rows
+            staged.append((f"img_{rid}_dup", data2, w0, h0, "jpeg", caption))
+            decoded_all.append(dec2)
+    phs = phash64_batch(decoded_all)
+    if want_dhash:
+        dhs = dhash64_batch(decoded_all)
+        return [
+            s + (int(ph), int(dh))
+            for s, ph, dh in zip(staged, phs, dhs)
+        ]
+    return [s + (int(ph),) for s, ph in zip(staged, phs)]
 
 
 def build_images_df(
@@ -239,7 +273,8 @@ def build_images_df(
         for pdf in batches:
             out = {k: [] for k in cols}
             for row in _batch_image_rows(
-                pdf[id_col].astype(str), pdf[caption_col], seed, dup_fraction
+                pdf[id_col].astype(str), pdf[caption_col], seed, dup_fraction,
+                want_dhash=False,
             ):
                 for k, v in zip(cols, row):
                     out[k].append(v)
@@ -276,7 +311,8 @@ def build_phash_df(
             phs: list = []
             dhs: list = []
             for row in _batch_image_rows(
-                pdf[id_col].astype(str), pdf[caption_col], seed, dup_fraction
+                pdf[id_col].astype(str), pdf[caption_col], seed, dup_fraction,
+                want_dhash=with_dhash,
             ):
                 ids.append(row[0])
                 phs.append(row[6])
@@ -299,18 +335,21 @@ def make_phash_udf():
 
     @F.pandas_udf(LongType())
     def phash_from_bytes(blobs: pd.Series) -> pd.Series:
+        from fuzzymatch_spark.kernels.phash import phash64_batch
+
         out = np.zeros(len(blobs), dtype=np.int64)
         items = [
             (k, bytes(d)) for k, d in enumerate(blobs) if d is not None
         ]
         jpegs = [(k, d) for k, d in items if d[:2] == b"\xff\xd8"]
-        for (k, _), px in zip(
-            jpegs, jpeg_decode_batch([d for _, d in jpegs])
-        ):
-            out[k] = phash64(px)
-        for k, d in items:
-            if d[:2] != b"\xff\xd8":
-                out[k] = phash64(decode_image(d))
+        others = [(k, d) for k, d in items if d[:2] != b"\xff\xd8"]
+        pixels = jpeg_decode_batch([d for _, d in jpegs]) + [
+            decode_image(d) for _, d in others
+        ]
+        if pixels:
+            hashes = phash64_batch(pixels)
+            for (k, _), h in zip(jpegs + others, hashes):
+                out[k] = h
         return pd.Series(out)
 
     return phash_from_bytes
