@@ -18,6 +18,38 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir() -> str | None:
+    """Fastest safe scratch space for shuffle files / disk spill.
+
+    Measured (r7, 400k-image Hamming join, pinned): with the default
+    /tmp (virtual disk) the 11.2M-row band exchange was FLAT across core
+    counts — 10.2 s at local[8] vs 13.8 s at local[32], i.e. the shuffle
+    was disk-bound, not CPU-bound — while on a tmpfs local dir the same
+    join runs 8.5 s / 4.9 s (scales again).  Local-mode shuffles here are
+    at most a few GB, so RAM-backed scratch is safe on this 128 GiB box;
+    the guard requires 16 GiB free and falls back to Spark's default
+    otherwise.  On real clusters this setting is inert: the cluster
+    manager overrides spark.local.dir via SPARK_LOCAL_DIRS/LOCAL_DIRS
+    (production nodes should point those at their fastest local NVMe).
+    Override with SPARK_GRAFT_LOCAL_DIR (empty string disables).
+    """
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override is not None:
+        return override or None
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return None  # already managed externally
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize < 16 * 1024**3:
+            return None
+        d = os.path.join(shm, "fuzzymatch-spark-local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        return None
+
+
 def get_spark(
     app_name: str = "fuzzymatch_spark",
     master: str | None = None,
@@ -54,6 +86,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    local_dir = _default_local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
