@@ -1116,6 +1116,15 @@ def decontaminate_images(
 
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if max_hamming >= n_bands:
+        # hamming_band_keys silently clamps k to n_bands-1: a radius >=
+        # n_bands would MISS pairs whose differing bits touch every band
+        # while this docstring promises pigeonhole recall-completeness —
+        # refuse instead of silently losing recall in a safety screen
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < n_bands ({n_bands}) "
+            "for recall-complete banding; raise n_bands instead"
+        )
     # hamming_band_keys normalizes its id column to "id" in the output
     bench_keys = hamming_band_keys(
         bench_df.select(bench_id, phash_col),

@@ -505,6 +505,15 @@ def make_phash_dedup_sink(
     edges_dir = os.path.join(work_dir, "edges")
     commits_dir = os.path.join(work_dir, "_commits")
     k = min(max_hamming, n_bands - 1)
+    if bench_df is not None and decon_max_hamming >= n_bands:
+        # fail at sink CONSTRUCTION, not mid-stream: a screen radius >=
+        # n_bands silently loses recall (decontaminate_images raises the
+        # same error per batch, but the misconfiguration should surface
+        # before any batch is committed)
+        raise ValueError(
+            f"decon_max_hamming ({decon_max_hamming}) must be < n_bands "
+            f"({n_bands}) for a recall-complete benchmark screen"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.select(
@@ -701,8 +710,9 @@ def make_decontamination_sink(
 
     ``bench_embeddings_df`` (a static (bench_id, ``emb_vec_col``) table)
     adds the SEMANTIC tier: stream rows must carry ``emb_vec_col``; each
-    batch runs the GEMM screen (``decontaminate_embeddings`` method
-    ``'blas'``) against the persisted benchmark matrix, so paraphrased
+    batch runs the prebuilt GEMM screen (``make_embedding_screen`` —
+    benchmark matrix collected + normalized once at sink construction,
+    closure reused per batch), so paraphrased
     eval leaks that share no n-grams are quarantined in-flight too —
     the flags land as ``emb_hits`` / ``emb_max_cos`` /
     ``emb_contaminated`` next to the text tiers'.
@@ -724,10 +734,20 @@ def make_decontamination_sink(
         compute_signatures(bench, id_col, text_col, cfg).persist()
         if fuzzy else None
     )
-    bench_emb = (
-        bench_embeddings_df.persist()
-        if bench_embeddings_df is not None else None
-    )
+    # the embedding screen is built ONCE at sink construction: the
+    # benchmark matrix is collected + L2-normalized here and the compiled
+    # pandas_udf closure is reused by every micro-batch (per-batch the
+    # old shape re-collected the matrix and re-shipped the closure — the
+    # measured overhead recorded in f8ed735; same amortization as
+    # bench_sig above)
+    emb_screen = None
+    if bench_embeddings_df is not None:
+        from fuzzymatch_spark.operators.ann import make_embedding_screen
+
+        emb_screen = make_embedding_screen(
+            bench_embeddings_df, vec_col=emb_vec_col,
+            min_cosine=emb_min_cosine,
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         flags = decontaminate_ngrams(
@@ -741,18 +761,9 @@ def make_decontamination_sink(
             )
             flags = flags.join(fz, "doc_id")
             dirty = dirty | (F.col("fuzzy_contaminated") == 1)
-        if bench_emb is not None:
-            from fuzzymatch_spark.operators.ann import (
-                decontaminate_embeddings,
-            )
-
-            emb = decontaminate_embeddings(
-                batch_df.select(id_col, emb_vec_col),
-                bench_emb,
-                corpus_id=id_col,
-                vec_col=emb_vec_col,
-                min_cosine=emb_min_cosine,
-                method="blas",
+        if emb_screen is not None:
+            emb = emb_screen(
+                batch_df.select(id_col, emb_vec_col)
             ).select(
                 F.col(id_col).alias("doc_id"),
                 F.col("n_bench_hits").alias("emb_hits"),
