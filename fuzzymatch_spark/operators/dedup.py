@@ -88,10 +88,8 @@ def exact_dup_edges(sig_df: DataFrame) -> DataFrame:
     hash-partitioned on the same (nh, nlen) key, so the join reuses the
     aggregation's exchange.
     """
-    keyed = sig_df.select(
-        F.xxhash64("caption_norm").alias("nh"),
-        F.length("caption_norm").alias("nlen"),
-        "id",
+    keyed = sig_df.selectExpr(
+        "xxhash64(caption_norm) AS nh", "length(caption_norm) AS nlen", "id"
     )
     mins = (
         keyed.groupBy("nh", "nlen")
@@ -101,9 +99,8 @@ def exact_dup_edges(sig_df: DataFrame) -> DataFrame:
     )
     return (
         keyed.join(mins, on=["nh", "nlen"])
-        .filter(F.col("id") != F.col("a_id"))
-        .select("a_id", F.col("id").alias("b_id"))
-        .withColumn("source", F.lit("exact"))
+        .filter("id != a_id")
+        .selectExpr("a_id", "id AS b_id", "'exact' AS source")
     )
 
 
@@ -182,61 +179,44 @@ def _salted_self_join_pairs(
     members per group (larger buckets are dropped by the size filter;
     ObjectHashAggregate falls back to sort-based spilling before that).
     """
+    # expression blocks are SQL strings (selectExpr = one py4j round trip
+    # per stage): the Column/HOF-lambda form of this chain cost ~0.14 s of
+    # driver-serial construction per call (measured, r7) for an identical
+    # parsed tree
     grouped = (
         bands.groupBy(*key_cols)
         .agg(F.collect_list("id").alias("ms"))
-        .filter(
-            (F.size("ms") > 1) & (F.size("ms") <= shard_target * max_shards)
+        .filter(f"size(ms) > 1 AND size(ms) <= {shard_target * max_shards}")
+        .selectExpr(
+            "*",
+            f"CAST(least(ceil(size(ms) / {shard_target}), {max_shards}) "
+            "AS INT) AS g",
         )
-        .withColumn(
-            "g",
-            F.least(
-                F.ceil(F.size("ms") / F.lit(shard_target)), F.lit(max_shards)
-            ).cast("int"),
+        .selectExpr(
+            "*",
+            f"transform(ms, m -> CAST(pmod(xxhash64(m, {seed}), g) AS INT))"
+            " AS shards",
         )
-        .withColumn(
-            "shards",
-            F.transform(
-                "ms",
-                lambda m: F.pmod(
-                    F.xxhash64(m, F.lit(seed)), F.col("g")
-                ).cast("int"),
-            ),
+        .selectExpr(
+            "*",
+            "explode(flatten(transform(sequence(0, g - 1), "
+            "i -> transform(sequence(i, g - 1), "
+            "j -> named_struct('i', i, 'j', j))))) AS blk",
         )
-        .withColumn(
-            "blk",
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(0), F.col("g") - 1),
-                        lambda i: F.transform(
-                            F.sequence(i, F.col("g") - 1),
-                            lambda j: F.struct(i.alias("i"), j.alias("j")),
-                        ),
-                    )
-                )
-            ),
-        )
-        .withColumn(
-            "A",
-            F.filter("ms", lambda m, ix: F.get("shards", ix) == F.col("blk.i")),
-        )
-        .withColumn(
-            "B",
-            F.filter("ms", lambda m, ix: F.get("shards", ix) == F.col("blk.j")),
+        .selectExpr(
+            "*",
+            "filter(ms, (m, ix) -> get(shards, ix) = blk.i) AS A",
+            "filter(ms, (m, ix) -> get(shards, ix) = blk.j) AS B",
         )
     )
     # diagonal blocks have A == B (both orders generated, normalized below);
     # cross blocks generate each pair once — dropDuplicates also dedupes
     # across bands, which the caller needed anyway
     return (
-        grouped.select(F.explode("A").alias("a"), "B")
-        .select("a", F.explode("B").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("a_id"),
-            F.greatest("a", "b").alias("b_id"),
-        )
+        grouped.selectExpr("explode(A) AS a", "B")
+        .selectExpr("a", "explode(B) AS b")
+        .filter("a != b")
+        .selectExpr("least(a, b) AS a_id", "greatest(a, b) AS b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
 
@@ -246,18 +226,16 @@ def minhash_bands(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     shared band decomposition for the batch self-join and the incremental
     (streaming) new-vs-existing join."""
     r = cfg.rows_per_band
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(F.lit(i), F.slice("minhash_sig", i * r + 1, r)).alias("key"),
-            )
-            for i in range(cfg.bands)
-        ]
+    # one SQL string instead of per-band Column calls (~85 py4j round
+    # trips of driver-serial construction saved per call; identical tree)
+    band_structs = ", ".join(
+        f"named_struct('band', {i}, 'key', "
+        f"xxhash64({i}, slice(minhash_sig, {i * r + 1}, {r})))"
+        for i in range(cfg.bands)
     )
-    return sig_df.select(
-        F.col("id"), F.explode(band_structs).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return sig_df.selectExpr(
+        "id", f"explode(array({band_structs})) AS bk"
+    ).selectExpr("id", "bk.band AS band", "bk.key AS key")
 
 
 def minhash_band_edges(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -329,17 +307,27 @@ def hamming_band_keys(
         f"fused band key overflows int64: {n_combos} combos above "
         f"{key_width} key bits"
     )
+    # The combo-key expressions are generated as ONE SQL string instead of
+    # per-op Column calls: the C(m, c) keys cost ~350 py4j round-trips in
+    # Column form (~0.4 s of driver-serial DAG construction per call at
+    # 56 µs/call — measured, r7) vs one expr() parse.  The parsed tree is
+    # the same shift/and/or expression per key, so results are identical.
+    h = f"`{hash_col}`"
+
+    def block_sql(i: int) -> str:
+        return f"(shiftrightunsigned({h}, {i * width}) & {mask})"
+
     combined = []
     for ci, combo in enumerate(itertools.combinations(range(m), c)):
-        key = F.lit(0).cast("long")
+        key = "CAST(0 AS BIGINT)"
         for j, blk in enumerate(combo):
-            key = key.bitwiseOR(F.shiftleft(block(blk), j * width))
+            key = f"({key} | shiftleft({block_sql(blk)}, {j * width}))"
         # fold the combo index into the SAME long above the key bits: one
         # narrow int64 shuffle column instead of a (band, key) struct —
         # injective because key < 2^key_width (c < m, so there is room;
         # at c == m there is a single combo and ci == 0 ORs to a no-op)
         if ci:
-            key = key.bitwiseOR(F.lit(ci << key_width).cast("long"))
+            key = f"({key} | {ci << key_width}L)"
         combined.append(key)
 
     carry = list(carry_cols or [])
@@ -347,7 +335,7 @@ def hamming_band_keys(
         F.col(id_col).alias("id"),
         F.col(hash_col),
         *carry,
-        F.explode(F.array(*combined)).alias("bk"),
+        F.expr(f"explode(array({', '.join(combined)}))").alias("bk"),
     )
     if split_band_key:
         if key_width >= 64:
@@ -734,59 +722,58 @@ def verify_edges(
     """
     cfg = cfg or DedupConfig()
     thr = float(cfg.min_score)
+    # SQL-string expression blocks (selectExpr = one py4j round trip per
+    # stage): the withColumn-chained Column form of this function cost
+    # ~0.3 s of driver-serial DAG construction per call (measured, r7)
+    # for an identical parsed tree.  Float literals use repr() + the D
+    # suffix so the embedded doubles are bit-exact (e.g. 1.0 - 0.9 ->
+    # 0.09999999999999998D, the same double the Python arithmetic fed the
+    # old lit()).
+    thr_s = f"{thr!r}D"
+    one_minus_thr_s = f"{(1.0 - thr)!r}D"
 
-    s = sig_df.select(
+    s = sig_df.selectExpr(
         "id",
         "caption_norm",
         "shingles",
-        F.col("n_shingles").cast("long").alias("nsh"),
-        F.xxhash64("caption_norm").alias("nh"),
-        F.length("caption_norm").cast("long").alias("nlen"),
+        "CAST(n_shingles AS BIGINT) AS nsh",
+        "xxhash64(caption_norm) AS nh",
+        "CAST(length(caption_norm) AS BIGINT) AS nlen",
     )
-    a = s.select(
-        F.col("id").alias("a_id"),
-        F.col("shingles").alias("a_sh"),
-        F.col("nsh").alias("a_nsh"),
-        F.col("nh").alias("a_nh"),
-        F.col("nlen").alias("a_len"),
+    a = s.selectExpr(
+        "id AS a_id", "shingles AS a_sh", "nsh AS a_nsh",
+        "nh AS a_nh", "nlen AS a_len",
     )
-    b = s.select(
-        F.col("id").alias("b_id"),
-        F.col("shingles").alias("b_sh"),
-        F.col("nsh").alias("b_nsh"),
-        F.col("nh").alias("b_nh"),
-        F.col("nlen").alias("b_len"),
+    b = s.selectExpr(
+        "id AS b_id", "shingles AS b_sh", "nsh AS b_nsh",
+        "nh AS b_nh", "nlen AS b_len",
     )
     j = edges.join(a, on="a_id").join(b, on="b_id")
 
-    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("long")
-    union = F.col("a_nsh") + F.col("b_nsh") - F.col("inter")
-    is_exact = (F.col("a_nh") == F.col("b_nh")) & (F.col("a_len") == F.col("b_len"))
-    qlen = F.greatest(F.least("a_len", "b_len"), F.lit(1))
-    n_q = F.when(F.col("a_len") <= F.col("b_len"), F.col("a_nsh")).otherwise(
-        F.col("b_nsh")
-    )
-    max_ed = F.floor((1.0 - thr) * qlen).cast("long")
-
     tier1 = (
-        j.withColumn("inter", inter)
-        .withColumn("is_exact", is_exact)
-        .withColumn(
-            "jaccard",
-            F.when(F.col("is_exact"), F.lit(1.0)).otherwise(
-                F.when(union > 0, F.col("inter") / union).otherwise(F.lit(0.0))
-            ),
+        j.selectExpr(
+            "*",
+            "CAST(size(array_intersect(a_sh, b_sh)) AS BIGINT) AS inter",
+            "(a_nh = b_nh AND a_len = b_len) AS is_exact",
+            "greatest(least(a_len, b_len), 1) AS qlen",
         )
-        .withColumn("qlen", qlen)
-        .withColumn("max_ed", max_ed)
-        .withColumn(
-            "need_dl",
-            (~F.col("is_exact"))
-            & (F.col("jaccard") < thr)
-            & (F.col("qlen") <= F.lit(cfg.dl_max_len))
-            & (F.col("inter") >= n_q - 3 * max_ed),
+        .selectExpr(
+            "*",
+            "CASE WHEN is_exact THEN 1.0D ELSE "
+            "CASE WHEN (a_nsh + b_nsh - inter) > 0 "
+            "THEN inter / (a_nsh + b_nsh - inter) ELSE 0.0D END END"
+            " AS jaccard",
+            f"CAST(floor({one_minus_thr_s} * qlen) AS BIGINT) AS max_ed",
         )
-        .drop("a_sh", "b_sh", "a_nsh", "b_nsh", "a_nh", "b_nh")
+        .selectExpr(
+            "a_id", "b_id", "source", "a_len", "b_len", "inter",
+            "is_exact", "jaccard", "qlen", "max_ed",
+            f"((NOT is_exact) AND jaccard < {thr_s} "
+            f"AND qlen <= {int(cfg.dl_max_len)} "
+            "AND inter >= "
+            "(CASE WHEN a_len <= b_len THEN a_nsh ELSE b_nsh END)"
+            " - 3 * max_ed) AS need_dl",
+        )
     )
     # tier1 feeds two consumers (the jaccard-only branch and the DL branch);
     # without materialization each branch would recompute the entire
@@ -805,46 +792,37 @@ def verify_edges(
         | F.col("need_dl")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    easy = (
-        tier1.filter(~F.col("need_dl"))
-        .withColumn("dl_dist", F.lit(-1))
-        .withColumn("dl_sim", F.lit(0.0))
+    cols = ["a_id", "b_id", "source", "is_exact", "jaccard", "dl_dist", "dl_sim"]
+    easy = tier1.filter("NOT need_dl").selectExpr(
+        *cols[:5], "-1 AS dl_dist", "0.0D AS dl_sim"
     )
 
     norms = sig_df.select("id", "caption_norm")
     dl_in = (
-        tier1.filter(F.col("need_dl"))
-        .join(norms.withColumnRenamed("id", "a_id")
-              .withColumnRenamed("caption_norm", "a_norm"), on="a_id")
-        .join(norms.withColumnRenamed("id", "b_id")
-              .withColumnRenamed("caption_norm", "b_norm"), on="b_id")
+        tier1.filter("need_dl")
+        .join(norms.selectExpr("id AS a_id", "caption_norm AS a_norm"),
+              on="a_id")
+        .join(norms.selectExpr("id AS b_id", "caption_norm AS b_norm"),
+              on="b_id")
     )
     dl = make_dl_udf(thr)
-    hard = (
-        dl_in.withColumn("_d", dl(F.col("a_norm"), F.col("b_norm")))
-        .withColumn("dl_dist", F.col("_d.dl_dist"))
-        .withColumn("dl_sim", F.col("_d.dl_sim"))
-        .drop("_d", "a_norm", "b_norm")
+    hard = dl_in.withColumn(
+        "_d", dl(F.col("a_norm"), F.col("b_norm"))
+    ).selectExpr(
+        *cols[:5], "_d.dl_dist AS dl_dist", "_d.dl_sim AS dl_sim"
     )
 
-    cols = ["a_id", "b_id", "source", "is_exact", "jaccard", "dl_dist", "dl_sim"]
-    scored = easy.select(*cols).unionByName(hard.select(*cols))
+    scored = easy.unionByName(hard)
     out = (
-        scored.withColumn(
-            "score",
-            F.when(F.col("is_exact"), F.lit(1.0)).otherwise(
-                F.greatest("jaccard", "dl_sim")
-            ),
+        scored.selectExpr(
+            "a_id", "b_id", "source", "jaccard", "dl_dist", "dl_sim",
+            "CASE WHEN is_exact THEN 1.0D "
+            "ELSE greatest(jaccard, dl_sim) END AS score",
+            "CASE WHEN is_exact THEN 'exact' "
+            "WHEN dl_sim > jaccard THEN 'substring' "
+            "ELSE 'jaccard' END AS kind",
         )
-        .withColumn(
-            "kind",
-            F.when(F.col("is_exact"), F.lit("exact"))
-            .when(F.col("dl_sim") > F.col("jaccard"), F.lit("substring"))
-            .otherwise(F.lit("jaccard")),
-        )
-        .filter(F.col("score") >= F.lit(thr))
-        .select("a_id", "b_id", "source", "jaccard", "dl_dist", "dl_sim",
-                "score", "kind")
+        .filter(f"score >= {thr_s}")
     )
     # persist the SCORED output too (r7): repeated consumers (or repeated
     # bench passes — Spark's CacheManager plan-matches across calls) then
